@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the settings this engine assumes.
+  *
+  * Designed for a real cluster (1000 executors, 100 TB inputs) but tested on
+  * `local[32]`. Key choices:
+  *   - AQE on (runtime re-plan: skew-join splitting, shuffle coalescing,
+  *     broadcast demotion/promotion) — essential at scale where static stats lie.
+  *   - shuffle.partitions small locally; on a cluster this is overridden by
+  *     AQE's coalescing from `spark.sql.adaptive.coalescePartitions.*`.
+  *   - session timezone pinned to UTC so timestamp semantics are deterministic
+  *     and match the DuckDB oracle.
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

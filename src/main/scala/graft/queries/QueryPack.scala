@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named group of oracle-checked queries.
+  *
+  * `queries` maps an inventory id (SURVEY.md §3 row) to a function building
+  * the DataFrame over the tables in a scale-factor directory. `oracle` maps
+  * the same id to ANSI SQL that DuckDB runs over the same parquet tables;
+  * ids absent from `oracle` get a weaker rows-only check from the driver.
+  *
+  * Contract for oracle-compared queries:
+  *   - identical column NAMES on both sides (driver sorts columns by name);
+  *   - a total ORDER BY (unique key last) on both sides;
+  *   - no raw double SUM/AVG — use [[graft.sql.Stable]] so Spark's parallel
+  *     partial aggregation and DuckDB's sequential aggregation agree bitwise;
+  *   - nothing nondeterministic (no unseeded rand, no
+  *     monotonically_increasing_id).
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}

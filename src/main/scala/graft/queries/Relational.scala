@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.sql.Stable._
+
+/** Relational core: projection/filter (P1–P7), joins (J1–J5, J7),
+  * aggregation (A2–A5), sort/top-k (O1–O4).
+  *
+  * Reference behavior: every query in the reference is a SQL string executed
+  * by PostgreSQL (`src/tropology/db.clj`, public repo — line numbers
+  * unverifiable, mount empty; see SURVEY.md §0). Here the same shapes are
+  * declared with the DataFrame DSL and optimized by Catalyst.
+  *
+  * Scale notes: dimension joins (region/nation/customer/supplier/part) are
+  * broadcast-able at any SF because they grow sub-linearly; the fact-side
+  * scans push filters and prune columns to the parquet reader; all money
+  * aggregates use exact decimal arithmetic ([[graft.sql.Stable]]).
+  */
+object Relational extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A4: TPC-H Q1-style pricing summary — groupBy + sum/avg/count.
+    "a4_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) *
+              dec4((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // P4+P5: conjunctive range/boolean predicates, global agg (TPC-H Q6 shape).
+    "p4_predicates_revenue" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.02, 0.08) &&
+                col("l_quantity") < 25)
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n"))
+    },
+
+    // P1+P2: projection + equality predicate (node-lookup shape, db.clj P2).
+    "p2_point_lookup" -> { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") === 42L)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    },
+
+    // P3: IN-list predicate.
+    "p3_inlist" -> { (s, d) =>
+      Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_0", "NATION_3", "NATION_7", "NATION_11", "NATION_19"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    // P6: pattern predicates (LIKE / prefix).
+    "p6_pattern" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").startsWith("PROMO") && col("p_brand").like("Brand#1%"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    },
+
+    // P7: computed/renamed columns.
+    "p7_computed" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          (dec2(col("o_totalprice")) * dec2(lit(1.1))).cast("double").as("price_with_fee"),
+          concat_ws("/", col("o_orderstatus"), col("o_orderpriority")).as("status_label"),
+          year(col("o_orderdate")).as("order_year"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    },
+
+    // J1: equi inner join fact→dim + agg (broadcast-able dim side).
+    "j1_join_orders_customer" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
+    // J2: multi-way join through the star schema (revenue per nation).
+    "j2_multiway_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = broadcast(Tables.customer(s, d))
+      val n  = broadcast(Tables.nation(s, d))
+      val r  = broadcast(Tables.region(s, d))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // J4: left-semi join — customers having at least one open order.
+    "j4_semi_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // J4b: left-anti join — customers with no URGENT order.
+    "j4_anti_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // J5: left outer join + null handling (order counts incl. zero).
+    "j5_outer_join" -> { (s, d) =>
+      val counts = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("spend"))
+      Tables.customer(s, d)
+        .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+                coalesce(col("cnt"), lit(0L)).as("n_orders"),
+                coalesce(col("spend"), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    // J7: cross join (small × small) — all region pairs.
+    "j7_cross_join" -> { (s, d) =>
+      val r1 = Tables.region(s, d).select(col("r_name").as("r1"))
+      val r2 = Tables.region(s, d).select(col("r_name").as("r2"))
+      r1.crossJoin(r2).filter(col("r1") < col("r2")).orderBy("r1", "r2")
+    },
+
+    // A2+A3: global count + exact count distinct.
+    "a3_count_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+    },
+
+    // A3b: approximate distinct (HLL++) — rows-only check (DuckDB's approx
+    // sketch differs); at 100 TB this replaces exact distinct in dashboards.
+    "a3_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))
+    },
+
+    // A4b: min/max/avg/sum mix per group with HAVING.
+    "a4_minmax_having" -> { (s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(min(col("p_retailprice")).as("min_price"),
+             max(col("p_retailprice")).as("max_price"),
+             davg(col("p_retailprice")).as("avg_price"),
+             count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy("p_brand")
+    },
+
+    // A5: rollup with grouping() markers.
+    "a5_rollup" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+        .select(coalesce(col("r_name"), lit("<all>")).as("region"),
+                coalesce(col("n_name"), lit("<all>")).as("nation"),
+                col("n_suppliers"), col("total_bal"))
+        .orderBy("region", "nation")
+    },
+
+    // A5b: cube.
+    "a5_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+                coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+                col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // F5: conditional aggregation (CASE WHEN inside SUM).
+    "f5_conditional" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, dec2(col("l_extendedprice"))).otherwise(dec2(lit(0.0))))
+            .cast("double").as("hi_disc_price"),
+          count(when(col("l_tax") === 0.0, lit(1))).as("n_tax_free"))
+        .orderBy("l_returnflag")
+    },
+
+    // O1: global top-k (TakeOrderedAndProject — no full sort at scale).
+    "o1_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // O3: global multi-column sort (range-partitioned exchange at scale).
+    "o3_global_sort" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey").asc)
+    },
+
+    // O4: limit/offset via row_number (offset alone doesn't distribute).
+    "o4_limit_offset" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") > 20 && col("rn") <= 40)
+        .select("o_orderkey", "o_totalprice", "rn")
+        .orderBy("rn")
+    },
+
+    // U1: intersect — customers active in both 1995 and 2000.
+    "u1_intersect" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y00 = o.filter(year(col("o_orderdate")) === 2000).select(col("o_custkey"))
+      y95.intersect(y00).orderBy("o_custkey")
+    },
+
+    // U2: union distinct — urgent or high-value order keys.
+    "u2_union" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val big    = o.filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+      urgent.union(big).distinct().orderBy("o_orderkey")
+    },
+
+    // U3: except — customers in 1995 but not 1996.
+    "u3_except" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.except(y96).orderBy("o_custkey")
+    },
+
+    // S6: crawl-queue shape — filter + order + limit (scheduling scan).
+    "s6_queue_scan" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O" &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .limit(20)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a4_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p4_predicates_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25""".stripMargin,
+
+    "p2_point_lookup" ->
+      "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer WHERE c_custkey = 42",
+
+    "p3_inlist" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_name IN ('NATION_0','NATION_3','NATION_7','NATION_11','NATION_19') ORDER BY n_nationkey""".stripMargin,
+
+    "p6_pattern" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE p_type LIKE 'PROMO%' AND p_brand LIKE 'Brand#1%' ORDER BY p_partkey""".stripMargin,
+
+    "p7_computed" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE) AS price_with_fee,
+        |  o_orderstatus || '/' || o_orderpriority AS status_label,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
+    "j1_join_orders_customer" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j2_multiway_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_outer_join" ->
+      """SELECT c_custkey, COALESCE(cnt, 0) AS n_orders, COALESCE(spend, 0.0) AS total_spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |) ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "j7_cross_join" ->
+      """SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b
+        |WHERE a.r_name < b.r_name ORDER BY r1, r2""".stripMargin,
+
+    "a3_count_distinct" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+        |FROM lineitem""".stripMargin,
+
+    "a4_minmax_having" ->
+      """SELECT p_brand, MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY p_brand HAVING COUNT(*) >= 5 ORDER BY p_brand""".stripMargin,
+
+    "a5_rollup" ->
+      """SELECT COALESCE(r_name, '<all>') AS region, COALESCE(n_name, '<all>') AS nation,
+        |  COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "a5_cube" ->
+      """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+        |  COALESCE(o_orderpriority, '<all>') AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "f5_conditional" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS hi_disc_price,
+        |  COUNT(CASE WHEN l_tax = 0.0 THEN 1 END) AS n_tax_free
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "o3_global_sort" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC""".stripMargin,
+
+    "o4_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin,
+
+    "u1_intersect" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 2000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "u2_union" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u3_except" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "s6_queue_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 20""".stripMargin
+  )
+}

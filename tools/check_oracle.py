@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local DuckDB oracle parity check, approximating the driver's compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query result parquet in verifyOutDir and its oracle SQL in
+oracle_sql.json: run the SQL in DuckDB over the sfDir tables, sort columns
+by name, sort rows, and compare cell-by-cell (exact for non-floats; exact
+and abs-diff report for floats). Dev tool only — NOT part of the engine.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in idx) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in idx]
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import os
+    produced = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    for name in produced:
+        if name not in oracle:
+            r = con.execute(f"SELECT count(*) FROM '{out}/{name}/*.parquet'").fetchone()[0]
+            print(f"  ROWS-ONLY {name}: {r} rows")
+            continue
+        try:
+            sp = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'")
+            sp_cols = [d[0] for d in sp.description]
+            sp_rows = sp.fetchall()
+            du = con.execute(oracle[name])
+            du_cols = [d[0] for d in du.description]
+            du_rows = du.fetchall()
+        except Exception as e:
+            print(f"✗ {name}: ERROR {e}")
+            n_fail += 1
+            continue
+        if sorted(sp_cols) != sorted(du_cols):
+            print(f"✗ {name}: column mismatch spark={sorted(sp_cols)} duck={sorted(du_cols)}")
+            n_fail += 1
+            continue
+        a, cols = canon(sp_rows, sp_cols)
+        b, _ = canon(du_rows, du_cols)
+        if len(a) != len(b):
+            print(f"✗ {name}: row count {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            for j, (x, y) in enumerate(zip(ra, rb)):
+                if x == y:
+                    continue
+                if isinstance(x, float) and isinstance(y, float):
+                    if math.isnan(x) and math.isnan(y):
+                        continue
+                    bad = (i, cols[j], x, y, abs(x - y))
+                    break
+                bad = (i, cols[j], x, y, None)
+                break
+            if bad:
+                break
+        if bad:
+            i, c, x, y, d = bad
+            extra = f" absdiff={d:.3e}" if d is not None else ""
+            print(f"✗ {name}: row {i} col {c}: spark={x!r} duck={y!r}{extra}")
+            n_fail += 1
+        else:
+            print(f"✓ {name} ({len(a)} rows)")
+            n_pass += 1
+    missing = [k for k in oracle if k not in produced]
+    for k in missing:
+        print(f"✗ {k}: oracle SQL present but no spark output")
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(produced)-n_pass-n_fail} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
