@@ -11,7 +11,9 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Relational
+    Relational,
+    WindowsAndEvents,
+    ScalarFuncs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Window functions (W1–W4), batch event-time windowing (ST1/ST2 batch
+  * shape over `events`), and the as-of join (J6).
+  *
+  * The reference does no SQL window functions (its top-k is ORDER BY+LIMIT,
+  * SURVEY.md §3.5); these are north-star requirements. Window aggregates
+  * over doubles use DECIMAL framing ([[graft.sql.Stable]] rationale) so the
+  * running sums hash-match the oracle.
+  */
+object WindowsAndEvents extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1: ranking family over a partition.
+    "w1_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .filter(col("rn") <= 50)
+        .orderBy("o_orderstatus", "rn")
+    },
+
+    // W2: lag/lead with inter-event gaps (sessionization building block).
+    "w2_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .select("user_id", "event_id", "prev_value", "next_type", "gap_us")
+        .orderBy("user_id", "event_id")
+    },
+
+    // W3: frames — running sum + 3-row moving average per user.
+    "w3_frames" -> { (s, d) =>
+      val ordered = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val moving  = ordered.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("running_total", sum(dec2(col("value"))).over(running).cast("double"))
+        .withColumn("moving_avg",
+          (sum(dec2(col("value"))).over(moving).cast("double") / count(lit(1)).over(moving)))
+        .select("user_id", "event_id", "running_total", "moving_avg")
+        .orderBy("user_id", "event_id")
+    },
+
+    // W4: top-k per group via row_number.
+    "w4_topk_per_group" -> { (s, d) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    },
+
+    // ST1 (batch shape): tumbling 1-hour event-time windows per event type.
+    "st1_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("ws", "event_type")
+    },
+
+    // ST1b (batch shape): sliding windows — 1 hour long, 30 min slide.
+    "st1_sliding_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"))
+        .orderBy("ws")
+    },
+
+    // ST2 (batch shape): session windows with a 30-minute gap, per user.
+    "st2_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // J6: as-of join — each event gets the user's most recent prior order.
+    "j6_asof_join" -> { (s, d) =>
+      AsOfJoin.asOf(
+        left = Tables.events(s, d).select("event_id", "user_id", "ts"),
+        right = Tables.orders(s, d).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        tiebreak = "o_orderkey",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 50 ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "w2_lag_lead" ->
+      """SELECT user_id, event_id, LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(event_type, 1) OVER w AS next_type,
+        |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w3_frames" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER running AS DOUBLE) AS running_total,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER moving AS DOUBLE) / COUNT(*) OVER moving AS moving_avg
+        |FROM events
+        |WINDOW
+        |  running AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  moving AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w4_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part
+        |) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "st1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "st1_sliding_window" ->
+      """WITH assigned AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS ws FROM events
+        |  UNION ALL
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS ws FROM events
+        |)
+        |SELECT ws, COUNT(*) AS n FROM assigned GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "st2_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), grouped AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM grouped GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "j6_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders
+        |  ) WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}
