@@ -38,7 +38,13 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql` works against the dir. */
+  /** Register every table as a temp view so `spark.sql` works against the dir.
+    * `events` goes through its accessor so views and query paths see the same
+    * µs-truncated timestamp schema (ADVICE r2).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -45,6 +45,14 @@ object AsOfJoin {
       inner: Boolean = true): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // Attached payload columns keep their right-side names, so they must not
+    // collide with left columns; __-prefixed names are internal scratch.
+    val overlap = rightCols.toSet.intersect(leftCols.toSet)
+    require(overlap.isEmpty,
+      s"asOf: rightCols ${overlap.mkString(", ")} collide with left column names; rename one side first")
+    val reserved = (leftCols ++ rightCols).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asOf: column names ${reserved.mkString(", ")} use the reserved __ prefix")
 
     // One right row per (key, time): greatest tiebreak wins.
     val tiePick = Window

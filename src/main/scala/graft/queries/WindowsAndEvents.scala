@@ -163,13 +163,13 @@ object WindowsAndEvents extends QueryPack {
 
     "st2_session_window" ->
       """WITH marked AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN LAG(ts) OVER w IS NULL
         |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |), grouped AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM marked
         |)
         |SELECT user_id, MIN(ts) AS session_start,

@@ -34,18 +34,33 @@ def main():
             print(f"  ROWS-ONLY {name}: {r} rows")
             continue
         try:
-            sp = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'")
-            sp_cols = [d[0] for d in sp.description]
-            sp_rows = sp.fetchall()
-            du = con.execute(oracle[name])
-            du_cols = [d[0] for d in du.description]
-            du_rows = du.fetchall()
+            # Fetch through pandas so dtypes canonicalize the way the
+            # driver's arrow/pandas compare does (e.g. DuckDB HUGEINT →
+            # float64, which must then MISMATCH a Spark BIGINT column).
+            sp_df = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+            du_df = con.execute(oracle[name]).df()
+            sp_cols, sp_rows = list(sp_df.columns), [tuple(r) for r in sp_df.itertuples(index=False)]
+            du_cols, du_rows = list(du_df.columns), [tuple(r) for r in du_df.itertuples(index=False)]
         except Exception as e:
             print(f"✗ {name}: ERROR {e}")
             n_fail += 1
             continue
         if sorted(sp_cols) != sorted(du_cols):
             print(f"✗ {name}: column mismatch spark={sorted(sp_cols)} duck={sorted(du_cols)}")
+            n_fail += 1
+            continue
+        # Driver-observed behavior: int32 vs int64 hash the same (stringified
+        # value), but int64 vs float64 differ ('42' vs '42.0'). Compare dtype
+        # KIND (i/u one family, f, b, M, O), not exact width.
+        def kind(dt):
+            k = dt.kind
+            return "i" if k in "iu" else k
+        sp_dt = {c: kind(sp_df.dtypes[c]) for c in sp_cols}
+        du_dt = {c: kind(du_df.dtypes[c]) for c in du_cols}
+        dt_bad = {c: (str(sp_df.dtypes[c]), str(du_df.dtypes[c]))
+                  for c in sp_cols if sp_dt[c] != du_dt[c]}
+        if dt_bad:
+            print(f"✗ {name}: dtype mismatch {dt_bad}")
             n_fail += 1
             continue
         a, cols = canon(sp_rows, sp_cols)
