@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.sql.Stable._
+
+/** Text analysis + deduplication over `documents` (SURVEY.md §3.11 T1–T7 and
+  * the north-star dedup family: exact, MinHash+LSH, n-gram Jaccard, SimHash).
+  *
+  * Reference context: the reference's only text processing is wiki-link
+  * extraction + code normalization (`src/tropology/parsing.clj` /
+  * `base.clj`, public repo); the dedup/similarity operators are north-star
+  * additions for LLM-data pipelines.
+  *
+  * Design for 100 TB:
+  *   - everything is built from codegen'd Catalyst expressions (HOFs over
+  *     token arrays — no UDFs, no Python);
+  *   - near-dup search NEVER does all-pairs: MinHash band buckets (t4, t5)
+  *     shrink the candidate set to same-bucket pairs, then exact Jaccard is
+  *     computed only for candidates (candidate-first join order);
+  *   - hashes are md5-based and engine-portable, so the same pipeline is
+  *     expressible in ANSI SQL for the DuckDB oracle; swap in xxhash64
+  *     ([[TextFunctions.fastHash]]) for pure-Spark runs — cheaper, same
+  *     structure;
+  *   - per-doc signatures (simhash, minhash bands) are one groupBy each —
+  *     a single shuffle keyed by doc_id, which AQE coalesces.
+  */
+object TextDedup extends QueryPack {
+
+  /** Distinct word-`n`-gram ("shingle") per (doc_id, shingle) pair.
+    * `sequence(1, size-n+1)` enumerates start positions; docs shorter than
+    * `n` tokens are dropped (both engines filter identically).
+    */
+  private def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    docs
+      .filter(size(t) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))).as("sh"))
+  }
+
+  /** MinHash band keys: `nSeeds` md5-minhashes per doc (lexicographic min of
+    * `md5(seed|shingle)` — portable across engines), grouped into bands of
+    * `bandSize` consecutive seeds. Docs sharing any band key are near-dup
+    * candidates (classic LSH banding).
+    */
+  private def bandKeys(sh: DataFrame, nSeeds: Int, bandSize: Int): DataFrame =
+    sh
+      .withColumn("seed", explode(sequence(lit(0), lit(nSeeds - 1))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+      .groupBy(col("doc_id"), (col("seed") / bandSize).cast("long").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh")), "|").as("band_key"))
+
+  /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands. */
+  private def candidates(bands: DataFrame): DataFrame = {
+    val a = bands.toDF("doc_a", "band_a", "key_a")
+    val b = bands.toDF("doc_b", "band_b", "key_b")
+    a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+      col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets, computed ONLY for candidate
+    * pairs: candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b, same shingle).
+    * The pair-restricted join order is what keeps this off the O(n²) cliff.
+    */
+  private def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.toDF("da", "sha")
+    val shB = sh.toDF("db", "shb")
+    val inter = cand
+      .join(shA, col("doc_a") === col("da"))
+      .join(shB, col("doc_b") === col("db") && col("sha") === col("shb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sa = sizes.toDF("ka", "na")
+    val sb = sizes.toDF("kb", "nb")
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    inter
+      .join(sa, col("doc_a") === col("ka"))
+      .join(sb, col("doc_b") === col("kb"))
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared SQL fragment: the DuckDB mirror of [[shingles]]→[[bandKeys]]→
+    * [[candidates]]→[[jaccard]] with word-`n`-grams and given banding.
+    */
+  private def neardupSql(n: Int, nSeeds: Int, bandSize: Int, threshold: String): String = {
+    val sliceEnd = s"i+${n - 1}"
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-${n - 2}), i -> array_to_string(t[i:$sliceEnd], ' ')))) AS sh
+       |  FROM tok WHERE len(t) >= $n
+       |), mh AS (
+       |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($nSeeds)) AS seed) GROUP BY doc_id, seed
+       |), bands AS (
+       |  SELECT doc_id, seed // $bandSize AS band, string_agg(mh, '|' ORDER BY seed) AS band_key
+       |  FROM mh GROUP BY doc_id, seed // $bandSize
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |jac AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter, sa.n AS na, sb.n AS nb
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+       |)
+       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+       |FROM jac WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "die", "und"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1: per-doc token statistics from one codegen'd projection.
+    "t1_token_stats" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct"),
+          round(aggregate(t, lit(0L), (acc, tok) => acc + length(tok)).cast("double") /
+            greatest(size(t), lit(1)).cast("double"), 6).as("mean_tok_len"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy("doc_id")
+    },
+
+    // T2: document frequency of terms — top 50 (distinct-per-doc explode,
+    // then one hash agg; at 100 TB this is the map-side-combine-friendly
+    // shape: the explode output is pre-deduped per doc).
+    "t2_term_freq" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(50)
+    },
+
+    // T3: exact dedup by normalized-text fingerprint. The input is the
+    // documents table unioned with a shifted-id copy of itself, so the
+    // dedup provably halves the input (keeper = min doc_id per fingerprint).
+    "t3_exact_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dup  = docs.withColumn("doc_id", col("doc_id") + 100000L)
+      docs.union(dup)
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_id")
+    },
+
+    // T4: MinHash+LSH near-dup pairs — word-trigram shingles, 8 minhashes
+    // in 4 bands of 2, exact-Jaccard verification of candidates at ≥ 0.5.
+    "t4_minhash_neardup" -> { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), 3)
+      jaccard(candidates(bandKeys(sh, nSeeds = 8, bandSize = 2)), sh, 0.5)
+    },
+
+    // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
+    // (4 minhashes, 2 bands), higher threshold 0.6.
+    "t5_ngram_jaccard" -> { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), 2)
+      jaccard(candidates(bandKeys(sh, nSeeds = 4, bandSize = 2)), sh, 0.6)
+    },
+
+    // T6: 16-bit SimHash per doc, computed in ONE pass with higher-order
+    // functions (no explode, no shuffle beyond the final sort): per distinct
+    // token, bit j contributes +1 if nibble j of md5(token) has its top bit
+    // set, else -1; the sign of each accumulated coordinate is the bit.
+    "t6_simhash" -> { (s, d) =>
+      val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(x => x: Any)
+      def bits(tok: Column): Column = {
+        val h = md5(tok)
+        transform(sequence(lit(1), lit(16)),
+          j => when(h.substr(j, lit(1)).isin(hexHi: _*), lit(1L)).otherwise(lit(-1L)))
+      }
+      val t = array_distinct(split(col("text"), " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(
+            transform(
+              aggregate(t, array_repeat(lit(0L), 16),
+                (acc, tok) => zip_with(acc, bits(tok), (a, b) => a + b)),
+              b => when(b >= 0, "1").otherwise("0")), "").as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // T7a: language-ID + quality scoring per doc (marker-count heuristic and
+    // composite score, all arithmetic mirrored exactly in the oracle SQL).
+    "t7_lang_quality" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      val sw = size(filter(t, tok => tok.isin(stopwords.map(x => x: Any): _*))).cast("double") /
+        greatest(size(t), lit(1)).cast("double")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_guess"),
+          round(sw, 6).as("stopword_ratio"),
+          round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // T7b: per-(lang, source) slice analytics.
+    "t7_slice_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          davg(col("n_chars").cast("double")).as("avg_chars"),
+          sum(size(split(col("text"), " "))).as("total_tokens"))
+        .orderBy("lang", "source")
+    }
+  )
+
+  /** DuckDB markerCount mirror: occurrences of " m " in the padded lowercase
+    * text via length arithmetic (same non-overlapping replace semantics as
+    * Spark's regexp_replace of the quoted literal).
+    */
+  private def mcSql(m: String): String = {
+    val w = s" $m "
+    s"CAST((length(padded) - length(replace(padded, ' $m ', ''))) / ${w.length} AS INT)"
+  }
+
+  private val langGuessSql: String = {
+    val scoreDefs = langMarkers.map { case (lang, ms) =>
+      s"(${ms.map(mcSql).mkString(" + ")}) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val cases = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""scored AS (
+       |  SELECT *, $scoreDefs FROM padded_docs
+       |), best_scored AS (
+       |  SELECT *, $best AS best FROM scored
+       |), guessed AS (
+       |  SELECT *, CASE $cases ELSE 'und' END AS lang_guess FROM best_scored
+       |)""".stripMargin
+  }
+
+  private val swInList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |  round(CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS DOUBLE)
+        |    / CAST(greatest(len(string_split(text,' ')), 1) AS DOUBLE), 6) AS mean_tok_len,
+        |  length(text) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_term_freq" ->
+      """SELECT term, count(*) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term FROM documents
+        |) GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+
+    "t3_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |), fps AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM all_docs
+        |)
+        |SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM fps GROUP BY fp ORDER BY keeper_id""".stripMargin,
+
+    "t4_minhash_neardup" -> neardupSql(n = 3, nSeeds = 8, bandSize = 2, threshold = "0.5"),
+
+    "t5_ngram_jaccard" -> neardupSql(n = 2, nSeeds = 4, bandSize = 2, threshold = "0.6"),
+
+    "t6_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tk FROM documents
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN substr(md5(tk), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT unnest(range(1, 17)) AS j)
+        |  GROUP BY doc_id, j
+        |)
+        |SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t7_lang_quality" ->
+      s"""WITH padded_docs AS (
+         |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS padded,
+         |    string_split(text, ' ') AS t
+         |  FROM documents
+         |), $langGuessSql, q AS (
+         |  SELECT doc_id, lang, lang_guess,
+         |    CAST(len(list_filter(t, x -> x IN ($swInList))) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS sw,
+         |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS mtl,
+         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS pr
+         |  FROM guessed
+         |)
+         |SELECT doc_id, lang, lang_guess, round(sw, 6) AS stopword_ratio,
+         |  round(mtl, 6) AS mean_tok_len,
+         |  round(least(1.0, greatest(0.0,
+         |    0.4 * least(sw * 5.0, 1.0) + 0.4 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         |    + 0.2 * (1.0 - least(pr * 10.0, 1.0)))), 6) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t7_slice_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  )
+}
