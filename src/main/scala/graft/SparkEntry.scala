@@ -14,7 +14,8 @@ object SparkEntry {
     Relational,
     WindowsAndEvents,
     ScalarFuncs,
-    TextDedup
+    TextDedup,
+    Embeddings
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

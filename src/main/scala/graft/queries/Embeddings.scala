@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.VectorCentroid
+
+/** Similarity search over the `embeddings` table (SURVEY.md §3.11 T5/T6 +
+  * north-star ANN): brute-force cosine top-k as the correctness baseline,
+  * sign-LSH bucketing and IVF-style coarse partitioning as the scale paths,
+  * and per-label centroids both decimal-exact (oracle-gated) and via the
+  * typed [[graft.operators.VectorCentroid]] Aggregator (A7).
+  *
+  * Scale design:
+  *   - the probe set is always a small filtered side and is broadcast —
+  *     the corpus never shuffles for search queries;
+  *   - brute force is O(probes × corpus) and exists as the quality baseline;
+  *     v2 (LSH) and v5 (IVF) restrict candidates to one bucket/partition, the
+  *     100 TB shape (bucket/partition pruning on the corpus side);
+  *   - dot products run inside whole-stage codegen via higher-order
+  *     functions ([[graft.functions.VectorFunctions]]) — no UDF boundary;
+  *   - cosines are rounded to 6 decimals BEFORE ranking, with vec_id
+  *     tiebreaks, so top-k is deterministic and engine-portable.
+  */
+object Embeddings extends QueryPack {
+
+  private val dims = 64
+
+  /** vec_id, emb (double[]) view of the corpus. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"), col("label"))
+
+  private def roundedCos(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Deterministic probe subset: every 100th vector. */
+  private def probes(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+
+  /** DuckDB cosine over CAST(embedding AS DOUBLE[]) columns. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V1: brute-force top-10 cosine neighbors for each probe (baseline).
+    "v1_knn_brute" -> { (s, d) =>
+      val c = corpus(s, d)
+      val scored = broadcast(probes(c))
+        .join(c, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), roundedCos(col("qe"), col("emb")).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .orderBy("qid", "rn")
+    },
+
+    // V2: LSH-bucketed ANN — candidates share the probe's 4-bit sign bucket
+    // (axis-aligned random-hyperplane LSH), so the corpus side is pruned to
+    // ~1/16 before any dot product. Approximate by construction.
+    "v2_ann_lsh" -> { (s, d) =>
+      val c = corpus(s, d).withColumn("bucket", signBucket(col("emb"), 4))
+      val q = broadcast(
+        probes(c.drop("bucket"))
+          .withColumn("qbucket", signBucket(col("qe"), 4)))
+      val scored = q
+        .join(c, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), roundedCos(col("qe"), col("emb")).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // V3: nearest-neighbor edge per sampled probe (every 4th vector) — the
+    // NN-graph building block for embedding near-dup clustering.
+    "v3_nn_graph" -> { (s, d) =>
+      val c = corpus(s, d)
+      val q = broadcast(
+        c.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("qid"), col("emb").as("qe")))
+      val scored = q.join(c, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), roundedCos(col("qe"), col("emb")).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("cos_sim"))
+        .orderBy("qid")
+    },
+
+    // V4: per-label centroid, decimal-exact (order-independent sums → hash
+    // parity with the oracle). One row per (label, dim).
+    "v4_label_centroid" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(round(
+          sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+            count(lit(1)), 6).as("centroid"))
+        .orderBy("label", "dim")
+    },
+
+    // V4b: same centroids via the typed Aggregator (fast path; rows-only
+    // check — double partial-sum order is run-dependent in the last bits).
+    "v4_centroid_agg" -> { (s, d) =>
+      val agg = udaf(new VectorCentroid(dims))
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(agg(col("embedding")).as("c"))
+        .select(col("label"),
+          array_join(transform(col("c"), v => format_number(v, 4)), ",").as("centroid_sig"))
+        .orderBy("label")
+    },
+
+    // V5: IVF-style search — assign each probe to its nearest label centroid
+    // (coarse quantizer), then search ONLY that label's partition. At scale
+    // the corpus is partitioned by list id, so the probe touches one
+    // partition instead of the full corpus.
+    "v5_ivf_topk" -> { (s, d) =>
+      val cents = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cemb"))
+        .select(col("label").as("clabel"), col("cemb"))
+      val c = corpus(s, d)
+      val q = probes(c)
+      val wAssign = Window.partitionBy(col("qid"))
+        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("clabel").asc)
+      val assigned = q.crossJoin(broadcast(cents))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("qid"), col("qe"), col("clabel"))
+      val scored = broadcast(assigned)
+        .join(c, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("clabel").as("probe_label"), col("vec_id"),
+          roundedCos(col("qe"), col("emb")).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v1_knn_brute" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
+         |sc AS (
+         |  SELECT qid, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
+         |  FROM q, v WHERE vec_id != qid
+         |)
+         |SELECT qid, vec_id, cos_sim, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "v2_ann_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe, bucket AS qbucket FROM v WHERE vec_id % 100 = 0),
+         |sc AS (
+         |  SELECT qid, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
+         |  FROM q JOIN v ON bucket = qbucket AND vec_id != qid
+         |)
+         |SELECT qid, vec_id, cos_sim, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "v3_nn_graph" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 4 = 0),
+         |sc AS (
+         |  SELECT qid, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
+         |  FROM q, v WHERE vec_id != qid
+         |)
+         |SELECT qid, vec_id AS nn_id, cos_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    "v4_label_centroid" ->
+      """SELECT label, dim,
+        |  round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS centroid
+        |FROM (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+        |  FROM embeddings
+        |) GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "v5_ivf_topk" ->
+      s"""WITH cdim AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM (
+         |    SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v FROM embeddings
+         |  ) GROUP BY label, dim
+         |), cent AS (
+         |  SELECT label AS clabel, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY label
+         |),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT qid, qe, clabel FROM (
+         |    SELECT qid, qe, clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, clabel ASC) AS arn
+         |    FROM q, cent
+         |  ) WHERE arn = 1
+         |),
+         |sc AS (
+         |  SELECT qid, clabel AS probe_label, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
+         |  FROM assigned a JOIN v ON v.label = a.clabel AND v.vec_id != a.qid
+         |)
+         |SELECT qid, probe_label, vec_id, cos_sim, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  )
+}
