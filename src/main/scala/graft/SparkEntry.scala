@@ -15,7 +15,8 @@ object SparkEntry {
     WindowsAndEvents,
     ScalarFuncs,
     TextDedup,
-    Embeddings
+    Embeddings,
+    Graph
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

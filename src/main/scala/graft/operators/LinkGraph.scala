@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analysis over a directed edge DataFrame `(src, dst)` — the
+  * Spark-native form of the reference's pages/links adjacency model
+  * (`src/tropology/db.clj` network + degree queries, public repo; see
+  * SURVEY.md §3.9).
+  *
+  * The reference kept both-direction B-tree indexes on the edge table; here
+  * the same locality comes from shuffling on the join key — each operation
+  * is a keyed join/agg that Catalyst plans with hash exchanges, and at
+  * 100 TB the edge table would be bucketed by `src` (plus a `dst`-bucketed
+  * copy for reverse scans) so these joins become shuffle-free.
+  *
+  * Iterative algorithms (k-hop, PageRank, label propagation) are
+  * driver-side loops over DataFrames. Each iteration extends the lineage;
+  * `localCheckpoint` every `checkpointEvery` iterations truncates it so
+  * plans don't grow unboundedly (SURVEY.md §5 watch-list item).
+  *
+  * PageRank uses fixed-point integer arithmetic (ranks scaled by `scale`,
+  * integer division everywhere) — deterministic regardless of partition
+  * order and bit-identical across engines, unlike double sums. For display,
+  * divide by `scale` at the end.
+  */
+class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 2) {
+
+  /** Undirected view: every edge plus its reverse, deduplicated. */
+  lazy val symmetrized: LinkGraph = {
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    new LinkGraph(edges.select("src", "dst").union(rev).distinct(), checkpointEvery)
+  }
+
+  /** Distinct node ids appearing at either end of an edge. */
+  def nodeIds: DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+
+  def outDegrees: DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+
+  def inDegrees: DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+
+  /** Nodes at minimum distance 1..k from `sources` (a DataFrame with an
+    * `id` column), as `(id, dist)`. Sources themselves are dist 0 and
+    * excluded from the result. BFS by repeated join + anti-join.
+    */
+  def kHop(sources: DataFrame, k: Int): DataFrame = {
+    var visited  = sources.select(col("id")).distinct().withColumn("dist", lit(0))
+    var frontier = visited.select("id")
+    for (i <- 1 to k) {
+      val next = edges.join(frontier, edges("src") === frontier("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id").withColumnRenamed("id", "vid"),
+          col("id") === col("vid"), "left_anti")
+        .withColumn("dist", lit(i))
+      visited = visited.union(next)
+      frontier = next.select("id")
+      if (i % checkpointEvery == 0 && i < k) {
+        visited = visited.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+      }
+    }
+    visited.filter(col("dist") > 0)
+  }
+
+  /** Fixed-point PageRank: `iters` rounds of
+    * `r'(v) = (15*scale + 85 * Σ_{u→v} (r(u) DIV deg_out(u))) DIV 100`,
+    * ranks starting at `scale`. All arithmetic is integer → deterministic.
+    * Nodes must all have out-degree ≥ 1 (true for symmetrized graphs).
+    */
+  def pageRankFixed(iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val deg = outDegrees
+    var ranks = nodeIds.withColumn("rank", lit(scale))
+    for (i <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(deg.withColumnRenamed("id", "did"), col("src") === col("did"))
+        .select(col("dst").as("id"), expr("rank DIV out_deg").as("c"))
+        .groupBy("id")
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = nodeIds
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          expr(s"(15 * ${scale}L + 85 * coalesce(in_sum, 0L)) DIV 100").as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** `iters` rounds of minimum-label propagation (connected-components
+    * building block): every node adopts the smallest label among itself and
+    * its in-neighbors. With a symmetrized graph and enough rounds this
+    * converges to per-component minima; a fixed `iters` gives a
+    * deterministic partial labeling (oracle-comparable).
+    */
+  def labelPropagation(iters: Int): DataFrame = {
+    var labels = nodeIds.withColumn("lbl", col("id"))
+    for (i <- 1 to iters) {
+      val fromNbrs = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("lbl")).as("nbr_lbl"))
+      labels = labels
+        .join(fromNbrs, col("id") === col("nid"), "left_outer")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      if (i % checkpointEvery == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+}

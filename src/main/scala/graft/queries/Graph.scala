@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.LinkGraph
+
+/** Graph operators G1–G6 (SURVEY.md §3.9) — the reference's signature
+  * capability (neighborhood expansion, degree maintenance, common
+  * neighbors: `src/tropology/db.clj` / `api.clj`, public repo), re-expressed
+  * over a bipartite order↔part graph derived from `lineitem`
+  * (`from = l_orderkey, to = l_partkey`).
+  *
+  * Scale notes:
+  *   - degree tables are single hash aggregations (map-side partials);
+  *   - neighborhood / induced-subgraph are semi-joins against a small,
+  *     broadcastable node set — the fact side never shuffles;
+  *   - common-neighbor pairing joins the edge list to itself on the shared
+  *     endpoint: Σ deg² intermediate rows. At 100 TB the standard guard is
+  *     capping/hashing hub nodes (celebrity problem) before the pair join —
+  *     here hub degree is bounded (~30 at sf0.1), so the plain join is the
+  *     right plan and AQE handles residual skew;
+  *   - iterative ops (BFS, PageRank, label propagation) live in
+  *     [[graft.operators.LinkGraph]] with lineage checkpointing; the
+  *     PageRank uses fixed-point integer arithmetic so results are exact,
+  *     order-independent, and oracle-comparable.
+  */
+object Graph extends QueryPack {
+
+  /** Distinct order→part edges. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+
+  /** Symmetrized string-id graph: o<key> ↔ p<key>. */
+  private def symGraph(s: SparkSession, d: String): LinkGraph = {
+    val e = edges(s, d).select(
+      concat(lit("o"), col("o").cast("string")).as("src"),
+      concat(lit("p"), col("p").cast("string")).as("dst"))
+    new LinkGraph(e).symmetrized
+  }
+
+  private val edgesSql =
+    "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem"
+
+  private val symEdgesSql =
+    """SELECT 'o' || CAST(o AS VARCHAR) AS src, 'p' || CAST(p AS VARCHAR) AS dst FROM e
+      |  UNION
+      |  SELECT 'p' || CAST(p AS VARCHAR), 'o' || CAST(o AS VARCHAR) FROM e""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1+O1: 1-hop neighborhood of the hub order (most distinct parts),
+    // neighbors resolved to part rows and ranked by their in-degree —
+    // the reference's network-view shape (top-k neighbors by `incoming`).
+    "g1_neighborhood" -> { (s, d) =>
+      val e = edges(s, d)
+      val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("o").asc)))
+        .filter(col("rn") === 1)
+        .select(col("o").as("hub_o"))
+      val indeg = e.groupBy(col("p")).agg(count(lit(1)).as("part_indeg"))
+      e.join(broadcast(hub), col("o") === col("hub_o"))
+        .join(indeg, Seq("p"))
+        .join(Tables.part(s, d), col("p") === col("p_partkey"))
+        .select(col("hub_o"), col("p_partkey"), col("p_name"), col("part_indeg"))
+        .orderBy(col("part_indeg").desc, col("p_partkey").asc)
+        .limit(10)
+    },
+
+    // G2/J2: induced subgraph — edges with BOTH endpoints in chosen node
+    // sets (double semi-join; both set sides broadcastable).
+    "g2_induced_subgraph" -> { (s, d) =>
+      val oSet = Tables.orders(s, d).filter(col("o_custkey") <= 5).select(col("o_orderkey"))
+      val pSet = Tables.part(s, d).filter(col("p_size") >= 40).select(col("p_partkey"))
+      edges(s, d)
+        .join(oSet, col("o") === col("o_orderkey"), "left_semi")
+        .join(pSet, col("p") === col("p_partkey"), "left_semi")
+        .orderBy("o", "p")
+    },
+
+    // G3/A1: degree computation — the reference's incoming/outgoing
+    // maintenance as one hash agg over raw edge occurrences.
+    "g3_degrees" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("indeg"), countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("indeg").desc, col("l_partkey").asc)
+        .limit(100)
+    },
+
+    // G4/J3: common-neighbor pairs — order pairs sharing ≥2 parts, top 20.
+    "g4_common_neighbors" -> { (s, d) =>
+      val e1 = edges(s, d).toDF("o1", "p1")
+      val e2 = edges(s, d).toDF("o2", "p2")
+      e1.join(e2, col("p1") === col("p2") && col("o1") < col("o2"))
+        .groupBy(col("o1"), col("o2"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 2)
+        .orderBy(col("n_common").desc, col("o1").asc, col("o2").asc)
+        .limit(20)
+    },
+
+    // G5: deterministic "random" node pick — md5-ordered instead of an
+    // unseeded rand() (portable; same shape as ORDER BY random() LIMIT 1).
+    "g5_random_pick" -> { (s, d) =>
+      Tables.part(s, d)
+        .orderBy(md5(col("p_partkey").cast("string")))
+        .limit(1)
+        .select("p_partkey", "p_name")
+    },
+
+    // G6a: BFS — node counts at distance 1..3 from the smallest order node.
+    "g6_khop" -> { (s, d) =>
+      val g = symGraph(s, d)
+      val src = Tables.lineitem(s, d)
+        .agg(min(col("l_orderkey")).as("k"))
+        .select(concat(lit("o"), col("k").cast("string")).as("id"))
+      g.kHop(src, 3)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+
+    // G6b: fixed-point PageRank, 3 iterations, top 20 nodes.
+    "g6_pagerank" -> { (s, d) =>
+      symGraph(s, d).pageRankFixed(3)
+        .orderBy(col("rank").desc, col("id").asc)
+        .limit(20)
+    },
+
+    // G6c: 3 rounds of min-label propagation (connected-components step),
+    // top 20 labels by membership.
+    "g6_labelprop" -> { (s, d) =>
+      symGraph(s, d).labelPropagation(3)
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("lbl").asc)
+        .limit(20)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_neighborhood" ->
+      s"""WITH e AS ($edgesSql),
+         |hub AS (
+         |  SELECT o AS hub_o FROM (
+         |    SELECT o, COUNT(*) AS n, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o ASC) AS rn
+         |    FROM e GROUP BY o
+         |  ) WHERE rn = 1
+         |),
+         |indeg AS (SELECT p, COUNT(*) AS part_indeg FROM e GROUP BY p)
+         |SELECT hub.hub_o, p_partkey, p_name, part_indeg
+         |FROM e JOIN hub ON e.o = hub.hub_o
+         |JOIN indeg ON indeg.p = e.p
+         |JOIN part ON p_partkey = e.p
+         |ORDER BY part_indeg DESC, p_partkey ASC LIMIT 10""".stripMargin,
+
+    "g2_induced_subgraph" ->
+      s"""WITH e AS ($edgesSql)
+         |SELECT o, p FROM e
+         |WHERE o IN (SELECT o_orderkey FROM orders WHERE o_custkey <= 5)
+         |  AND p IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+         |ORDER BY o, p""".stripMargin,
+
+    "g3_degrees" ->
+      """SELECT l_partkey, COUNT(*) AS indeg, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY indeg DESC, l_partkey ASC LIMIT 100""".stripMargin,
+
+    "g4_common_neighbors" ->
+      s"""WITH e AS ($edgesSql)
+         |SELECT a.o AS o1, b.o AS o2, COUNT(*) AS n_common
+         |FROM e a JOIN e b ON a.p = b.p AND a.o < b.o
+         |GROUP BY a.o, b.o HAVING COUNT(*) >= 2
+         |ORDER BY n_common DESC, o1 ASC, o2 ASC LIMIT 20""".stripMargin,
+
+    "g5_random_pick" ->
+      "SELECT p_partkey, p_name FROM part ORDER BY md5(CAST(p_partkey AS VARCHAR)) LIMIT 1",
+
+    "g6_khop" ->
+      s"""WITH e AS ($edgesSql),
+         |edges AS (
+         |  $symEdgesSql
+         |),
+         |n0 AS (SELECT 'o' || CAST(MIN(l_orderkey) AS VARCHAR) AS id FROM lineitem),
+         |d1 AS (
+         |  SELECT DISTINCT dst AS id FROM edges JOIN n0 ON edges.src = n0.id
+         |),
+         |d2 AS (
+         |  SELECT DISTINCT dst AS id FROM edges JOIN d1 ON edges.src = d1.id
+         |  WHERE dst NOT IN (SELECT id FROM n0) AND dst NOT IN (SELECT id FROM d1)
+         |),
+         |d3 AS (
+         |  SELECT DISTINCT dst AS id FROM edges JOIN d2 ON edges.src = d2.id
+         |  WHERE dst NOT IN (SELECT id FROM n0) AND dst NOT IN (SELECT id FROM d1)
+         |    AND dst NOT IN (SELECT id FROM d2)
+         |)
+         |SELECT * FROM (
+         |  SELECT 1 AS dist, COUNT(*) AS n_nodes FROM d1
+         |  UNION ALL SELECT 2, COUNT(*) FROM d2
+         |  UNION ALL SELECT 3, COUNT(*) FROM d3
+         |) ORDER BY dist""".stripMargin,
+
+    "g6_pagerank" -> {
+      val scale = "1000000000000"
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.id, CAST((15 * $scale + 85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM($prev.rank // deg.d) AS c
+           |    FROM edges e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.id = e.src
+           |    GROUP BY e.dst
+           |  ) s ON s.id = n.id
+           |)""".stripMargin
+      s"""WITH e AS ($edgesSql),
+         |edges AS (
+         |  $symEdgesSql
+         |),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT id, CAST($scale AS BIGINT) AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id, rank FROM r3 ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin
+    },
+
+    "g6_labelprop" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT l.id, least(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+           |  FROM $prev l LEFT JOIN (
+           |    SELECT e.dst AS id, MIN($prev.lbl) AS nl
+           |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
+           |  ) m ON m.id = l.id
+           |)""".stripMargin
+      s"""WITH e AS ($edgesSql),
+         |edges AS (
+         |  $symEdgesSql
+         |),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |l0 AS (SELECT id, id AS lbl FROM nodes),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT lbl, COUNT(*) AS n_members FROM l3
+         |GROUP BY lbl ORDER BY n_members DESC, lbl ASC LIMIT 20""".stripMargin
+    }
+  )
+}
