@@ -16,7 +16,8 @@ object SparkEntry {
     ScalarFuncs,
     TextDedup,
     Embeddings,
-    Graph
+    Graph,
+    Etl
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Merge
+
+/** Ingest/ETL operators (SURVEY.md §3.1 S2/S4/S5, §3.8 F8, §3.4 A6) — the
+  * reference's crawl pipeline shapes (`src/tropology/parsing.clj` link
+  * extraction, `db.clj` upsert + edge replace, `api.clj` payload
+  * assembly; public repo) re-expressed as declarative DataFrame plans.
+  */
+object Etl extends QueryPack {
+
+  /** Synthetic wiki-ish HTML per document: two pmwiki links built from the
+    * doc's first tokens (one Main, one Film namespace), a duplicate of the
+    * first link, and an external link that must be ignored by the parser.
+    * Deterministic and reproducible in SQL for the oracle.
+    */
+  private def htmlCol = {
+    val t = split(col("text"), " ")
+    concat(
+      lit("""<p><a href="/pmwiki.php/Main/"""), element_at(t, 1), lit("""">l1</a>"""),
+      lit(""" <a href="/pmwiki.php/Film/"""), element_at(t, 2), lit("""">l2</a>"""),
+      lit(""" <a href="/pmwiki.php/Main/"""), element_at(t, 1), lit("""">dup</a>"""),
+      lit(""" <a href="http://example.com/x">ext</a></p>"""))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2: HTML→links parse — regexp extraction of pmwiki codes, one row per
+    // extracted link (flatMap shape), lowercased + deduped per doc.
+    "s2_parse_links" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("html", htmlCol)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            regexp_extract_all(col("html"), lit("pmwiki\\.php/([A-Za-z]+/[a-z0-9]+)"), lit(1)),
+            c => lower(c)))).as("code"))
+        .orderBy("doc_id", "code")
+    },
+
+    // S4: upsert — 50 balance updates + 3 brand-new rows merged into
+    // customer via full-outer + coalesce (Merge operator).
+    "s4_merge_upsert" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val cols = cust.columns.map(col).toSeq
+      val updated = cust.filter(col("c_custkey") <= 50)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .select(cols: _*)
+      val inserted = cust.filter(col("c_custkey") <= 3)
+        .withColumn("c_custkey", col("c_custkey") + 900000L)
+        .withColumn("c_name", concat(lit("NEW_"), col("c_name")))
+        .select(cols: _*)
+      Merge.upsert(cust, updated.union(inserted), "c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // S5: edge replace — drop all edges of one source node (the smallest
+    // order), insert a new edge set (anti-filter + union, the Parquet
+    // overwrite-partition shape). Single-row audit output.
+    "s5_edge_replace" -> { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val xDf = Tables.lineitem(s, d).agg(min(col("l_orderkey")).as("x"))
+      val kept = e.crossJoin(broadcast(xDf)).filter(col("o") =!= col("x")).select("o", "p")
+      val newE = Tables.part(s, d).filter(col("p_partkey") <= 5)
+        .crossJoin(broadcast(xDf))
+        .select(col("x").as("o"), col("p_partkey").as("p"))
+      val result = kept.union(newE)
+      val nBefore = e.agg(count(lit(1)).as("n_before"))
+      val nAfter  = result.agg(count(lit(1)).as("n_after"))
+      val xParts  = result.crossJoin(broadcast(xDf)).filter(col("o") === col("x"))
+        .agg(array_join(transform(array_sort(collect_list(col("p"))),
+          c => c.cast("string")), ",").as("x_parts"))
+      nBefore.crossJoin(nAfter).crossJoin(xParts)
+    },
+
+    // F8: map functions over the parsed JSON props column.
+    "f8_map" -> { (s, d) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
+      Tables.events(s, d)
+        .withColumn("m", m)
+        .select(
+          col("event_id"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_str"),
+          size(col("m")).as("n_keys"),
+          element_at(col("m"), "k").as("k_val"),
+          size(map_concat(col("m"), map(lit("extra"), lit(1)))).as("merged_n"))
+        .orderBy("event_id")
+        .limit(200)
+    },
+
+    // A6: nested payload assembly — the reference's {nodes[…]} JSON shape:
+    // per nation, the sorted supplier roster and customer segment set
+    // (collect_list / collect_set), stringified for stable comparison.
+    "a6_collect" -> { (s, d) =>
+      val sup = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"),
+          count(lit(1)).as("n_suppliers"))
+      val cus = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"))
+      Tables.nation(s, d)
+        .join(sup, col("n_nationkey") === col("s_nationkey"), "left_outer")
+        .join(cus, col("n_nationkey") === col("c_nationkey"), "left_outer")
+        .select(col("n_name"),
+          coalesce(col("suppliers"), lit("")).as("suppliers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("segments"), lit("")).as("segments"))
+        .orderBy("n_name")
+    }
+  )
+
+  private val htmlSql =
+    """'<p><a href="/pmwiki.php/Main/' || t[1] || '">l1</a>' ||
+      |    ' <a href="/pmwiki.php/Film/' || t[2] || '">l2</a>' ||
+      |    ' <a href="/pmwiki.php/Main/' || t[1] || '">dup</a>' ||
+      |    ' <a href="http://example.com/x">ext</a></p>'""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s2_parse_links" ->
+      s"""WITH withhtml AS (
+         |  SELECT doc_id, $htmlSql AS html
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |)
+         |SELECT doc_id, code FROM (
+         |  SELECT DISTINCT doc_id,
+         |    lower(unnest(regexp_extract_all(html, 'pmwiki\\.php/([A-Za-z]+/[a-z0-9]+)', 1))) AS code
+         |  FROM withhtml
+         |) ORDER BY doc_id, code""".stripMargin,
+
+    "s4_merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 50
+        |  UNION ALL
+        |  SELECT c_custkey + 900000, 'NEW_' || c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 3
+        |)
+        |SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+        |  COALESCE(n.c_name, o.c_name) AS c_name,
+        |  COALESCE(n.c_nationkey, o.c_nationkey) AS c_nationkey,
+        |  COALESCE(n.c_acctbal, o.c_acctbal) AS c_acctbal,
+        |  COALESCE(n.c_mktsegment, o.c_mktsegment) AS c_mktsegment
+        |FROM customer o FULL JOIN updates n ON o.c_custkey = n.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "s5_edge_replace" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |x AS (SELECT MIN(l_orderkey) AS x FROM lineitem),
+        |kept AS (SELECT o, p FROM e WHERE o != (SELECT x FROM x)),
+        |newe AS (SELECT (SELECT x FROM x) AS o, p_partkey AS p FROM part WHERE p_partkey <= 5),
+        |result AS (SELECT * FROM kept UNION ALL SELECT * FROM newe)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_before,
+        |  (SELECT COUNT(*) FROM result) AS n_after,
+        |  (SELECT array_to_string(list_transform(list_sort(list(p)), y -> CAST(y AS VARCHAR)), ',')
+        |     FROM result WHERE o = (SELECT x FROM x)) AS x_parts""".stripMargin,
+
+    "f8_map" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_str,
+        |  len(json_keys(props)) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  len(json_keys(props)) + 1 AS merged_n
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "a6_collect" ->
+      """WITH sup AS (
+        |  SELECT s_nationkey, array_to_string(list_sort(list(s_name)), ',') AS suppliers,
+        |    COUNT(*) AS n_suppliers
+        |  FROM supplier GROUP BY s_nationkey
+        |), cus AS (
+        |  SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+        |  FROM customer GROUP BY c_nationkey
+        |)
+        |SELECT n_name, COALESCE(suppliers, '') AS suppliers,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers,
+        |  COALESCE(segments, '') AS segments
+        |FROM nation LEFT JOIN sup ON n_nationkey = s_nationkey
+        |LEFT JOIN cus ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin
+  )
+}
