@@ -99,6 +99,27 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id", "session_start")
     },
 
+    // ST5 (batch shape): dedup by event_id — input doubled so the dedup
+    // provably halves it; streaming form is dropDuplicatesWithinWatermark
+    // (graft.streaming.StreamOps.dedupEvents, asserted in StreamingSpec).
+    "st5_dedup" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val doubled = e.union(e)
+      doubled.agg(count(lit(1)).as("n_total"))
+        .crossJoin(doubled.dropDuplicates("event_id").agg(count(lit(1)).as("n_unique")))
+    },
+
+    // ST6 (batch shape): stream-static enrichment — events joined to the
+    // customer dimension (broadcast), aggregated per segment.
+    "st6_stream_static" -> { (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"), "left_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total_value"))
+        .orderBy("segment")
+    },
+
     // J6: as-of join — each event gets the user's most recent prior order.
     "j6_asof_join" -> { (s, d) =>
       AsOfJoin.asOf(
@@ -176,6 +197,16 @@ object WindowsAndEvents extends QueryPack {
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM grouped GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st5_dedup" ->
+      """SELECT (SELECT COUNT(*) FROM (SELECT * FROM events UNION ALL SELECT * FROM events)) AS n_total,
+        |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_unique""".stripMargin,
+
+    "st6_stream_static" ->
+      """SELECT COALESCE(c_mktsegment, '<none>') AS segment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     "j6_asof_join" ->
       """WITH r AS (

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators ST1–ST7 (SURVEY.md §3.10).
+  *
+  * The reference's only "streaming" is a polling crawl loop with time-based
+  * scheduling (`src/tropology/core.clj` + the crawl-queue scan, public
+  * repo); these are the north-star re-expressions over an unbounded
+  * `events` stream. Every transform here takes a STREAMING DataFrame
+  * (`spark.readStream...`) and is also valid on a batch frame with
+  * identical semantics minus the watermark — which is how the batch-shape
+  * variants in [[graft.queries.WindowsAndEvents]] are oracle-checked, while
+  * the streaming behaviors (watermark dropping, state, sinks) are asserted
+  * in StreamingSpec with MemoryStream fixtures.
+  *
+  * Scale notes: state stores are keyed by (group key) and partitioned by
+  * the shuffle on that key; watermarks bound state size (ST3) — without
+  * them session/window state grows without limit at 100 TB/day ingest.
+  */
+object StreamOps {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** ST1: watermarked tumbling windows per event type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+      win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
+  /** ST1b: sliding windows. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+      win: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+
+  /** ST2: session windows per user (gap-based). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** ST5: within-watermark dedup by event id. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** ST6: stream-static enrichment join (static side broadcast per batch). */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers), col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+
+  // ---- ST4: stateful per-key logic (the crawl-state analogue) ----
+
+  /** Typed event row (matches the events table minus props). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user crawl-style state: visit count, accumulated value, error
+    * streak (consecutive `error` events — the `times_failed` analogue from
+    * the reference's pages table).
+    */
+  case class UserState(nEvents: Long, totalValue: Double, errorStreak: Int)
+
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
+      error_streak: Int)
+
+  /** ST4: mapGroupsWithState — emits the updated per-user aggregate on
+    * every micro-batch; state persists across batches in the state store.
+    */
+  def userRunningState(events: Dataset[Event]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, 0.0, 0))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            st = UserState(
+              st.nEvents + 1,
+              st.totalValue + e.value,
+              if (e.event_type == "error") st.errorStreak + 1 else 0)
+          }
+          state.update(st)
+          UserUpdate(uid, st.nEvents, st.totalValue, st.errorStreak)
+      }
+  }
+
+  /** ST7: foreachBatch parquet-append sink — the merge-style sink pattern
+    * (each micro-batch lands atomically via the file sink protocol; for
+    * true upsert semantics the batch would go through
+    * [[graft.operators.Merge.upsert]] against the target snapshot).
+    */
+  def parquetAppendSink(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** Streaming source over the events parquet (ST8-of-sorts: file stream
+    * source with the same schema as the batch accessor).
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.Tables.events(s, dir).schema
+    // File-stream source reads the raw parquet (ts as long nanos per the
+    // legacy conf), then truncates to µs timestamps like the batch path.
+    // The table is a single file; the file-stream source wants a directory,
+    // so stream the sf dir with a glob restricted to the events table.
+    val raw = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        schema.map(f => if (f.name == "ts")
+          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}

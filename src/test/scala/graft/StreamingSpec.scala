@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured Streaming behavior tests (SURVEY.md §6.5): watermark
+  * drop/keep semantics, within-watermark dedup, stateful per-key logic,
+  * session windows, and the foreachBatch file sink — all over MemoryStream
+  * replays with controlled event-time order and injected late rows.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private def ev(id: Long, t: String, uid: Long = 1L, typ: String = "view",
+      v: Double = 1.0): Event = Event(id, ts(t), uid, typ, v)
+
+  test("ST1+ST3: tumbling window emits closed windows and drops late rows past the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(ms.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("append").start()
+    try {
+      // Two events in [10:00,11:00), one at 11:10 to pull the watermark to 11:00.
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"), ev(2, "2024-01-01T10:30:00Z"),
+        ev(3, "2024-01-01T11:10:00Z"))
+      q.processAllAvailable()
+      // Watermark advances on the NEXT batch; push it past 11:00.
+      ms.addData(ev(4, "2024-01-01T12:30:00Z"))
+      q.processAllAvailable()
+      val closed = spark.table("tumbling_test")
+        .select(col("ws").cast("string"), col("n")).as[(String, Long)].collect().toMap
+      assert(closed("2024-01-01 10:00:00") === 2L)
+      // A late row behind the watermark (12:20) must be DROPPED: the closed
+      // window's count must not change and no new 10:00 row may appear.
+      ms.addData(ev(5, "2024-01-01T10:15:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(6, "2024-01-01T14:30:00Z")) // advance again to flush
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .filter(col("ws").cast("string") === "2024-01-01 10:00:00")
+        .select("n").as[Long].collect()
+      assert(rows.toSeq === Seq(2L), "late event must not reopen or re-emit the closed window")
+    } finally q.stop()
+  }
+
+  test("ST5: dropDuplicatesWithinWatermark keeps one row per event_id") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.dedupEvents(ms.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"), ev(1, "2024-01-01T10:00:00Z"),
+        ev(2, "2024-01-01T10:01:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(1, "2024-01-01T10:02:00Z")) // dup within watermark → dropped
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("ST4: mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.userRunningState(ms.toDS())
+      .writeStream.format("memory").queryName("state_test").outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01T10:00:00Z", uid = 7, typ = "view", v = 2.0),
+        ev(2, "2024-01-01T10:01:00Z", uid = 7, typ = "error", v = 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01T10:02:00Z", uid = 7, typ = "error", v = 3.0))
+      q.processAllAvailable()
+      val last = spark.table("state_test")
+        .filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).limit(1)
+        .select("n_events", "total_value", "error_streak")
+        .as[(Long, Double, Int)].head()
+      assert(last === ((3L, 6.0, 2)))
+    } finally q.stop()
+  }
+
+  test("ST2: session windows split on the gap and emit after the watermark passes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sessionStats(ms.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("session_test").outputMode("append").start()
+    try {
+      // user 1: 10:00 + 10:10 (one session), 11:30 (a second session).
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"), ev(2, "2024-01-01T10:10:00Z"),
+        ev(3, "2024-01-01T11:30:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01T15:00:00Z")) // advance watermark, close all prior
+      q.processAllAvailable()
+      val sessions = spark.table("session_test")
+        .filter(col("user_id") === 1)
+        .select(col("session_start").cast("string"), col("n_events"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      assert(sessions.length >= 2)
+      assert(sessions.head === (("2024-01-01 10:00:00", 2L)))
+      assert(sessions(1) === (("2024-01-01 11:30:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("ST6: stream-static join enriches events with the customer dimension") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = StreamOps.enrich(ms.toDF(), customers)
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01T10:00:00Z", uid = 1), ev(2, "2024-01-01T10:01:00Z", uid = 99))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .select("event_id", "c_mktsegment").as[(Long, Option[String])].collect().toMap
+      assert(got(1L) === Some("BUILDING"))
+      assert(got(2L) === None)
+    } finally q.stop()
+  }
+
+  test("ST7+S8: file-stream source through foreachBatch parquet sink lands every row") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft_sink_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val stream = StreamOps.eventsStream(spark, dir)
+    val q = StreamOps.parquetAppendSink(stream, out, ckpt)
+    q.awaitTermination()
+    val n = spark.read.parquet(out).count()
+    val expected = Tables.events(spark, dir).count()
+    assert(n === expected)
+  }
+}
