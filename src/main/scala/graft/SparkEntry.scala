@@ -17,7 +17,8 @@ object SparkEntry {
     TextDedup,
     Embeddings,
     Graph,
-    Etl
+    Etl,
+    Media
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

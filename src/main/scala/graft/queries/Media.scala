@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal pipeline queries (north-star): the binary-column plumbing of
+  * [[graft.multimodal.Multimodal]] driven end-to-end — media table build,
+  * per-partition batched decode, frame sampling — with the stub decoder's
+  * deterministic arithmetic mirrored in the DuckDB oracle.
+  */
+object Media extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MM1: decode features per media row (mapPartitions, typed Dataset out).
+    "mm1_media_features" -> { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // MM2: metadata-only summary per media type (at scale: column pruning
+    // means this never reads the binary column from parquet).
+    "mm2_type_summary" -> { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaTable(s, Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          countDistinct(col("fingerprint")).as("n_unique"))
+        .orderBy("media_type")
+    },
+
+    // MM3: deterministic frame sampling of video rows.
+    "mm3_frame_sample" -> { (s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.extractFeatures(
+          Multimodal.mediaTable(s, Tables.documents(s, d))))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  private val featuresSql =
+    """SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    md5(text) AS fingerprint,
+      |    CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
+      |    CAST(64 + (octet_length(encode(text)) * 7) % 1024 AS INT) AS height,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE octet_length(encode(text)) * 3 END AS BIGINT) AS duration_ms
+      |  FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "mm1_media_features" ->
+      s"""SELECT * FROM (
+         |  $featuresSql
+         |) ORDER BY doc_id""".stripMargin,
+
+    "mm2_type_summary" ->
+      s"""SELECT media_type, COUNT(*) AS n,
+         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         |  COUNT(DISTINCT fingerprint) AS n_unique
+         |FROM (
+         |  $featuresSql
+         |) GROUP BY media_type ORDER BY media_type""".stripMargin,
+
+    "mm3_frame_sample" ->
+      s"""WITH f AS (
+         |  $featuresSql
+         |)
+         |SELECT doc_id, CAST(unnest(range(1 + n_bytes % 3)) AS INT) AS frame_idx,
+         |  md5(fingerprint || '#' || CAST(unnest(range(1 + n_bytes % 3)) AS VARCHAR)) AS frame_hash
+         |FROM f WHERE media_type = 'video'
+         |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}
