@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.VectorCentroid
+
+/** Vector math sanity + dedup-pipeline invariants + centroid Aggregator
+  * cross-check against the decimal-exact SQL path.
+  */
+class VectorAndDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dot/cosine/l2 agree with plain Scala on sample vectors") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(-1.0, 0.5, 2.0)
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("d"), cosine(col("a"), col("b")).as("c"),
+        l2(col("a"), col("b")).as("e"))
+    val (d, c, e) = df.as[(Double, Double, Double)].head()
+    val expD = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(d === expD)
+    assert(math.abs(c - expD / (math.sqrt(14.0) * math.sqrt(5.25))) < 1e-12)
+    assert(math.abs(e - math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)) < 1e-12)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Tables.embeddings(spark, dir).limit(50)
+      .select(asDouble(col("embedding")).as("e"))
+      .select(abs(cosine(col("e"), col("e")) - 1.0).as("err"))
+    assert(df.agg(max("err")).as[Double].head() < 1e-12)
+  }
+
+  test("VectorCentroid Aggregator matches the decimal-exact centroid within 1e-9") {
+    val agg = udaf(new VectorCentroid(64))
+    val fast = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(agg(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("pos", "v")))
+    val exact = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .groupBy("label", "pos")
+      .agg((sum(col("ev").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
+        count(lit(1))).as("exact_v"))
+    val joined = fast.join(exact, Seq("label", "pos"))
+      .select(abs(col("v") - col("exact_v")).as("err"))
+    assert(joined.agg(max("err")).as[Double].head() < 1e-9)
+  }
+
+  test("minhash near-dup pairs are ordered, thresholded, and include known prefix dups") {
+    val pairs = graft.queries.TextDedup.queries("t4_minhash_neardup")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, j) => a < b && j >= 0.5 && j <= 1.0 })
+  }
+
+  test("exact dedup halves a doubled corpus") {
+    val out = graft.queries.TextDedup.queries("t3_exact_dedup")(spark, dir)
+    val n = Tables.documents(spark, dir).count()
+    assert(out.count() === n)
+    assert(out.agg(max("n_copies")).as[Long].head() === 2L)
+  }
+}
