@@ -4,12 +4,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session comes from GraftSession so the bench runs with the engine's
+    // real settings (AQE coalesce/skew, broadcast threshold, UTC).
+    val spark = GraftSession.local(cpus, "graft-bench")
+    // Warmup: absorb session/codegen/parquet-footer init so the first timed
+    // query isn't charged ~3s of one-off JVM cost.
+    try {
+      spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+      // Exercise the join/window/HOF/shuffle machinery once on tiny data so
+      // Janino/JIT infrastructure is compiled before timing starts.
+      val a = spark.range(1000L).selectExpr("id", "id % 13 AS k", "CAST(id AS STRING) AS s")
+      val b = spark.range(100L).selectExpr("id AS k2")
+      a.join(b, a("k") === b("k2"))
+        .selectExpr("k", "s",
+          "row_number() OVER (PARTITION BY k ORDER BY id) AS rn",
+          "aggregate(sequence(1, 5), 0L, (x, y) -> x + y) AS h",
+          "md5(s) AS m")
+        .groupBy("k").count().collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

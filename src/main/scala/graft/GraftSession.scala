@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   *     and match the DuckDB oracle.
   */
 object GraftSession {
+  def local(cores: String, appName: String): SparkSession =
+    local(cores.toInt, appName)
+
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   * order and bit-identical across engines, unlike double sums. For display,
   * divide by `scale` at the end.
   */
-class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 2) {
+class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
+
+  /** Materialize the edge table once (eager local checkpoint) so iterative
+    * algorithms and multi-use plans don't recompute the edge derivation
+    * (scan + symmetrize + distinct) on every reuse. On a cluster this is the
+    * role of a cached/bucketed edge table.
+    */
+  def materialized: LinkGraph = new LinkGraph(edges.localCheckpoint(), checkpointEvery)
 
   /** Undirected view: every edge plus its reverse, deduplicated. */
   lazy val symmetrized: LinkGraph = {
@@ -59,6 +66,8 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 2) {
       visited = visited.union(next)
       frontier = next.select("id")
       if (i % checkpointEvery == 0 && i < k) {
+        // Eager checkpoint: truncates lineage so iteration i+1 does not
+        // re-execute iterations 1..i (BFS is quadratic without this).
         visited = visited.localCheckpoint()
         frontier = frontier.localCheckpoint()
       }
@@ -72,16 +81,22 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 2) {
     * Nodes must all have out-degree ≥ 1 (true for symmetrized graphs).
     */
   def pageRankFixed(iters: Int, scale: Long = 1000000000000L): DataFrame = {
-    val deg = outDegrees
-    var ranks = nodeIds.withColumn("rank", lit(scale))
+    // Loop-invariant inputs materialize ONCE: the degree-annotated edge
+    // list and the node table are reused every iteration — without this
+    // each iteration re-runs the distinct/groupBy that derives them.
+    val nodes = nodeIds.localCheckpoint()
+    val e = edges
+      .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
-      val contrib = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .join(deg.withColumnRenamed("id", "did"), col("src") === col("did"))
+      val contrib = e
+        .join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank DIV out_deg").as("c"))
         .groupBy("id")
         .agg(sum(col("c")).as("in_sum"))
-      ranks = nodeIds
+      ranks = nodes
         .join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
           expr(s"(15 * ${scale}L + 85 * coalesce(in_sum, 0L)) DIV 100").as("rank"))
@@ -97,15 +112,18 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 2) {
     * deterministic partial labeling (oracle-comparable).
     */
   def labelPropagation(iters: Int): DataFrame = {
-    var labels = nodeIds.withColumn("lbl", col("id"))
+    val nodes = nodeIds.localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("id"))
     for (i <- 1 to iters) {
-      val fromNbrs = edges
+      // One shuffle per round: neighbor labels (edge join, broadcastable
+      // labels side) unioned with self labels, then a single min-agg —
+      // no separate join-back onto the node table.
+      val contribs = edges
         .join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("lbl")).as("nbr_lbl"))
-      labels = labels
-        .join(fromNbrs, col("id") === col("nid"), "left_outer")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(col("dst").as("nid"), col("lbl"))
+        .union(labels.select(col("id").as("nid"), col("lbl")))
+      labels = contribs.groupBy(col("nid").as("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("id"), col("lbl"))
       if (i % checkpointEvery == 0 && i < iters) labels = labels.localCheckpoint()
     }
     labels

@@ -29,17 +29,28 @@ object Embeddings extends QueryPack {
 
   private val dims = 64
 
-  /** vec_id, emb (double[]) view of the corpus. */
+  /** vec_id, emb (double[]) view of the corpus, with the L2 norm
+    * precomputed ONCE per row — a pairwise cosine then costs one dot
+    * product instead of three (the norms would otherwise be re-derived for
+    * every (probe, candidate) pair).
+    */
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", norm(col("emb")))
 
   private def roundedCos(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Pairwise cosine from precomputed norms (bitwise equal to the
+    * recompute-norms form — same inputs, same fold — so oracle parity holds).
+    */
+  private def pairCos: Column =
+    round(dot(col("qe"), col("emb")) / (col("qnrm") * col("nrm")), 6)
 
   /** Deterministic probe subset: every 100th vector. */
   private def probes(c: DataFrame): DataFrame =
     c.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm"))
 
   /** DuckDB cosine over CAST(embedding AS DOUBLE[]) columns. */
   private def cosSql(a: String, b: String): String =
@@ -51,7 +62,7 @@ object Embeddings extends QueryPack {
       val c = corpus(s, d)
       val scored = broadcast(probes(c))
         .join(c, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), roundedCos(col("qe"), col("emb")).as("cos_sim"))
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
@@ -68,7 +79,7 @@ object Embeddings extends QueryPack {
           .withColumn("qbucket", signBucket(col("qe"), 4)))
       val scored = q
         .join(c, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), roundedCos(col("qe"), col("emb")).as("cos_sim"))
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -81,9 +92,9 @@ object Embeddings extends QueryPack {
       val c = corpus(s, d)
       val q = broadcast(
         c.filter(col("vec_id") % 4 === 0)
-          .select(col("vec_id").as("qid"), col("emb").as("qe")))
+          .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm")))
       val scored = q.join(c, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), roundedCos(col("qe"), col("emb")).as("cos_sim"))
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -136,11 +147,11 @@ object Embeddings extends QueryPack {
       val assigned = q.crossJoin(broadcast(cents))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select(col("qid"), col("qe"), col("clabel"))
+        .select(col("qid"), col("qe"), col("qnrm"), col("clabel"))
       val scored = broadcast(assigned)
         .join(c, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("clabel").as("probe_label"), col("vec_id"),
-          roundedCos(col("qe"), col("emb")).as("cos_sim"))
+          pairCos.as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

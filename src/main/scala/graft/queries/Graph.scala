@@ -32,31 +32,44 @@ object Graph extends QueryPack {
   private def edges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
 
-  /** Symmetrized string-id graph: o<key> ↔ p<key>. */
+  /** Symmetrized graph with PACKED LONG node ids (order → 2k,
+    * part → 2k+1): numeric keys shuffle/compare far cheaper than strings
+    * at any scale; ids translate back to o<key>/p<key> only at output.
+    */
   private def symGraph(s: SparkSession, d: String): LinkGraph = {
     val e = edges(s, d).select(
-      concat(lit("o"), col("o").cast("string")).as("src"),
-      concat(lit("p"), col("p").cast("string")).as("dst"))
-    new LinkGraph(e).symmetrized
+      (col("o") * 2).as("src"),
+      (col("p") * 2 + 1).as("dst"))
+    new LinkGraph(e).symmetrized.materialized
   }
+
+  /** Display form of a packed node id. */
+  private val nodeName =
+    expr("CASE WHEN id % 2 = 0 THEN concat('o', CAST(id DIV 2 AS STRING)) " +
+      "ELSE concat('p', CAST(id DIV 2 AS STRING)) END")
 
   private val edgesSql =
     "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem"
 
   private val symEdgesSql =
-    """SELECT 'o' || CAST(o AS VARCHAR) AS src, 'p' || CAST(p AS VARCHAR) AS dst FROM e
+    """SELECT o * 2 AS src, p * 2 + 1 AS dst FROM e
       |  UNION
-      |  SELECT 'p' || CAST(p AS VARCHAR), 'o' || CAST(o AS VARCHAR) FROM e""".stripMargin
+      |  SELECT p * 2 + 1, o * 2 FROM e""".stripMargin
+
+  private val nodeNameSql =
+    "CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR) ELSE 'p' || CAST(id // 2 AS VARCHAR) END"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1+O1: 1-hop neighborhood of the hub order (most distinct parts),
     // neighbors resolved to part rows and ranked by their in-degree —
     // the reference's network-view shape (top-k neighbors by `incoming`).
     "g1_neighborhood" -> { (s, d) =>
-      val e = edges(s, d)
+      // Top-1 via orderBy+limit → TakeOrderedAndProject, not a global
+      // single-partition window (which would serialize the whole agg).
+      val e = edges(s, d).localCheckpoint()
       val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("o").asc)))
-        .filter(col("rn") === 1)
+        .orderBy(col("n").desc, col("o").asc)
+        .limit(1)
         .select(col("o").as("hub_o"))
       val indeg = e.groupBy(col("p")).agg(count(lit(1)).as("part_indeg"))
       e.join(broadcast(hub), col("o") === col("hub_o"))
@@ -114,7 +127,7 @@ object Graph extends QueryPack {
       val g = symGraph(s, d)
       val src = Tables.lineitem(s, d)
         .agg(min(col("l_orderkey")).as("k"))
-        .select(concat(lit("o"), col("k").cast("string")).as("id"))
+        .select((col("k") * 2).as("id"))
       g.kHop(src, 3)
         .groupBy(col("dist"))
         .agg(count(lit(1)).as("n_nodes"))
@@ -124,7 +137,8 @@ object Graph extends QueryPack {
     // G6b: fixed-point PageRank, 3 iterations, top 20 nodes.
     "g6_pagerank" -> { (s, d) =>
       symGraph(s, d).pageRankFixed(3)
-        .orderBy(col("rank").desc, col("id").asc)
+        .select(nodeName.as("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
     },
 
@@ -134,7 +148,9 @@ object Graph extends QueryPack {
       symGraph(s, d).labelPropagation(3)
         .groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_members"))
-        .orderBy(col("n_members").desc, col("lbl").asc)
+        .select(col("lbl").as("id"), col("n_members"))
+        .select(nodeName.as("component"), col("n_members"))
+        .orderBy(col("n_members").desc, col("component").asc)
         .limit(20)
     }
   )
@@ -182,7 +198,7 @@ object Graph extends QueryPack {
          |edges AS (
          |  $symEdgesSql
          |),
-         |n0 AS (SELECT 'o' || CAST(MIN(l_orderkey) AS VARCHAR) AS id FROM lineitem),
+         |n0 AS (SELECT MIN(l_orderkey) * 2 AS id FROM lineitem),
          |d1 AS (
          |  SELECT DISTINCT dst AS id FROM edges JOIN n0 ON edges.src = n0.id
          |),
@@ -222,7 +238,7 @@ object Graph extends QueryPack {
          |${iter("r0", "r1")},
          |${iter("r1", "r2")},
          |${iter("r2", "r3")}
-         |SELECT id, rank FROM r3 ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin
+         |SELECT $nodeNameSql AS node, rank FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
     },
 
     "g6_labelprop" -> {
@@ -243,8 +259,9 @@ object Graph extends QueryPack {
          |${round("l0", "l1")},
          |${round("l1", "l2")},
          |${round("l2", "l3")}
-         |SELECT lbl, COUNT(*) AS n_members FROM l3
-         |GROUP BY lbl ORDER BY n_members DESC, lbl ASC LIMIT 20""".stripMargin
+         |SELECT $nodeNameSql AS component, n_members FROM (
+         |  SELECT lbl AS id, COUNT(*) AS n_members FROM l3 GROUP BY lbl
+         |) ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin
     }
   )
 }

@@ -177,14 +177,16 @@ object TextDedup extends QueryPack {
     // T4: MinHash+LSH near-dup pairs — word-trigram shingles, 8 minhashes
     // in 4 bands of 2, exact-Jaccard verification of candidates at ≥ 0.5.
     "t4_minhash_neardup" -> { (s, d) =>
-      val sh = shingles(Tables.documents(s, d), 3)
+      // The shingle set feeds four consumers (minhash, candidate join ×2,
+      // sizes); materialize it once instead of re-deriving per consumer.
+      val sh = shingles(Tables.documents(s, d), 3).localCheckpoint()
       jaccard(candidates(bandKeys(sh, nSeeds = 8, bandSize = 2)), sh, 0.5)
     },
 
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
     // (4 minhashes, 2 bands), higher threshold 0.6.
     "t5_ngram_jaccard" -> { (s, d) =>
-      val sh = shingles(Tables.documents(s, d), 2)
+      val sh = shingles(Tables.documents(s, d), 2).localCheckpoint()
       jaccard(candidates(bandKeys(sh, nSeeds = 4, bandSize = 2)), sh, 0.6)
     },
 
