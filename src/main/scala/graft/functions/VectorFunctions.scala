@@ -23,6 +23,16 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Native codegen dot product ([[graft.plans.DotProduct]], registered by
+    * GraftExtensions) — bit-identical to [[dot]] (same ascending-index
+    * sum), minus the intermediate array + lambda dispatch. Requires a
+    * session built with `spark.sql.extensions=graft.plans.GraftExtensions`.
+    */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Native cosine (composed Catalyst nodes over [[dotNative]]). */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -37,7 +37,7 @@ object Embeddings extends QueryPack {
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"), col("label"))
-      .withColumn("nrm", norm(col("emb")))
+      .withColumn("nrm", sqrt(dotNative(col("emb"), col("emb"))))
 
   private def roundedCos(a: Column, b: Column): Column = round(cosine(a, b), 6)
 
@@ -45,7 +45,7 @@ object Embeddings extends QueryPack {
     * recompute-norms form — same inputs, same fold — so oracle parity holds).
     */
   private def pairCos: Column =
-    round(dot(col("qe"), col("emb")) / (col("qnrm") * col("nrm")), 6)
+    round(dotNative(col("qe"), col("emb")) / (col("qnrm") * col("nrm")), 6)
 
   /** Deterministic probe subset: every 100th vector. */
   private def probes(c: DataFrame): DataFrame =
