@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink surface (SURVEY.md §3.1 S7/S9): csv and json round-trips
+  * with explicit schemas + options, and the bucketing claim from SCALE.md
+  * demonstrated — aggregations and joins on a bucketed key plan NO
+  * shuffle exchange.
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("csv round-trip with header + explicit schema preserves the table") {
+    val src = Tables.customer(spark, dir)
+    val out = Files.createTempDirectory("graft_csv_").toString
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read
+      .option("header", "true")
+      .schema(src.schema)
+      .csv(out)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("json round-trip preserves values (schema re-imposed on read)") {
+    val src = Tables.orders(spark, dir)
+    val out = Files.createTempDirectory("graft_json_").toString
+    src.write.mode("overwrite").json(out)
+    val back = spark.read.schema(src.schema).json(out)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("parquet partitioned write prunes partitions on read") {
+    val src = Tables.documents(spark, dir).select("doc_id", "lang", "source", "text")
+    val out = Files.createTempDirectory("graft_part_").toString
+    src.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val scan = spark.read.parquet(out).filter(col("lang") === "es")
+    assert(scan.count() === src.filter(col("lang") === "es").count())
+    // Partition pruning: the executed scan must touch only the es partition.
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filters in:\n$plan")
+  }
+
+  test("bucketed tables eliminate the shuffle for key-aggregations and key-joins") {
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val wasBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Disable broadcast so the join must pick sort-merge — the strategy
+    // bucketing makes shuffle-free (at real scale neither side broadcasts).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+      e.write.mode("overwrite").bucketBy(8, "src").sortBy("src")
+        .saveAsTable("edges_bucketed")
+      val t = spark.table("edges_bucketed")
+
+      val aggPlan = t.groupBy("src").count().queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"groupBy on the bucket key must not shuffle:\n$aggPlan")
+
+      val t2 = spark.table("edges_bucketed").withColumnRenamed("dst", "dst2")
+      val joinPlan = t.join(t2, Seq("src")).queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"),
+        s"self-join on the bucket key must not shuffle:\n$joinPlan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", wasBroadcast)
+      spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+    }
+  }
+}
