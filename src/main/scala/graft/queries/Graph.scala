@@ -102,10 +102,20 @@ object Graph extends QueryPack {
     },
 
     // G4/J3: common-neighbor pairs — order pairs sharing ≥2 parts, top 20.
+    // Pair generation goes through per-part adjacency arrays (groupBy +
+    // nested transform) instead of an edge self-join: the Σ deg² pair rows
+    // are emitted locally after ONE shuffle on the shared endpoint, not
+    // via a second join shuffle. A real 100 TB run caps hub degrees before
+    // this step (the d² term is the celebrity-node guard).
     "g4_common_neighbors" -> { (s, d) =>
-      val e1 = edges(s, d).toDF("o1", "p1")
-      val e2 = edges(s, d).toDF("o2", "p2")
-      e1.join(e2, col("p1") === col("p2") && col("o1") < col("o2"))
+      val byPart = edges(s, d)
+        .groupBy(col("p"))
+        .agg(sort_array(collect_list(col("o"))).as("os"))
+      val pairs = byPart.select(explode(flatten(
+        transform(col("os"), (x, i) =>
+          transform(slice(col("os"), i + 2, size(col("os"))),
+            y => struct(x.as("o1"), y.as("o2")))))).as("pr"))
+      pairs.select(col("pr.o1").as("o1"), col("pr.o2").as("o2"))
         .groupBy(col("o1"), col("o2"))
         .agg(count(lit(1)).as("n_common"))
         .filter(col("n_common") >= 2)
