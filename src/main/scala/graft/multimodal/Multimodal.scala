@@ -85,6 +85,24 @@ object Multimodal {
     }
   }
 
+  /** Resize metadata: fit (width, height) into a target box preserving
+    * aspect ratio, all-integer arithmetic (micro-scale factor) so the
+    * result is deterministic and SQL-expressible. The STUB part is that no
+    * pixels move — a real pipeline resizes the binary payload here with
+    * the same dimension math.
+    */
+  def resizeMeta(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { mf =>
+      val scale = math.min(
+        math.min(maxW.toLong * 1000000L / mf.width, maxH.toLong * 1000000L / mf.height),
+        1000000L) // never upscale
+      mf.copy(
+        width  = (mf.width.toLong * scale / 1000000L).toInt,
+        height = (mf.height.toLong * scale / 1000000L).toInt)
+    }
+  }
+
   /** Deterministic frame sampling for video rows: 1–3 fake frames whose
     * hashes chain off the content fingerprint.
     */
