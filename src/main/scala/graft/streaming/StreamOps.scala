@@ -99,6 +99,61 @@ object StreamOps {
       }
   }
 
+  /** Closed session emitted by [[userSessionsTimeout]]. */
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** ST4b: flatMapGroupsWithState with EventTimeTimeout — custom
+    * gap-sessionization that EMITS a session only when the event-time
+    * watermark passes `last event + gap` (the timeout-driven scheduling
+    * pattern; the reference's `next_update` recrawl timer is the same
+    * state-machine shape). Demonstrates explicit state + timeouts where
+    * `session_window` (ST2) is the declarative shortcut.
+    *
+    * Input must already be watermarked on `ts` (the caller owns the
+    * watermark so the delay is visible at the query site).
+    */
+  def userSessionsTimeout(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs < gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(uid,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+                  cur = Some(UserSession(t, t, 1))
+                case None =>
+                  cur = Some(UserSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Open-session state for [[userSessionsTimeout]]. */
+  case class UserSession(startMs: Long, endMs: Long, n: Long)
+
   /** ST7: foreachBatch parquet-append sink — the merge-style sink pattern
     * (each micro-batch lands atomically via the file sink protocol; for
     * true upsert semantics the batch would go through

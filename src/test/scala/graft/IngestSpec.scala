@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Ingest
+
+/** E1 ingest pipeline: parse extraction rules, per-source edge
+  * replacement, degree maintenance, and the SURVEY §6.4 idempotence
+  * property (same snapshot twice == once).
+  */
+class IngestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def raw(rows: (String, String)*): DataFrame =
+    rows.map { case (url, html) => (url, t0, html) }.toDF("url", "fetched_at", "html")
+
+  private def snapshot = raw(
+    ("https://x/pmwiki.php/Main/BigBad",
+      """<a href="/pmwiki.php/Main/EvilPlan">a</a>
+        |<a href="/pmwiki.php/Film/SomeFilm">b</a>
+        |<a href="/pmwiki.php/Main/EvilPlan">dup</a>
+        |<a href="/pmwiki.php/Main/BigBad">self</a>
+        |<a href="http://elsewhere/pmwiki.php/Main/EvilPlan">still-wiki</a>
+        |<a href="http://other.com/x">external</a>""".stripMargin),
+    ("https://x/pmwiki.php/Film/SomeFilm",
+      """<a href="/pmwiki.php/Main/BigBad">back</a>"""))
+
+  private def emptyPages: DataFrame =
+    Seq.empty[(String, String, Boolean, Boolean, Int, Timestamp, Long, Long)]
+      .toDF("code", "category", "is_redirect", "has_error", "times_failed",
+        "next_update", "incoming", "outgoing")
+
+  private def emptyLinks: DataFrame =
+    Seq.empty[(String, String)].toDF("from_code", "to_code")
+
+  test("parseLinks lowercases, dedups, drops self-links, ignores non-wiki hrefs") {
+    val got = Ingest.parseLinks(snapshot).as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("main/bigbad", "main/evilplan"),
+      ("main/bigbad", "film/somefilm"),
+      ("film/somefilm", "main/bigbad")))
+  }
+
+  test("ingest builds pages for crawled AND linked-only nodes with correct degrees") {
+    val (pages, links) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
+    assert(links.count() === 3)
+    val byCode = pages.collect().map(r => r.getAs[String]("code") ->
+      (r.getAs[Long]("incoming"), r.getAs[Long]("outgoing"),
+        r.getAs[Any]("next_update") != null)).toMap
+    assert(byCode("main/bigbad") === ((1L, 2L, true)))
+    assert(byCode("film/somefilm") === ((1L, 1L, true)))
+    // linked-to but never crawled: degree row exists, no schedule yet
+    assert(byCode("main/evilplan") === ((1L, 0L, false)))
+  }
+
+  test("ingesting the same snapshot twice equals once (idempotence)") {
+    val (p1, l1) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
+    val (p2, l2) = Ingest.ingest(p1, l1, snapshot)
+    assert(l2.exceptAll(l1).isEmpty && l1.exceptAll(l2).isEmpty)
+    assert(p2.exceptAll(p1).isEmpty && p1.exceptAll(p2).isEmpty)
+  }
+
+  test("recrawl replaces a page's out-edges instead of accumulating them") {
+    val (p1, l1) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
+    val recrawl = raw(
+      ("https://x/pmwiki.php/Main/BigBad",
+        """<a href="/pmwiki.php/Main/NewTrope">only link now</a>"""))
+    val (p2, l2) = Ingest.ingest(p1, l1, recrawl)
+    val bigbadOut = l2.filter(col("from_code") === "main/bigbad")
+      .select("to_code").as[String].collect().toSet
+    assert(bigbadOut === Set("main/newtrope"))
+    val out = p2.filter(col("code") === "main/bigbad")
+      .select("outgoing").as[Long].head()
+    assert(out === 1L)
+    // film/somefilm's edges were untouched by this batch
+    assert(l2.filter(col("from_code") === "film/somefilm").count() === 1)
+  }
+}

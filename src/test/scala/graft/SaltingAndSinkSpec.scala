@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Salting
+import graft.sources.SnapshotSink
+
+/** Salted aggregation equivalence + snapshot-overwrite sink protocol. */
+class SaltingAndSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted sum/count equals the direct groupBy on a skewed column") {
+    val li = Tables.lineitem(spark, dir)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total"))
+    val salted = Salting.saltedSumCount(li, Seq("l_returnflag"), col("l_quantity"), 16)
+    // Counts are exact; double sums may differ in the last bits from the
+    // different combine tree — compare counts exactly, sums to 1e-6.
+    val j = direct.toDF("k", "n1", "s1").join(salted.toDF("k", "n2", "s2"), "k")
+    assert(j.filter(col("n1") =!= col("n2")).count() === 0)
+    assert(j.filter(abs(col("s1") - col("s2")) > 1e-6).count() === 0)
+    assert(direct.count() === salted.count())
+  }
+
+  test("snapshot overwrite publishes complete snapshots and replaces prior ones") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_").toString + "/table"
+    SnapshotSink.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    assert(spark.read.parquet(path).count() === 2)
+    SnapshotSink.overwrite(Seq((3, "c")).toDF("id", "v"), path)
+    val back = spark.read.parquet(path).as[(Int, String)].collect().toSeq
+    assert(back === Seq((3, "c")))
+    // no staging/retired leftovers
+    val parent = java.nio.file.Paths.get(path).getParent
+    val leftovers = Files.list(parent).filter(p =>
+      p.getFileName.toString.contains("staging") ||
+      p.getFileName.toString.contains("retired")).count()
+    assert(leftovers === 0)
+  }
+}

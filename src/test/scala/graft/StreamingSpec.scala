@@ -116,6 +116,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST4b: flatMapGroupsWithState emits sessions when the event-time timeout fires") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val watermarked = ms.toDF().withWatermark("ts", "0 seconds").as[Event]
+    val q = StreamOps.userSessionsTimeout(watermarked, gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fmgws_test").outputMode("append").start()
+    try {
+      // One session for user 1: 10:00 + 10:10.
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"), ev(2, "2024-01-01T10:10:00Z"))
+      q.processAllAvailable()
+      assert(spark.table("fmgws_test").isEmpty) // gap not yet elapsed
+      // Another user's late-day event pushes the watermark past 10:40.
+      ms.addData(ev(3, "2024-01-01T15:00:00Z", uid = 99))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01T15:01:00Z", uid = 99)) // watermark advances on next batch
+      q.processAllAvailable()
+      val got = spark.table("fmgws_test")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(got === Seq((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L)))
+    } finally q.stop()
+  }
+
   test("ST6: stream-static join enriches events with the customer dimension") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
