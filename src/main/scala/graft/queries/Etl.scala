@@ -1,9 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.Tables
-import graft.operators.Merge
+import graft.etl.Ingest
+import graft.operators.{Merge, Salting}
 
 /** Ingest/ETL operators (SURVEY.md §3.1 S2/S4/S5, §3.8 F8, §3.4 A6) — the
   * reference's crawl pipeline shapes (`src/tropology/parsing.clj` link
@@ -73,6 +75,48 @@ object Etl extends QueryPack {
         .agg(array_join(transform(array_sort(collect_list(col("p"))),
           c => c.cast("string")), ",").as("x_parts"))
       nBefore.crossJoin(nAfter).crossJoin(xParts)
+    },
+
+    // E1: the full ingest pipeline (parse → edge replace → page upsert →
+    // degree recompute) over a synthetic snapshot batch built from
+    // documents, landing the reference-shaped pages table.
+    "e1_ingest_pages" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      val raw = Tables.documents(s, d).select(
+        concat(lit("https://x/pmwiki.php/Src/Doc"), col("doc_id").cast("string")).as("url"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("fetched_at"),
+        concat(
+          lit("""<a href="/pmwiki.php/Main/"""), element_at(t, 1), lit("""">l1</a>"""),
+          lit(""" <a href="/pmwiki.php/Film/"""), element_at(t, 2), lit("""">l2</a>"""),
+          lit(""" <a href="/pmwiki.php/Main/"""), element_at(t, 1), lit("""">dup</a>""")).as("html"))
+      val pagesSchema = StructType(Seq(
+        StructField("code", StringType), StructField("category", StringType),
+        StructField("is_redirect", BooleanType), StructField("has_error", BooleanType),
+        StructField("times_failed", IntegerType), StructField("next_update", TimestampType),
+        StructField("incoming", LongType), StructField("outgoing", LongType)))
+      val linksSchema = StructType(Seq(
+        StructField("from_code", StringType), StructField("to_code", StringType)))
+      val empty = (sch: StructType) =>
+        s.createDataFrame(java.util.Collections.emptyList[Row](), sch)
+      val (pages, _) = Ingest.ingest(empty(pagesSchema), empty(linksSchema), raw)
+      // Null next_update (linked-but-uncrawled) → epoch sentinel: same
+      // "due immediately" semantics, and no null-timestamp hashing edge
+      // cases in the driver compare.
+      pages
+        .withColumn("next_update",
+          coalesce(col("next_update"), lit("1970-01-01 00:00:00").cast("timestamp")))
+        .orderBy("code")
+    },
+
+    // A1-at-skew: degree counts through the salted two-phase aggregation
+    // (exact counts → oracle parity regardless of the combine tree).
+    "a1_salted_degree" -> { (s, d) =>
+      Salting.saltedSumCount(
+        Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity")),
+        Seq("l_partkey"), col("l_quantity").cast(DecimalType(28, 4)), 16)
+        .select(col("l_partkey"), col("n"), col("total").cast("double").as("total_qty"))
+        .orderBy(col("n").desc, col("l_partkey").asc)
+        .limit(100)
     },
 
     // F8: map functions over the parsed JSON props column.
@@ -157,6 +201,45 @@ object Etl extends QueryPack {
         |  (SELECT COUNT(*) FROM result) AS n_after,
         |  (SELECT array_to_string(list_transform(list_sort(list(p)), y -> CAST(y AS VARCHAR)), ',')
         |     FROM result WHERE o = (SELECT x FROM x)) AS x_parts""".stripMargin,
+
+    "e1_ingest_pages" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |edges AS (
+        |  SELECT DISTINCT 'src/doc' || CAST(doc_id AS VARCHAR) AS from_code, code AS to_code FROM (
+        |    SELECT doc_id, 'main/' || lower(t[1]) AS code FROM tok
+        |    UNION ALL SELECT doc_id, 'film/' || lower(t[2]) FROM tok
+        |  )
+        |),
+        |crawled AS (
+        |  SELECT DISTINCT 'src/doc' || CAST(doc_id AS VARCHAR) AS code, 'src' AS category,
+        |    false AS is_redirect, false AS has_error, 0 AS times_failed,
+        |    TIMESTAMP '2024-01-31 00:00:00' AS next_update
+        |  FROM documents
+        |),
+        |outdeg AS (SELECT from_code AS code, COUNT(*) AS new_out FROM edges GROUP BY 1),
+        |indeg AS (SELECT to_code AS code, COUNT(*) AS new_in FROM edges GROUP BY 1),
+        |allcodes AS (
+        |  SELECT code FROM crawled UNION SELECT code FROM outdeg UNION SELECT code FROM indeg
+        |)
+        |SELECT a.code,
+        |  COALESCE(c.category, string_split(a.code, '/')[1]) AS category,
+        |  COALESCE(c.is_redirect, false) AS is_redirect,
+        |  COALESCE(c.has_error, false) AS has_error,
+        |  COALESCE(c.times_failed, 0) AS times_failed,
+        |  COALESCE(c.next_update, TIMESTAMP '1970-01-01 00:00:00') AS next_update,
+        |  COALESCE(i.new_in, 0) AS incoming,
+        |  COALESCE(o.new_out, 0) AS outgoing
+        |FROM allcodes a
+        |LEFT JOIN crawled c ON c.code = a.code
+        |LEFT JOIN outdeg o ON o.code = a.code
+        |LEFT JOIN indeg i ON i.code = a.code
+        |ORDER BY a.code""".stripMargin,
+
+    "a1_salted_degree" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY n DESC, l_partkey ASC LIMIT 100""".stripMargin,
 
     "f8_map" ->
       """SELECT event_id,

@@ -74,6 +74,8 @@ def main():
             for j, (x, y) in enumerate(zip(ra, rb)):
                 if x == y:
                     continue
+                if x != x and y != y:
+                    continue  # NaN/NaT on both sides (self-unequal values)
                 if isinstance(x, float) and isinstance(y, float):
                     if math.isnan(x) and math.isnan(y):
                         continue
