@@ -99,4 +99,30 @@ object Ingest {
 
     (pages2, links2)
   }
+
+  /** Crawl-failure bookkeeping (the reference's `has_error`/`times_failed`
+    * + exponential-backoff rescheduling): pages in `failures`
+    * `(code, failed_at TIMESTAMP)` get `has_error = true`,
+    * `times_failed + 1`, and
+    * `next_update = failed_at + baseDays * 2^times_failed'` days
+    * (capped at 2^10) — everyone else is untouched.
+    */
+  def recordFailures(pages: DataFrame, failures: DataFrame,
+      baseDays: Int = 1): DataFrame = {
+    val f = broadcast(failures.select(col("code").as("f_code"), col("failed_at")))
+    val failed = col("failed_at").isNotNull
+    val newTf = col("times_failed") + 1
+    val backoffDays =
+      expr(s"$baseDays * shiftleft(1, least(times_failed + 1, 10))")
+    pages
+      .join(f, col("code") === col("f_code"), "left_outer")
+      .select(
+        col("code"), col("category"), col("is_redirect"),
+        when(failed, lit(true)).otherwise(col("has_error")).as("has_error"),
+        when(failed, newTf).otherwise(col("times_failed")).as("times_failed"),
+        when(failed,
+          col("failed_at") + backoffDays * expr("INTERVAL 1 DAY"))
+          .otherwise(col("next_update")).as("next_update"),
+        col("incoming"), col("outgoing"))
+  }
 }

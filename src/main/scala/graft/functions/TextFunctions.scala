@@ -47,6 +47,28 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  private val polyMod = 1000000007L
+
+  /** Polynomial rolling hash of the whole text (Rabin–Karp style):
+    * `acc = (acc*31 + ascii(char)) mod 1e9+7`, left-to-right, init 0.
+    * Engine-portable (same fold in ANSI SQL via list_reduce) and O(len)
+    * per row inside codegen — the cheap fingerprint where md5 is overkill.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % polyMod)
+
+  /** Winnowing-style fingerprint: the MINIMUM rolling hash over all
+    * 32-char windows of the text. Near-identical documents share most
+    * windows, so they collide on this fingerprint with high probability —
+    * the classic local-fingerprinting dedup key (one value per doc).
+    */
+  def winnowFingerprint(text: Column): Column = {
+    val starts = sequence(lit(1), greatest(length(text) - 31, lit(1)))
+    array_min(transform(starts, i => rollingHash(text.substr(i, lit(32)))))
+  }
+
   /** Ratio of non-alphanumeric, non-space chars (quality signal). */
   def punctRatio(text: Column): Column = {
     val stripped = regexp_replace(text, "[a-zA-Z0-9 ]", "")

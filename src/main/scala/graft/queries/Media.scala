@@ -34,6 +34,18 @@ object Media extends QueryPack {
         .orderBy("media_type")
     },
 
+    // MM4: aspect-preserving resize metadata (integer micro-scale math,
+    // never upscales) through the typed Dataset pipeline.
+    "mm4_resize_meta" -> { (s, d) =>
+      Multimodal.resizeMeta(
+        Multimodal.extractFeatures(
+          Multimodal.mediaTable(s, Tables.documents(s, d))),
+        maxW = 128, maxH = 128)
+        .toDF()
+        .select("doc_id", "media_type", "width", "height")
+        .orderBy("doc_id")
+    },
+
     // MM3: deterministic frame sampling of video rows.
     "mm3_frame_sample" -> { (s, d) =>
       Multimodal.sampleFrames(
@@ -67,6 +79,15 @@ object Media extends QueryPack {
          |FROM (
          |  $featuresSql
          |) GROUP BY media_type ORDER BY media_type""".stripMargin,
+
+    "mm4_resize_meta" ->
+      s"""SELECT doc_id, media_type,
+         |  CAST(width * scale // 1000000 AS INT) AS width,
+         |  CAST(height * scale // 1000000 AS INT) AS height
+         |FROM (
+         |  SELECT *, least(least(128000000 // width, 128000000 // height), 1000000) AS scale
+         |  FROM ($featuresSql)
+         |) ORDER BY doc_id""".stripMargin,
 
     "mm3_frame_sample" ->
       s"""WITH f AS (

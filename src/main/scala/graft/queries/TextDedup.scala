@@ -212,6 +212,17 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // T8: rolling-hash fingerprints — whole-doc Rabin–Karp polynomial hash
+    // plus the winnowing-style min-32-gram-window hash (near-identical
+    // docs collide on the latter with high probability).
+    "t8_rolling_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.rollingHash(col("text")).as("rhash"),
+          TextFunctions.winnowFingerprint(col("text")).as("winnow_fp"))
+        .orderBy("doc_id")
+    },
+
     // T7a: language-ID + quality scoring per doc (marker-count heuristic and
     // composite score, all arithmetic mirrored exactly in the oracle SQL).
     "t7_lang_quality" -> { (s, d) =>
@@ -308,6 +319,17 @@ object TextDedup extends QueryPack {
         |)
         |SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t8_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash,
+        |  list_min(list_transform(range(1, greatest(length(text) - 30, 2)),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split_regex(substr(text, i, 32), ''), x -> CAST(ascii(x) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007))) AS winnow_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t7_lang_quality" ->
       s"""WITH padded_docs AS (

@@ -68,6 +68,26 @@ class IngestSpec extends AnyFunSuite {
     assert(p2.exceptAll(p1).isEmpty && p1.exceptAll(p2).isEmpty)
   }
 
+  test("failures set has_error and back off exponentially; others untouched") {
+    val (p1, _) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
+    val failT = Timestamp.valueOf("2024-02-01 00:00:00")
+    val failures = Seq(("main/bigbad", failT)).toDF("code", "failed_at")
+    val p2 = Ingest.recordFailures(p1, failures, baseDays = 1)
+    val p3 = Ingest.recordFailures(p2, failures, baseDays = 1)
+    def row(df: org.apache.spark.sql.DataFrame, code: String) = {
+      val r = df.filter(col("code") === code).collect()(0)
+      (r.getAs[Boolean]("has_error"), r.getAs[Int]("times_failed"),
+        r.getAs[Timestamp]("next_update"))
+    }
+    val (e1, tf1, nu1) = row(p2, "main/bigbad")
+    assert(e1 && tf1 === 1 && nu1 === Timestamp.valueOf("2024-02-03 00:00:00")) // +2^1 days
+    val (e2, tf2, nu2) = row(p3, "main/bigbad")
+    assert(e2 && tf2 === 2 && nu2 === Timestamp.valueOf("2024-02-05 00:00:00")) // +2^2 days
+    // untouched page keeps its state
+    val (e0, tf0, _) = row(p3, "film/somefilm")
+    assert(!e0 && tf0 === 0)
+  }
+
   test("recrawl replaces a page's out-edges instead of accumulating them") {
     val (p1, l1) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
     val recrawl = raw(
