@@ -135,6 +135,30 @@ object Etl extends QueryPack {
         .limit(200)
     },
 
+    // DQ1: column profiling — the null/distinct/min/max summary a pipeline
+    // runs before trusting a new drop of data (one pass, all columns).
+    "dq1_profile" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cols = Seq(
+        ("l_orderkey", col("l_orderkey").cast("double")),
+        ("l_quantity", col("l_quantity")),
+        ("l_extendedprice", col("l_extendedprice")),
+        ("l_discount", col("l_discount")))
+      val stats = cols.map { case (name, c) =>
+        struct(
+          lit(name).as("col_name"),
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(c).as("n_distinct"),
+          min(c).as("min_v"),
+          max(c).as("max_v")).as(s"__st_$name")
+      }
+      li.agg(stats.head, stats.tail: _*)
+        .select(explode(array(cols.map { case (n, _) => col(s"__st_$n") }: _*)).as("st"))
+        .select("st.*")
+        .orderBy("col_name")
+    },
+
     // A6: nested payload assembly — the reference's {nodes[…]} JSON shape:
     // per nation, the sorted supplier roster and customer segment set
     // (collect_list / collect_set), stringified for stable comparison.
@@ -248,6 +272,25 @@ object Etl extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |  len(json_keys(props)) + 1 AS merged_n
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "dq1_profile" ->
+      """WITH s AS (SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey, l_quantity, l_extendedprice, l_discount FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct, MIN(l_orderkey) AS min_v, MAX(l_orderkey) AS max_v FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_quantity), MIN(l_quantity), MAX(l_quantity) FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice), MAX(l_extendedprice) FROM s
+        |UNION ALL
+        |SELECT 'l_discount', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount) FROM s
+        |ORDER BY col_name""".stripMargin,
 
     "a6_collect" ->
       """WITH sup AS (
