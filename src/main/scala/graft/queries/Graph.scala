@@ -36,12 +36,19 @@ object Graph extends QueryPack {
     * part → 2k+1): numeric keys shuffle/compare far cheaper than strings
     * at any scale; ids translate back to o<key>/p<key> only at output.
     */
-  private def symGraph(s: SparkSession, d: String): LinkGraph = {
-    val e = edges(s, d).select(
-      (col("o") * 2).as("src"),
-      (col("p") * 2 + 1).as("dst"))
-    new LinkGraph(e).symmetrized.materialized
-  }
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LinkGraph]()
+
+  private def symGraph(s: SparkSession, d: String): LinkGraph =
+    // One materialized edge table per (session, sf dir), shared by every
+    // graph query in the session — the local analogue of a persisted
+    // bucketed edge table that all graph workloads read.
+    graphCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val e = edges(s, d).select(
+        (col("o") * 2).as("src"),
+        (col("p") * 2 + 1).as("dst"))
+      new LinkGraph(e).symmetrized.materialized
+    })
 
   /** Display form of a packed node id. */
   private val nodeName =

@@ -234,11 +234,16 @@ object Relational extends QueryPack {
         .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey").asc)
     },
 
-    // O4: limit/offset via row_number (offset alone doesn't distribute).
+    // O4: limit/offset via top-(limit+offset) THEN row_number: the heavy
+    // step is TakeOrderedAndProject over the full table; the global window
+    // only ever sees limit+offset rows (a global window over the whole
+    // table would serialize it into one partition).
     "o4_limit_offset" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(40)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
         .filter(col("rn") > 20 && col("rn") <= 40)
