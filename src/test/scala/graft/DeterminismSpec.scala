@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-independence: an oracle-gated query must return identical
+  * rows (values AND order) whether the shuffle fans out over 3 or 16
+  * partitions — any dependence on partition count (unstable tiebreaks,
+  * order-sensitive double sums in compared output, nondeterministic
+  * picks) shows up here before it shows up as a flaky driver hash.
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val tricky = Seq(
+    "a4_pricing_summary",   // decimal-framed double aggregation
+    "o4_limit_offset",      // top-k + window pagination
+    "w4_topk_per_group",    // ranked groups
+    "t4_minhash_neardup",   // multi-stage LSH pipeline
+    "t8_rolling_fingerprint",
+    "v1_knn_brute",         // rounded-cosine ranking
+    "g6_pagerank",          // iterative fixed-point
+    "g6_labelprop",
+    "st2_session_window",
+    "e1_ingest_pages",
+    "a1_salted_degree")     // salted two-phase agg
+
+  for (name <- tricky) {
+    test(s"$name is invariant under shuffle-partition count") {
+      val conf = "spark.sql.shuffle.partitions"
+      val prior = spark.conf.get(conf)
+      try {
+        spark.conf.set(conf, "3")
+        val a = SparkEntry.queries(name)(spark, dir).collect().toSeq
+        spark.conf.set(conf, "16")
+        val b = SparkEntry.queries(name)(spark, dir).collect().toSeq
+        assert(a === b)
+      } finally spark.conf.set(conf, prior)
+    }
+  }
+}
