@@ -184,6 +184,24 @@ object Relational extends QueryPack {
         .orderBy("p_brand")
     },
 
+    // A4c: exact interpolated percentiles per group (DuckDB quantile_cont
+    // uses the same R-7 definition; rounded to absorb formula-order ulps).
+    // At 100 TB the swap-in is approx_percentile (KLL/GK sketch) — kept
+    // out of the oracle because sketches differ across engines.
+    "a4_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, array(0.5, 0.9))").as("pq"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").as("pp"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pq"), 1), 6).as("p50_qty"),
+          round(element_at(col("pq"), 2), 6).as("p90_qty"),
+          round(element_at(col("pp"), 1), 6).as("p50_price"),
+          round(element_at(col("pp"), 2), 6).as("p90_price"))
+        .orderBy("l_returnflag")
+    },
+
     // A5: rollup with grouping() markers.
     "a5_rollup" -> { (s, d) =>
       Tables.supplier(s, d)
@@ -375,6 +393,14 @@ object Relational extends QueryPack {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
         |  COUNT(*) AS n
         |FROM part GROUP BY p_brand HAVING COUNT(*) >= 5 ORDER BY p_brand""".stripMargin,
+
+    "a4_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a5_rollup" ->
       """SELECT COALESCE(r_name, '<all>') AS region, COALESCE(n_name, '<all>') AS nation,

@@ -120,6 +120,26 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("segment")
     },
 
+    // J6b: interval join — error events landing within 1 day AFTER a
+    // purchase by the same user, via the bucketed equi-join formulation
+    // (graft.operators.RangeJoin; per-key blowup bounded by bucket count).
+    "j6_interval_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as("win_end"))
+      graft.operators.RangeJoin.intervalJoin(
+        errors, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", start = "win_start", end = "win_end",
+        widthSec = 24 * 3600L)
+        .select("event_id", "purchase_id")
+        .orderBy("event_id", "purchase_id")
+    },
+
     // J6: as-of join — each event gets the user's most recent prior order.
     "j6_asof_join" -> { (s, d) =>
       AsOfJoin.asOf(
@@ -207,6 +227,14 @@ object WindowsAndEvents extends QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "j6_interval_join" ->
+      """SELECT e.event_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        |  AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+        |ORDER BY e.event_id, purchase_id""".stripMargin,
 
     "j6_asof_join" ->
       """WITH r AS (
