@@ -223,6 +223,22 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // T9: deterministic stratified sampling + train/val/test split. The
+    // assignment hashes the ROW KEY (md5 mod 100), not an RNG: stable
+    // under any partitioning/repartitioning, reproducible across engines
+    // and runs — the property a training-data pipeline needs so a document
+    // never migrates between splits. Output: per-(lang, split) counts.
+    "t9_stratified_split" -> { (s, d) =>
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang", "split")
+    },
+
     // T7a: language-ID + quality scoring per doc (marker-count heuristic and
     // composite score, all arithmetic mirrored exactly in the oracle SQL).
     "t7_lang_quality" -> { (s, d) =>
@@ -330,6 +346,18 @@ object TextDedup extends QueryPack {
         |           list_transform(string_split_regex(substr(text, i, 32), ''), x -> CAST(ascii(x) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % 1000000007))) AS winnow_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t9_stratified_split" ->
+      """WITH assigned AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+        |    FROM documents
+        |  )
+        |)
+        |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+        |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "t7_lang_quality" ->
       s"""WITH padded_docs AS (
