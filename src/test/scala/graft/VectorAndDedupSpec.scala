@@ -58,6 +58,34 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, j) => a < b && j >= 0.5 && j <= 1.0 })
   }
 
+  test("LSH banding recalls every pair with true Jaccard >= 0.9 (exhaustive check)") {
+    import org.apache.spark.sql.functions._
+    // Ground truth: exact word-trigram Jaccard over ALL pairs (test-scale only).
+    val t = split(col("text"), " ")
+    val sh = Tables.documents(spark, dir)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", slice(t, i, lit(3)))))).as("sh"))
+    val sizes = sh.groupBy("doc_id").count()
+    val inter = sh.toDF("a", "s1").join(sh.toDF("b", "s2"),
+        col("s1") === col("s2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(sizes.toDF("a2", "na"), col("a") === col("a2"))
+      .join(sizes.toDF("b2", "nb"), col("b") === col("b2"))
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= 0.9)
+      .select(col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain at least one >=0.9 pair")
+
+    val found = graft.queries.TextDedup.queries("t4_minhash_neardup")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missed = truth -- found
+    assert(missed.isEmpty,
+      s"banded MinHash missed high-similarity pairs: $missed")
+  }
+
   test("exact dedup halves a doubled corpus") {
     val out = graft.queries.TextDedup.queries("t3_exact_dedup")(spark, dir)
     val n = Tables.documents(spark, dir).count()
