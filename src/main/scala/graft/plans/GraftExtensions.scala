@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, MonotonicallyIncreasingID, Multiply, Rand, Randn, Sqrt, Uuid}
 
 /** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the native vector functions into the session's
@@ -13,6 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   *   - `graft_cosine(a, b)`  — cosine similarity composed from existing
   *                             Catalyst nodes (Divide/Multiply/Sqrt over
   *                             [[DotProduct]]); no new eval code to trust.
+  *   - determinism guard     — an injected analysis CHECK rule rejecting
+  *     partition-order-sensitive expressions (rand/randn/uuid/
+  *     monotonically_increasing_id) whose values change under
+  *     repartitioning/retry and so can never hash-match an oracle or
+  *     reproduce across runs (SURVEY.md §6 determinism mandate; seeded
+  *     alternatives in this engine: md5 ordering for sampling — g5/t9 —
+  *     and row-key hashing for salting). Opt out per session with
+  *     `spark.graft.determinismGuard=false`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,5 +43,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
           evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
       }))
+
+    ext.injectCheckRule { session => plan =>
+      if (session.conf.get("spark.graft.determinismGuard", "true") == "true") {
+        plan.foreach { node =>
+          node.expressions.foreach(_.foreach {
+            case e @ (_: Rand | _: Randn | _: Uuid | _: MonotonicallyIncreasingID) =>
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+                messageParameters = Map("errorMessage" ->
+                  (s"graft determinism guard: expression '${e.prettyName}' is " +
+                    "partition-order sensitive and banned in this engine " +
+                    "(use md5-key ordering/hashing instead, or set " +
+                    "spark.graft.determinismGuard=false)")))
+            case _ => ()
+          })
+        }
+      }
+    }
   }
 }

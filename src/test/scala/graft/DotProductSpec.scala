@@ -60,6 +60,23 @@ class DotProductSpec extends AnyFunSuite {
     assert(pfx === 11.0)
   }
 
+  test("determinism guard rejects partition-order-sensitive expressions") {
+    import spark.implicits._
+    val caught = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT rand() AS r").collect()
+    }
+    assert(caught.getMessage.contains("determinism guard"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).selectExpr("monotonically_increasing_id() AS id2").collect()
+    }
+    // opt-out restores stock behavior
+    spark.conf.set("spark.graft.determinismGuard", "false")
+    try assert(spark.sql("SELECT rand(42) AS r").collect().length === 1)
+    finally spark.conf.set("spark.graft.determinismGuard", "true")
+    // deterministic engine alternatives stay allowed
+    assert(spark.sql("SELECT md5('x') AS h").as[String].head().nonEmpty)
+  }
+
   test("non-double inputs are rejected at analysis") {
     intercept[Exception] {
       spark.sql("SELECT graft_dot(array('x'), array('y'))").collect()
