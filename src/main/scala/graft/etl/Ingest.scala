@@ -64,15 +64,22 @@ object Ingest {
       recrawlDays: Int = 30): (DataFrame, DataFrame) = {
     val links2 = replaceEdges(links, raw)
 
-    val crawled = raw.select(
-      pageCode.as("code"),
-      split(pageCode, "/").getItem(0).as("category"),
-      lit(false).as("is_redirect"),
-      lit(false).as("has_error"),
-      lit(0).as("times_failed"),
-      (col("fetched_at") + expr(s"INTERVAL $recrawlDays DAYS")).as("next_update"),
-      lit(0L).as("incoming"),
-      lit(0L).as("outgoing"))
+    // One row per crawled code — a batch can legitimately contain the same
+    // URL twice (re-fetch within the batch); keep the LATEST fetch so the
+    // schedule reflects the most recent crawl, and honor Merge.upsert's
+    // key-uniqueness contract.
+    val crawled = raw
+      .groupBy(pageCode.as("code"))
+      .agg(max(col("fetched_at")).as("last_fetch"))
+      .select(
+        col("code"),
+        split(col("code"), "/").getItem(0).as("category"),
+        lit(false).as("is_redirect"),
+        lit(false).as("has_error"),
+        lit(0).as("times_failed"),
+        (col("last_fetch") + expr(s"INTERVAL $recrawlDays DAYS")).as("next_update"),
+        lit(0L).as("incoming"),
+        lit(0L).as("outgoing"))
 
     val merged = Merge.upsert(pages, crawled, "code")
 
@@ -109,7 +116,11 @@ object Ingest {
     */
   def recordFailures(pages: DataFrame, failures: DataFrame,
       baseDays: Int = 1): DataFrame = {
-    val f = broadcast(failures.select(col("code").as("f_code"), col("failed_at")))
+    // One failure row per code (latest attempt wins) — a repeated code in
+    // the batch must not fan the page row out into duplicates.
+    val f = broadcast(failures
+      .groupBy(col("code").as("f_code"))
+      .agg(max(col("failed_at")).as("failed_at")))
     val failed = col("failed_at").isNotNull
     val newTf = col("times_failed") + 1
     val backoffDays =

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Upsert `updates` into `base`; both must share a schema; `key` must be
-    * unique per side.
+    * unique AND non-null per side.
+    *
+    * Row-replacement semantics: whether an update matched is decided by the
+    * presence of the update's KEY, not per-column `coalesce` — so an update
+    * row can legitimately set a column to NULL (per-column coalesce would
+    * silently keep the stale value).
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(base.columns.sameElements(updates.columns),
@@ -28,7 +33,8 @@ object Merge {
     val o = base.alias("o")
     val n = updates.alias("n")
     val merged = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+    val matched = col(s"n.$key").isNotNull
     merged.select(base.columns.map(c =>
-      coalesce(col(s"n.$c"), col(s"o.$c")).as(c)).toSeq: _*)
+      when(matched, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)).toSeq: _*)
   }
 }

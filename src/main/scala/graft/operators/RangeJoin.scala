@@ -44,6 +44,9 @@ object RangeJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"intervalJoin: overlapping column names ${overlap.mkString(", ")}; rename one side first")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"intervalJoin: column names ${reserved.mkString(", ")} use the reserved __ prefix")
 
     // cast("timestamp") normalizes TIMESTAMP_NTZ inputs (wall-clock
     // identity under the engine's pinned UTC session timezone).

@@ -24,11 +24,20 @@ object Salting {
   /** Salted count + sum per key: equivalent to
     * `df.groupBy(keys).agg(count(*), sum(valueCol))` with hot keys spread
     * over `buckets` parallel partials.
+    *
+    * The default salt hashes the full row content, which spreads a hot key
+    * whose rows DIFFER in some column. If the hot key's rows are
+    * byte-identical duplicates, content hashing degenerates to one bucket —
+    * pass `discriminator` (any deterministic per-row column: a source file
+    * offset, an upstream event id, `input_file_name()`) to spread those.
+    * An RNG salt is NOT an option here: the engine bans
+    * partition-order-sensitive expressions (see GraftExtensions).
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int, discriminator: Option[Column] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val salt = pmod(hash(df.columns.map(col).toSeq: _*), lit(buckets))
+    val salt = pmod(
+      hash((df.columns.map(col) ++ discriminator.toSeq).toSeq: _*), lit(buckets))
     df.withColumn("__salt", salt)
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))

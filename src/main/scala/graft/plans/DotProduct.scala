@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * ascending-index — bit-identical to the HOF left fold (and to DuckDB's
   * list_dot_product), so swapping it into oracle-checked queries is safe.
   *
-  * Null handling: a null array yields null (BinaryExpression default);
-  * array ELEMENTS are assumed non-null (embedding vectors) — enforced by
-  * the input contract, not checked per element in the hot loop.
+  * Null handling: a null array yields null (BinaryExpression default), and
+  * so does a LENGTH MISMATCH (same observable behavior as the HOF fold,
+  * where zip_with's null padding nulls the aggregate); array ELEMENTS are
+  * assumed non-null (embedding vectors) — enforced by the input contract,
+  * not checked per element in the hot loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,17 +47,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var sum = 0.0
-    var i = 0
-    while (i < n) {
-      sum += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    val n = x.numElements()
+    // Length mismatch → NULL, matching the HOF fold (zip_with pads with
+    // null, which nulls the aggregate) — a truncated embedding must not
+    // produce a plausible-but-wrong prefix sum.
+    if (n != y.numElements()) null
+    else {
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        sum += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      sum
     }
-    sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,12 +74,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

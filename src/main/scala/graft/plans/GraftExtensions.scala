@@ -46,19 +46,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectCheckRule { session => plan =>
       if (session.conf.get("spark.graft.determinismGuard", "true") == "true") {
-        plan.foreach { node =>
-          node.expressions.foreach(_.foreach {
-            case e @ (_: Rand | _: Randn | _: Uuid | _: MonotonicallyIncreasingID) =>
-              throw new org.apache.spark.sql.AnalysisException(
-                errorClass = "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
-                messageParameters = Map("errorMessage" ->
-                  (s"graft determinism guard: expression '${e.prettyName}' is " +
-                    "partition-order sensitive and banned in this engine " +
-                    "(use md5-key ordering/hashing instead, or set " +
-                    "spark.graft.determinismGuard=false)")))
-            case _ => ()
-          })
-        }
+        // Recurse into subquery plans too — `WHERE x > (SELECT rand())`
+        // must not slip past the guard.
+        def checkPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+          p.foreach { node =>
+            node.expressions.foreach(_.foreach {
+              case e @ (_: Rand | _: Randn | _: Uuid | _: MonotonicallyIncreasingID) =>
+                throw new org.apache.spark.sql.AnalysisException(
+                  errorClass = "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+                  messageParameters = Map("errorMessage" ->
+                    (s"graft determinism guard: expression '${e.prettyName}' is " +
+                      "partition-order sensitive and banned in this engine " +
+                      "(use md5-key ordering/hashing instead, or set " +
+                      "spark.graft.determinismGuard=false)")))
+              case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+                checkPlan(s.plan)
+              case _ => ()
+            })
+          }
+        checkPlan(plan)
       }
     }
   }

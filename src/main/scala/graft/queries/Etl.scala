@@ -82,13 +82,21 @@ object Etl extends QueryPack {
     // documents, landing the reference-shaped pages table.
     "e1_ingest_pages" -> { (s, d) =>
       val t = split(col("text"), " ")
+      // Sanitize tokens to the wiki-code alphabet before building hrefs —
+      // Ingest's parser extracts [A-Za-z0-9]+ page names, so an unsanitized
+      // token with punctuation would silently truncate and break oracle
+      // parity if the fixture text ever gains non-alphanumerics.
+      def tok(i: Int) = {
+        val clean = regexp_replace(element_at(t, i), "[^a-zA-Z0-9]", "")
+        when(length(clean) === 0, lit("x")).otherwise(clean)
+      }
       val raw = Tables.documents(s, d).select(
         concat(lit("https://x/pmwiki.php/Src/Doc"), col("doc_id").cast("string")).as("url"),
         lit("2024-01-01 00:00:00").cast("timestamp").as("fetched_at"),
         concat(
-          lit("""<a href="/pmwiki.php/Main/"""), element_at(t, 1), lit("""">l1</a>"""),
-          lit(""" <a href="/pmwiki.php/Film/"""), element_at(t, 2), lit("""">l2</a>"""),
-          lit(""" <a href="/pmwiki.php/Main/"""), element_at(t, 1), lit("""">dup</a>""")).as("html"))
+          lit("""<a href="/pmwiki.php/Main/"""), tok(1), lit("""">l1</a>"""),
+          lit(""" <a href="/pmwiki.php/Film/"""), tok(2), lit("""">l2</a>"""),
+          lit(""" <a href="/pmwiki.php/Main/"""), tok(1), lit("""">dup</a>""")).as("html"))
       val pagesSchema = StructType(Seq(
         StructField("code", StringType), StructField("category", StringType),
         StructField("is_redirect", BooleanType), StructField("has_error", BooleanType),
@@ -207,11 +215,11 @@ object Etl extends QueryPack {
         |  SELECT c_custkey + 900000, 'NEW_' || c_name, c_nationkey, c_acctbal, c_mktsegment
         |  FROM customer WHERE c_custkey <= 3
         |)
-        |SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
-        |  COALESCE(n.c_name, o.c_name) AS c_name,
-        |  COALESCE(n.c_nationkey, o.c_nationkey) AS c_nationkey,
-        |  COALESCE(n.c_acctbal, o.c_acctbal) AS c_acctbal,
-        |  COALESCE(n.c_mktsegment, o.c_mktsegment) AS c_mktsegment
+        |SELECT CASE WHEN n.c_custkey IS NOT NULL THEN n.c_custkey ELSE o.c_custkey END AS c_custkey,
+        |  CASE WHEN n.c_custkey IS NOT NULL THEN n.c_name ELSE o.c_name END AS c_name,
+        |  CASE WHEN n.c_custkey IS NOT NULL THEN n.c_nationkey ELSE o.c_nationkey END AS c_nationkey,
+        |  CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal ELSE o.c_acctbal END AS c_acctbal,
+        |  CASE WHEN n.c_custkey IS NOT NULL THEN n.c_mktsegment ELSE o.c_mktsegment END AS c_mktsegment
         |FROM customer o FULL JOIN updates n ON o.c_custkey = n.c_custkey
         |ORDER BY c_custkey""".stripMargin,
 
@@ -227,7 +235,13 @@ object Etl extends QueryPack {
         |     FROM result WHERE o = (SELECT x FROM x)) AS x_parts""".stripMargin,
 
     "e1_ingest_pages" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      x -> CASE WHEN length(regexp_replace(x, '[^a-zA-Z0-9]', '', 'g')) = 0
+        |                THEN 'x' ELSE regexp_replace(x, '[^a-zA-Z0-9]', '', 'g') END) AS t
+        |  FROM documents
+        |),
         |edges AS (
         |  SELECT DISTINCT 'src/doc' || CAST(doc_id AS VARCHAR) AS from_code, code AS to_code FROM (
         |    SELECT doc_id, 'main/' || lower(t[1]) AS code FROM tok

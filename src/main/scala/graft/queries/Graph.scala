@@ -39,16 +39,29 @@ object Graph extends QueryPack {
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[String, LinkGraph]()
 
-  private def symGraph(s: SparkSession, d: String): LinkGraph =
-    // One materialized edge table per (session, sf dir), shared by every
-    // graph query in the session — the local analogue of a persisted
-    // bucketed edge table that all graph workloads read.
-    graphCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+  /** One materialized edge table per (session, sf dir), shared by every
+    * graph query in the session — the local analogue of a persisted
+    * bucketed edge table that all graph workloads read. Bounded: the cache
+    * clears past 8 entries (checkpoint blocks are block-manager resident;
+    * unbounded growth would starve storage memory in a long-lived JVM).
+    * The build runs OUTSIDE the map lock — a rare duplicate build under a
+    * race is cheaper than serializing first-touch queries behind a Spark
+    * job holding the bin lock.
+    */
+  private def symGraph(s: SparkSession, d: String): LinkGraph = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val cached = graphCache.get(key)
+    if (cached != null) cached
+    else {
       val e = edges(s, d).select(
         (col("o") * 2).as("src"),
         (col("p") * 2 + 1).as("dst"))
-      new LinkGraph(e).symmetrized.materialized
-    })
+      val built = new LinkGraph(e).symmetrized.materialized
+      if (graphCache.size >= 8) graphCache.clear()
+      val prev = graphCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Display form of a packed node id. */
   private val nodeName =

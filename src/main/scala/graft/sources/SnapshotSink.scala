@@ -9,34 +9,40 @@ import org.apache.spark.sql.DataFrame
   * plain Parquet — write new dir, swap").
   *
   * Plain `mode("overwrite")` deletes the target before writing: a reader
-  * (or a crashed writer) can observe a missing/partial table. This sink
-  * writes the new snapshot to a fresh staging directory first, then swaps
-  * it in with a same-filesystem atomic rename, so the published path is
-  * always a complete snapshot — the batch analogue of the reference's
-  * transactional Postgres upserts.
+  * (or a crashed writer) can observe a missing/partial table. Here the
+  * published `path` is a SYMLINK: each snapshot writes to a fresh
+  * versioned directory (`<path>.v-<uuid>`), and publishing is ONE atomic
+  * rename of a symlink over the old one — there is no instant at which
+  * `path` is missing or partial, and a crash at any point leaves the
+  * previous snapshot published (at worst plus an unpublished version
+  * directory, removed by the next successful publish's cleanup). This is
+  * the batch analogue of the reference's transactional Postgres upserts.
   *
   * On a cluster the same protocol runs against an object store via a
-  * manifest/table-format commit (Iceberg/Delta-style); the directory-swap
-  * below is the local-filesystem form of that commit.
+  * manifest/table-format commit (Iceberg/Delta-style); the symlink swap is
+  * the local-filesystem form of that commit pointer.
   */
 object SnapshotSink {
 
-  /** Publish `df` at `path` via staging-dir + atomic rename. */
+  /** Publish `df` at `path` (a symlink managed by this sink). */
   def overwrite(df: DataFrame, path: String): Unit = {
     val target  = Paths.get(path)
-    val staging = Paths.get(path + ".staging-" + java.util.UUID.randomUUID())
-    val retired = Paths.get(path + ".retired-" + java.util.UUID.randomUUID())
-    df.write.parquet(staging.toString)
-    val existed = Files.exists(target)
-    if (existed) Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: Throwable =>
-        // Roll the old snapshot back into place before propagating.
-        if (existed) Files.move(retired, target, StandardCopyOption.ATOMIC_MOVE)
-        throw e
-    }
-    if (existed) deleteRecursively(retired)
+    require(!Files.exists(target) || Files.isSymbolicLink(target),
+      s"snapshot target $path exists but is not a sink-managed symlink")
+    val version = Paths.get(path + ".v-" + java.util.UUID.randomUUID())
+    val prior: Option[Path] =
+      if (Files.isSymbolicLink(target)) Some(Files.readSymbolicLink(target)) else None
+
+    try df.write.parquet(version.toString)
+    catch { case e: Throwable => deleteRecursively(version); throw e }
+
+    // Atomic publish: rename a fresh symlink over the target.
+    val tmpLink = Paths.get(path + ".lnk-" + java.util.UUID.randomUUID())
+    Files.createSymbolicLink(tmpLink, version.getFileName)
+    Files.move(tmpLink, target, StandardCopyOption.ATOMIC_MOVE)
+
+    // Retire the previous version only after the new one is live.
+    prior.foreach(p => deleteRecursively(target.getParent.resolve(p)))
   }
 
   private def deleteRecursively(p: Path): Unit =

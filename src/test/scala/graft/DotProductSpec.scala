@@ -50,14 +50,15 @@ class DotProductSpec extends AnyFunSuite {
       s"expected the graft_dot Project inside a codegen stage in:\n$plan")
   }
 
-  test("null array yields null; mismatched lengths use the common prefix") {
+  test("null array and mismatched lengths both yield null (HOF-fold parity)") {
     import spark.implicits._
     val got = spark.sql(
       "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d").as[Option[Double]].head()
     assert(got.isEmpty)
-    val pfx = spark.sql(
-      "SELECT graft_dot(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d)) AS d").as[Double].head()
-    assert(pfx === 11.0)
+    val mismatch = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d)) AS d")
+      .as[Option[Double]].head()
+    assert(mismatch.isEmpty, "a truncated vector must not produce a prefix sum")
   }
 
   test("determinism guard rejects partition-order-sensitive expressions") {

@@ -35,6 +35,13 @@ class MergeSpec extends AnyFunSuite {
     assert(got.exceptAll(base).isEmpty && base.exceptAll(got).isEmpty)
   }
 
+  test("upsert can set a column to NULL (row replacement, not per-column coalesce)") {
+    val nullUpdate = Seq((2L, Option.empty[String], 25.0)).toDF("id", "name", "bal")
+    val got = Merge.upsert(base, nullUpdate, "id")
+      .orderBy("id").as[(Long, Option[String], Double)].collect().toSeq
+    assert(got === Seq((1L, Some("a"), 10.0), (2L, None, 25.0), (3L, Some("c"), 30.0)))
+  }
+
   test("upsert rejects schema mismatches") {
     intercept[IllegalArgumentException] {
       Merge.upsert(base, updates.select("name", "id", "bal"), "id")

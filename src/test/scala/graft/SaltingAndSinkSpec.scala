@@ -27,19 +27,30 @@ class SaltingAndSinkSpec extends AnyFunSuite {
     assert(direct.count() === salted.count())
   }
 
-  test("snapshot overwrite publishes complete snapshots and replaces prior ones") {
+  test("snapshot overwrite publishes atomically via symlink swap and retires old versions") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_snap_").toString + "/table"
     SnapshotSink.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
     assert(spark.read.parquet(path).count() === 2)
+    assert(Files.isSymbolicLink(java.nio.file.Paths.get(path)))
     SnapshotSink.overwrite(Seq((3, "c")).toDF("id", "v"), path)
     val back = spark.read.parquet(path).as[(Int, String)].collect().toSeq
     assert(back === Seq((3, "c")))
-    // no staging/retired leftovers
+    // exactly one live version dir + the symlink remain (old version retired)
     val parent = java.nio.file.Paths.get(path).getParent
-    val leftovers = Files.list(parent).filter(p =>
-      p.getFileName.toString.contains("staging") ||
-      p.getFileName.toString.contains("retired")).count()
-    assert(leftovers === 0)
+    val entries = Files.list(parent).map(_.getFileName.toString).toArray.map(_.toString).sorted
+    assert(entries.count(_.startsWith("table.v-")) === 1, entries.mkString(","))
+    assert(entries.count(_ == "table") === 1)
+    assert(entries.count(_.contains(".lnk-")) === 0)
+  }
+
+  test("snapshot overwrite refuses a target it does not manage") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap2_")
+    val plainDir = dir.resolve("existing")
+    Files.createDirectory(plainDir)
+    intercept[IllegalArgumentException] {
+      SnapshotSink.overwrite(Seq((1, "a")).toDF("id", "v"), plainDir.toString)
+    }
   }
 }
