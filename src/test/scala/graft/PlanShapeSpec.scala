@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard: the scale-critical plan shapes from
+  * SCALE.md must keep planning the way they're documented — a silent
+  * regression (lost pushdown, un-broadcast dim, full sort instead of
+  * top-k) fails here even while results stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("star join broadcasts every dimension side") {
+    val p = plan("j2_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "no dim should fall back to SMJ at this size")
+  }
+
+  test("fact scans push predicates and prune columns") {
+    val p = plan("p4_predicates_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "scan must read only the four referenced columns")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("o1_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+  }
+
+  test("top-k-per-group plans WindowGroupLimit") {
+    val p = plan("w4_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("similarity probes broadcast; corpus side never exchanges for the join") {
+    val p = plan("v1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-evaluation") {
+    assert(plan("j4_semi_join").contains("LeftSemi"))
+    assert(plan("j4_anti_join").contains("LeftAnti"))
+  }
+}
