@@ -71,6 +71,18 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("p_brand", "rn")
     },
 
+    // W4b: the same top-k-per-group semantics through the CUSTOM
+    // whole-operator stack (graft.plans.TopKPerKey: logical node →
+    // injected strategy → heap-based exec) instead of a window function.
+    "w4_topk_operator" -> { (s, d) =>
+      graft.plans.TopKPerKey(
+        Tables.part(s, d).select("p_brand", "p_partkey", "p_retailprice"),
+        keyCols = Seq("p_brand"),
+        order = Seq("p_retailprice" -> false, "p_partkey" -> true),
+        k = 3)
+        .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey").asc)
+    },
+
     // ST1 (batch shape): tumbling 1-hour event-time windows per event type.
     "st1_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -188,6 +200,13 @@ object WindowsAndEvents extends QueryPack {
         |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         |  FROM part
         |) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "w4_topk_operator" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part
+        |) WHERE rn <= 3 ORDER BY p_brand, p_retailprice DESC, p_partkey ASC""".stripMargin,
 
     "st1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,

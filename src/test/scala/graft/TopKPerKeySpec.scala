@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+
+/** Custom whole-operator stack: the heap-based top-k-per-key node must
+  * agree with the window row_number formulation, plan through the injected
+  * strategy, and respect multi-column orderings.
+  */
+class TopKPerKeySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("matches the window formulation: top-3 parts per brand by price") {
+    val part = Tables.part(spark, dir)
+    val custom = TopKPerKey(part, Seq("p_brand"),
+      Seq("p_retailprice" -> false, "p_partkey" -> true), k = 3)
+      .select("p_brand", "p_partkey", "p_retailprice")
+
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    val window = part
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice")
+
+    assert(custom.exceptAll(window).isEmpty && window.exceptAll(custom).isEmpty)
+  }
+
+  test("matches the window formulation on a bigger fact table") {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val custom = TopKPerKey(li, Seq("l_partkey"),
+      Seq("l_extendedprice" -> false, "l_orderkey" -> true, "l_linenumber" -> true), k = 2)
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val window = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+    assert(custom.exceptAll(window).isEmpty && window.exceptAll(custom).isEmpty)
+  }
+
+  test("plans through TopKPerKeyExec with a hash exchange on the key") {
+    val p = TopKPerKey(Tables.part(spark, dir), Seq("p_brand"),
+      Seq("p_retailprice" -> false, "p_partkey" -> true), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey "), p.take(1500)) // exec renders without the Exec suffix
+    assert(p.contains("hashpartitioning(p_brand"), p.take(1500))
+  }
+
+  test("k larger than any group returns everything") {
+    val part = Tables.part(spark, dir)
+    val all = TopKPerKey(part, Seq("p_brand"),
+      Seq("p_partkey" -> true), k = 1000000)
+    assert(all.count() === part.count())
+  }
+
+  test("unknown columns are rejected") {
+    intercept[IllegalArgumentException] {
+      TopKPerKey(Tables.part(spark, dir), Seq("nope"), Seq("p_partkey" -> true), 1)
+    }
+  }
+}
