@@ -43,20 +43,31 @@ object TextDedup extends QueryPack {
           i => concat_ws(" ", slice(t, i, lit(n)))))).as("sh"))
   }
 
-  /** MinHash band keys: `nSeeds` md5-minhashes per doc (lexicographic min of
-    * `md5(seed|shingle)` — portable across engines), grouped into bands of
-    * `bandSize` consecutive seeds. Docs sharing any band key are near-dup
-    * candidates (classic LSH banding).
+  /** MinHash band keys: `nHashes` minhash functions per doc, derived as
+    * 8-hex-digit SLICES of md5(shingle) (and md5('x'|shingle) when more
+    * than 4 are needed) — one or two md5 evaluations per shingle instead
+    * of one per (shingle, seed), which is the dominant cost of the
+    * signature stage. Lexicographic min per slice is engine-portable.
+    * Consecutive pairs of minhashes form bands (classic LSH banding);
+    * docs sharing any band key are near-dup candidates.
     */
-  private def bandKeys(sh: DataFrame, nSeeds: Int, bandSize: Int): DataFrame =
-    sh
-      .withColumn("seed", explode(sequence(lit(0), lit(nSeeds - 1))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
-      .groupBy(col("doc_id"), (col("seed") / bandSize).cast("long").as("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh")), "|").as("band_key"))
+  private def bandKeys(sh: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
+    require(nHashes % bandSize == 0 && nHashes <= 8 && bandSize == 2)
+    val m0 = md5(col("sh"))
+    val m1 = md5(concat(lit("x"), col("sh")))
+    def slice(i: Int): Column = {
+      val src = if (i < 4) m0 else m1
+      substring(src, 1 + 8 * (i % 4), 8)
+    }
+    val mins = (0 until nHashes).map(i => min(slice(i)).as(s"mh$i"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until nHashes / bandSize).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
+    }
+    perDoc.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+  }
 
   /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands. */
   private def candidates(bands: DataFrame): DataFrame = {
@@ -95,19 +106,27 @@ object TextDedup extends QueryPack {
   /** Shared SQL fragment: the DuckDB mirror of [[shingles]]→[[bandKeys]]→
     * [[candidates]]→[[jaccard]] with word-`n`-grams and given banding.
     */
-  private def neardupSql(n: Int, nSeeds: Int, bandSize: Int, threshold: String): String = {
+  private def neardupSql(n: Int, nHashes: Int, bandSize: Int, threshold: String): String = {
     val sliceEnd = s"i+${n - 1}"
+    def sliceSql(i: Int): String = {
+      val src = if (i < 4) "md5(sh)" else "md5('x' || sh)"
+      s"min(substr($src, ${1 + 8 * (i % 4)}, 8)) AS mh$i"
+    }
+    val minsSql = (0 until nHashes).map(sliceSql).mkString(",\n       |    ")
+    val bandsSql = (0 until nHashes / bandSize).map { b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS band_key FROM mh"
+    }.mkString("\n       |  UNION ALL ")
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-${n - 2}), i -> array_to_string(t[i:$sliceEnd], ' ')))) AS sh
        |  FROM tok WHERE len(t) >= $n
        |), mh AS (
-       |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
-       |  FROM sh CROSS JOIN (SELECT unnest(range($nSeeds)) AS seed) GROUP BY doc_id, seed
+       |  SELECT doc_id,
+       |    $minsSql
+       |  FROM sh GROUP BY doc_id
        |), bands AS (
-       |  SELECT doc_id, seed // $bandSize AS band, string_agg(mh, '|' ORDER BY seed) AS band_key
-       |  FROM mh GROUP BY doc_id, seed // $bandSize
+       |  $bandsSql
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -180,14 +199,14 @@ object TextDedup extends QueryPack {
       // The shingle set feeds four consumers (minhash, candidate join ×2,
       // sizes); materialize it once instead of re-deriving per consumer.
       val sh = shingles(Tables.documents(s, d), 3).localCheckpoint()
-      jaccard(candidates(bandKeys(sh, nSeeds = 8, bandSize = 2)), sh, 0.5)
+      jaccard(candidates(bandKeys(sh, nHashes = 8, bandSize = 2)), sh, 0.5)
     },
 
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
     // (4 minhashes, 2 bands), higher threshold 0.6.
     "t5_ngram_jaccard" -> { (s, d) =>
       val sh = shingles(Tables.documents(s, d), 2).localCheckpoint()
-      jaccard(candidates(bandKeys(sh, nSeeds = 4, bandSize = 2)), sh, 0.6)
+      jaccard(candidates(bandKeys(sh, nHashes = 4, bandSize = 2)), sh, 0.6)
     },
 
     // T6: 16-bit SimHash per doc, computed in ONE pass with higher-order
@@ -320,9 +339,9 @@ object TextDedup extends QueryPack {
         |SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM fps GROUP BY fp ORDER BY keeper_id""".stripMargin,
 
-    "t4_minhash_neardup" -> neardupSql(n = 3, nSeeds = 8, bandSize = 2, threshold = "0.5"),
+    "t4_minhash_neardup" -> neardupSql(n = 3, nHashes = 8, bandSize = 2, threshold = "0.5"),
 
-    "t5_ngram_jaccard" -> neardupSql(n = 2, nSeeds = 4, bandSize = 2, threshold = "0.6"),
+    "t5_ngram_jaccard" -> neardupSql(n = 2, nHashes = 4, bandSize = 2, threshold = "0.6"),
 
     "t6_simhash" ->
       """WITH tok AS (
