@@ -242,6 +242,29 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // T10: token-budget shard packing — assign each doc (within its lang,
+    // in deterministic doc_id order) to the shard where its cumulative
+    // token count lands, 2000 tokens per shard: the sequence-packing step
+    // that turns a cleaned corpus into bounded training shards. Running
+    // sum over a keyed window; at 100 TB the lang partitions pack
+    // independently (embarrassingly parallel per key).
+    "t10_token_packing" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nTok = size(split(col("text"), " "))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), nTok.as("n_tokens"))
+        .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("shard", expr("cum_before DIV 2000"))
+        .drop("cum_before")
+      docs.groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "shard")
+    },
+
     // T9: deterministic stratified sampling + train/val/test split. The
     // assignment hashes the ROW KEY (md5 mod 100), not an RNG: stable
     // under any partitioning/repartitioning, reproducible across engines
@@ -365,6 +388,20 @@ object TextDedup extends QueryPack {
         |           list_transform(string_split_regex(substr(text, i, 32), ''), x -> CAST(ascii(x) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % 1000000007))) AS winnow_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_token_packing" ->
+      """WITH docs AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        |), packed AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000
+        |         AS BIGINT) AS shard
+        |  FROM docs
+        |)
+        |SELECT lang, shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens, MIN(doc_id) AS first_doc
+        |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 
     "t9_stratified_split" ->
       """WITH assigned AS (
