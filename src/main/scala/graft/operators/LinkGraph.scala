@@ -47,6 +47,36 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
   def outDegrees: DataFrame =
     edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
 
+  /** Pairs `(a, b)` of distinct src nodes (a < b) sharing at least one dst,
+    * with the shared-dst count — the common-neighbor / co-occurrence
+    * building block.
+    *
+    * Pair generation goes through per-dst adjacency arrays (groupBy +
+    * nested transform), not an edge self-join: the Σ deg² pair rows are
+    * emitted locally after ONE shuffle on the shared endpoint.
+    *
+    * Hub guard (the celebrity-node problem): each dst's sorted adjacency
+    * list is truncated to its `cap` smallest sources BEFORE pair emission,
+    * so a hot dst contributes at most cap·(cap−1)/2 pairs instead of d²/2 —
+    * the difference between a bounded shuffle and a job-killing blowup at
+    * 100 TB. Deterministic (sorted prefix) and cheap (`slice` on the
+    * already-collected array); callers mirroring results in SQL must apply
+    * the same cap (row_number per dst ≤ cap).
+    */
+  def coSourcePairs(cap: Int): DataFrame = {
+    require(cap >= 2, s"coSourcePairs: cap must be >= 2, got $cap")
+    val byDst = edges
+      .groupBy(col("dst"))
+      .agg(slice(sort_array(collect_list(col("src"))), 1, cap).as("ss"))
+    byDst.select(explode(flatten(
+      transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
   def inDegrees: DataFrame =
     edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
 

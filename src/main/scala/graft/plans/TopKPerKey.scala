@@ -71,11 +71,16 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to the physical exec. */
+/** Planner strategy mapping the logical node to the physical exec. The
+  * per-partition key-count threshold for the in-memory heap path is read
+  * here (plan time) from `spark.graft.topk.maxHeapKeys`.
+  */
 class TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      val maxHeapKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxHeapKeys", "131072").toInt
+      TopKPerKeyExec(keys, order, k, maxHeapKeys, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -83,9 +88,21 @@ class TopKPerKeyStrategy extends SparkStrategy {
 /** Physical exec: requires child rows clustered by the keys (the planner
   * inserts the hash exchange), then scans each partition once keeping a
   * bounded max-heap of rows per key.
+  *
+  * Memory contract: the heap map is O(k × distinct-keys-in-partition) rows,
+  * which is NOT bounded by k alone — a partition with millions of distinct
+  * keys would blow the heap. When the map grows past `maxHeapKeys` keys the
+  * exec degrades to a SPILLABLE external sort: all currently-kept heap rows
+  * plus the rest of the input go into an [[UnsafeExternalRowSorter]] ordered
+  * by (keys, order), and the sorted stream is limited to the first k rows
+  * per key group. Rows the heap phase already DISCARDED are safe to drop —
+  * a heap only evicts a row when k strictly-better rows for the same key are
+  * kept, so a discarded row is provably outside its key's top k. The heap
+  * path (no sort, O(n log k) comparisons) thus serves the common bounded-key
+  * case, and the sort path bounds memory in the adversarial one.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    maxHeapKeys: Int, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -96,30 +113,75 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keyExprs  = keys
     val sortOrder = order
     val limit     = k
+    val keyCap    = math.max(maxHeapKeys, 1)
     val childOut  = child.output
     child.execute().mapPartitions({ rows =>
-      val keyProj  = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(keyExprs, childOut)
+      import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      val keyProj  = UnsafeProjection.create(keyExprs, childOut)
       val rowOrd   = GenerateOrdering.generate(sortOrder, childOut)
       // Max-heap of the CURRENTLY-KEPT rows per key: the head is the worst
       // kept row; a new row replaces it when strictly better.
       val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      rows.foreach { row =>
+      var overflowed = false
+      var overflowRow: InternalRow = null
+      while (rows.hasNext && !overflowed) {
+        val row = rows.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit,
-            (a: InternalRow, b: InternalRow) => rowOrd.compare(b, a)) // reversed: head = worst
-          heaps.put(key.copy(), heap)
+          if (heaps.size() >= keyCap) {
+            overflowed = true
+            overflowRow = row.copy()
+          } else {
+            heap = new java.util.PriorityQueue[InternalRow](limit,
+              (a: InternalRow, b: InternalRow) => rowOrd.compare(b, a)) // reversed: head = worst
+            heaps.put(key.copy(), heap)
+          }
         }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap != null) {
+          if (heap.size < limit) heap.add(row.copy())
+          else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      if (!overflowed) {
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      } else {
+        // Spill path: external sort by (keys, order), then stream first k
+        // per key group. Sorter memory is task-managed and spills to disk.
+        import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder => SO}
+        import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+        import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+        val schema = org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .fromAttributes(childOut)
+        val fullOrder = keyExprs.map(e => SO(e, Ascending)) ++ sortOrder
+        val ordering = GenerateOrdering.generate(fullOrder, childOut)
+        // Constant prefix: every comparison falls through to the full row
+        // ordering — correct, just without the radix fast path.
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = { p.value = 0L; p.isNull = false; p }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, ordering, PrefixComparators.LONG, prefixComputer,
+          4L * 1024 * 1024, false)
+        val toUnsafe = UnsafeProjection.create(childOut, childOut)
+        heaps.values().forEach(h => h.forEach(r => sorter.insertRow(toUnsafe(r))))
+        heaps.clear()
+        sorter.insertRow(toUnsafe(overflowRow))
+        while (rows.hasNext) sorter.insertRow(toUnsafe(rows.next()))
+        var curKey: InternalRow = null
+        var emitted = 0
+        sorter.sort().filter { row =>
+          val kr = keyProj(row)
+          if (curKey == null || kr != curKey) { curKey = kr.copy(); emitted = 0 }
+          emitted += 1
+          emitted <= limit
+        }
+      }
     }, preservesPartitioning = true)
   }
 

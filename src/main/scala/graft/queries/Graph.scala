@@ -79,6 +79,12 @@ object Graph extends QueryPack {
   private val nodeNameSql =
     "CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR) ELSE 'p' || CAST(id // 2 AS VARCHAR) END"
 
+  /** Max adjacency-list length per shared endpoint in g4 pair generation
+    * (see [[graft.operators.LinkGraph.coSourcePairs]]); above the hottest
+    * fixture part (~30 orders at sf0.1), so fixture results are unchanged.
+    */
+  private val HubCap = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1+O1: 1-hop neighborhood of the hub order (most distinct parts),
     // neighbors resolved to part rows and ranked by their in-degree —
@@ -121,23 +127,17 @@ object Graph extends QueryPack {
         .limit(100)
     },
 
-    // G4/J3: common-neighbor pairs — order pairs sharing ≥2 parts, top 20.
-    // Pair generation goes through per-part adjacency arrays (groupBy +
-    // nested transform) instead of an edge self-join: the Σ deg² pair rows
-    // are emitted locally after ONE shuffle on the shared endpoint, not
-    // via a second join shuffle. A real 100 TB run caps hub degrees before
-    // this step (the d² term is the celebrity-node guard).
+    // G4/J3: common-neighbor pairs — order pairs sharing ≥2 parts, top 20,
+    // via [[LinkGraph.coSourcePairs]]: per-part adjacency arrays (one
+    // shuffle, pairs emitted locally) with the hub-degree cap LIVE — each
+    // part's adjacency is truncated to its HubCap smallest orders before
+    // pair emission, so a celebrity part can't explode the Σ deg² pair
+    // count. The cap is mirrored in the oracle SQL (row_number ≤ HubCap),
+    // so results are engine-identical even when it binds.
     "g4_common_neighbors" -> { (s, d) =>
-      val byPart = edges(s, d)
-        .groupBy(col("p"))
-        .agg(sort_array(collect_list(col("o"))).as("os"))
-      val pairs = byPart.select(explode(flatten(
-        transform(col("os"), (x, i) =>
-          transform(slice(col("os"), i + 2, size(col("os"))),
-            y => struct(x.as("o1"), y.as("o2")))))).as("pr"))
-      pairs.select(col("pr.o1").as("o1"), col("pr.o2").as("o2"))
-        .groupBy(col("o1"), col("o2"))
-        .agg(count(lit(1)).as("n_common"))
+      new LinkGraph(edges(s, d).select(col("o").as("src"), col("p").as("dst")))
+        .coSourcePairs(HubCap)
+        .select(col("a").as("o1"), col("b").as("o2"), col("n_common"))
         .filter(col("n_common") >= 2)
         .orderBy(col("n_common").desc, col("o1").asc, col("o2").asc)
         .limit(20)
@@ -214,9 +214,14 @@ object Graph extends QueryPack {
         |ORDER BY indeg DESC, l_partkey ASC LIMIT 100""".stripMargin,
 
     "g4_common_neighbors" ->
-      s"""WITH e AS ($edgesSql)
+      s"""WITH e AS ($edgesSql),
+         |capped AS (
+         |  SELECT o, p FROM (
+         |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
+         |  ) WHERE rn <= $HubCap
+         |)
          |SELECT a.o AS o1, b.o AS o2, COUNT(*) AS n_common
-         |FROM e a JOIN e b ON a.p = b.p AND a.o < b.o
+         |FROM capped a JOIN capped b ON a.p = b.p AND a.o < b.o
          |GROUP BY a.o, b.o HAVING COUNT(*) >= 2
          |ORDER BY n_common DESC, o1 ASC, o2 ASC LIMIT 20""".stripMargin,
 

@@ -47,9 +47,13 @@ object TextDedup extends QueryPack {
     * 8-hex-digit SLICES of md5(shingle) (and md5('x'|shingle) when more
     * than 4 are needed) — one or two md5 evaluations per shingle instead
     * of one per (shingle, seed), which is the dominant cost of the
-    * signature stage. Lexicographic min per slice is engine-portable.
-    * Consecutive pairs of minhashes form bands (classic LSH banding);
-    * docs sharing any band key are near-dup candidates.
+    * signature stage. Each slice is converted to a LONG before the min-agg:
+    * `min` over longs has a mutable hash-agg buffer, so the signature stage
+    * plans HashAggregate (string `min` would force SortAggregate — two
+    * extra sorts per stage). Fixed-width lowercase hex is order-isomorphic
+    * to its numeric value, so the minima are the same ones the string form
+    * produced. Consecutive pairs of minhashes form bands (classic LSH
+    * banding); docs sharing any band key are near-dup candidates.
     */
   private def bandKeys(sh: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
     require(nHashes % bandSize == 0 && nHashes <= 8 && bandSize == 2)
@@ -57,7 +61,7 @@ object TextDedup extends QueryPack {
     val m1 = md5(concat(lit("x"), col("sh")))
     def slice(i: Int): Column = {
       val src = if (i < 4) m0 else m1
-      substring(src, 1 + 8 * (i % 4), 8)
+      conv(substring(src, 1 + 8 * (i % 4), 8), 16, 10).cast("long")
     }
     val mins = (0 until nHashes).map(i => min(slice(i)).as(s"mh$i"))
     val perDoc = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -69,10 +73,28 @@ object TextDedup extends QueryPack {
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
   }
 
+  /** Per-band bucket cap: keep at most `cap` docs (lowest doc_id first) per
+    * (band, band_key) bucket before pair generation. Without this a
+    * degenerate hot band — every boilerplate page sharing one signature —
+    * is quadratic within its bucket; with it the candidate count per bucket
+    * is bounded by cap·(cap−1)/2 no matter how hot the bucket gets. The cap
+    * is mirrored in the oracle SQL, so results stay engine-identical even
+    * when it binds. Uses the [[graft.plans.TopKPerKey]] operator (bounded
+    * per-key state, spill-safe fallback) rather than a rank window.
+    */
+  private[queries] def capBuckets(bands: DataFrame, cap: Int): DataFrame =
+    graft.plans.TopKPerKey(bands, Seq("band", "band_key"), Seq("doc_id" -> true), cap)
+
+  /** Max docs considered per LSH band bucket (see [[capBuckets]]); above the
+    * hottest fixture bucket, so fixture results are unchanged.
+    */
+  private[queries] val BucketCap = 64
+
   /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands. */
   private def candidates(bands: DataFrame): DataFrame = {
-    val a = bands.toDF("doc_a", "band_a", "key_a")
-    val b = bands.toDF("doc_b", "band_b", "key_b")
+    val capped = capBuckets(bands, BucketCap)
+    val a = capped.toDF("doc_a", "band_a", "key_a")
+    val b = capped.toDF("doc_b", "band_b", "key_b")
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
       col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -110,11 +132,11 @@ object TextDedup extends QueryPack {
     val sliceEnd = s"i+${n - 1}"
     def sliceSql(i: Int): String = {
       val src = if (i < 4) "md5(sh)" else "md5('x' || sh)"
-      s"min(substr($src, ${1 + 8 * (i % 4)}, 8)) AS mh$i"
+      s"min(CAST(('0x' || substr($src, ${1 + 8 * (i % 4)}, 8)) AS BIGINT)) AS mh$i"
     }
     val minsSql = (0 until nHashes).map(sliceSql).mkString(",\n       |    ")
     val bandsSql = (0 until nHashes / bandSize).map { b =>
-      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS band_key FROM mh"
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR) AS band_key FROM mh"
     }.mkString("\n       |  UNION ALL ")
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -127,9 +149,15 @@ object TextDedup extends QueryPack {
        |  FROM sh GROUP BY doc_id
        |), bands AS (
        |  $bandsSql
+       |), capped AS (
+       |  SELECT doc_id, band, band_key FROM (
+       |    SELECT doc_id, band, band_key,
+       |      row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+       |    FROM bands
+       |  ) WHERE rn <= $BucketCap
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |jac AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter, sa.n AS na, sb.n AS nb

@@ -52,6 +52,25 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(m("b") > m("a") && m("c") > m("d"))
   }
 
+  test("coSourcePairs: uncapped pairs on a known graph") {
+    // dsts: x shared by a,b,c; y shared by a,b → pairs (a,b):2, (a,c):1, (b,c):1
+    val e = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("b", "y"))
+      .toDF("src", "dst")
+    val got = new LinkGraph(e).coSourcePairs(cap = 100)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("coSourcePairs: a celebrity dst is bounded by the hub cap") {
+    // One dst shared by 10k sources: uncapped this is ~50M pairs; with
+    // cap=64 it must emit exactly C(64,2) pairs over the 64 smallest srcs.
+    val hot = spark.range(10000).selectExpr("format_string('s%05d', id) AS src", "'hub' AS dst")
+    val pairs = new LinkGraph(hot).coSourcePairs(cap = 64)
+    assert(pairs.count() === 64L * 63 / 2)
+    val maxSrc = pairs.agg(max("b")).as[String].head()
+    assert(maxSrc === "s00063") // deterministic: smallest 64 sources kept
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),

@@ -50,4 +50,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("j4_semi_join").contains("LeftSemi"))
     assert(plan("j4_anti_join").contains("LeftAnti"))
   }
+
+  test("minhash signature stage hash-aggregates (no SortAggregate anywhere in t4)") {
+    // min over LONG md5-slices has a mutable agg buffer; the string form
+    // used to force SortAggregate (two extra sorts per signature stage).
+    val p = plan("t4_minhash_neardup")
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(p.contains("HashAggregate"))
+  }
 }

@@ -49,6 +49,28 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(p_brand"), p.take(1500))
   }
 
+  test("spill fallback: keys far above maxHeapKeys still match the window form") {
+    // Threshold 1 forces every partition with >1 distinct key through the
+    // external-sort path (lineitem has ~2k distinct partkeys at sf0.001,
+    // spread over 32 shuffle partitions — thousands of keys per the one
+    // heap slot allowed).
+    spark.conf.set("spark.graft.topk.maxHeapKeys", "1")
+    try {
+      val li = Tables.lineitem(spark, dir)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      val custom = TopKPerKey(li, Seq("l_partkey"),
+        Seq("l_extendedprice" -> false, "l_orderkey" -> true, "l_linenumber" -> true), k = 2)
+      // The exec renders its args as "keys, order, k, maxHeapKeys": pin that
+      // the conf actually reached the physical node.
+      val planLines = custom.queryExecution.executedPlan.toString.linesIterator
+      assert(planLines.exists(l => l.contains("TopKPerKey") && l.trim.endsWith(", 2, 1")))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val window = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+      assert(custom.exceptAll(window).isEmpty && window.exceptAll(custom).isEmpty)
+    } finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
+  }
+
   test("k larger than any group returns everything") {
     val part = Tables.part(spark, dir)
     val all = TopKPerKey(part, Seq("p_brand"),
