@@ -135,6 +135,86 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     ranks
   }
 
+  /** Connected components: minimum-label propagation iterated to FIXPOINT —
+    * rounds run until no node's label changes (or `maxIters`, a runaway
+    * guard), so the result is the true per-component minimum id, not a
+    * fixed-round partial labeling.
+    *
+    * The convergence check costs one extra aggregation per round, not an
+    * extra shuffle of the data: each round's aggregation carries the node's
+    * PREVIOUS label alongside the new minimum (the self-contribution row
+    * tags it), the round materializes via `localCheckpoint`, and the
+    * changed-count is a cheap scan of that materialized result. On a real
+    * cluster the same loop runs with reliable checkpoints; rounds needed =
+    * max eccentricity of a component min, typically O(log n) for real-world
+    * graphs.
+    *
+    * Returns (labels, roundsRun): `labels` is `(id, lbl)` with `lbl` the
+    * smallest node id in the component.
+    */
+  def connectedComponents(maxIters: Int = 100): (DataFrame, Int) = {
+    val nodes = nodeIds.localCheckpoint()
+    val lblType = nodes.schema("id").dataType
+    var labels  = nodes.withColumn("lbl", col("id"))
+    var changed = 1L
+    var rounds  = 0
+    while (changed > 0 && rounds < maxIters) {
+      val contribs = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("nid"), col("lbl"),
+          lit(null).cast(lblType).as("self_lbl"))
+        .union(labels.select(col("id").as("nid"), col("lbl"),
+          col("lbl").as("self_lbl")))
+      val next = contribs
+        .groupBy(col("nid").as("id"))
+        .agg(min(col("lbl")).as("lbl"), max(col("self_lbl")).as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
+      rounds += 1
+    }
+    (labels, rounds)
+  }
+
+  /** PageRank iterated to a rank-delta tolerance: rounds run until
+    * `max |rank_i − rank_{i−1}| <= tol × scale` (or `maxIters`). Same
+    * fixed-point integer arithmetic as [[pageRankFixed]] — deterministic and
+    * engine-portable — with the per-round delta read from the materialized
+    * round result (one cheap agg, no extra shuffle), mirroring
+    * [[connectedComponents]]' convergence machinery.
+    */
+  def pageRankConverged(tol: Double, maxIters: Int = 50,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(tol > 0 && maxIters > 0)
+    val nodes = nodeIds.localCheckpoint()
+    val e = edges
+      .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint()
+    val tolFixed = math.max((tol * scale).toLong, 1L)
+    var ranks = nodes.withColumn("rank", lit(scale))
+    var delta = Long.MaxValue
+    var i = 0
+    while (delta > tolFixed && i < maxIters) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("rank DIV out_deg").as("c"))
+        .groupBy("id")
+        .agg(sum(col("c")).as("in_sum"))
+      val next = ranks
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          expr(s"(15 * ${scale}L + 85 * coalesce(in_sum, 0L)) DIV 100").as("new_rank"),
+          col("rank").as("prev"))
+        .localCheckpoint()
+      delta = next.agg(max(abs(col("new_rank") - col("prev"))))
+        .head().getLong(0)
+      ranks = next.select(col("id"), col("new_rank").as("rank"))
+      i += 1
+    }
+    ranks
+  }
+
   /** `iters` rounds of minimum-label propagation (connected-components
     * building block): every node adopts the smallest label among itself and
     * its in-neighbors. With a symmetrized graph and enough rounds this

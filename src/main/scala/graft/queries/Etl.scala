@@ -41,6 +41,21 @@ object Etl extends QueryPack {
         .orderBy("doc_id", "code")
     },
 
+    // S7: CSV round-trip fidelity — nation plus a synthesized comma-bearing
+    // column written to CSV (header, default quoting — the embedded commas
+    // force quoted fields) and read back with header + schema inference.
+    // The oracle computes the same projection straight off the parquet
+    // table, so any quoting/header/type-inference loss breaks the hash.
+    "s7_csv_roundtrip" -> { (s, d) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_${d.hashCode.toHexString}"
+      Tables.nation(s, d)
+        .withColumn("note", concat(col("n_name"), lit(", region "), col("n_regionkey")))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("note"))
+        .orderBy("n_nationkey")
+    },
+
     // S4: upsert — 50 balance updates + 3 brand-new rows merged into
     // customer via full-outer + coalesce (Merge operator).
     "s4_merge_upsert" -> { (s, d) =>
@@ -206,6 +221,11 @@ object Etl extends QueryPack {
          |    lower(unnest(regexp_extract_all(html, 'pmwiki\\.php/([A-Za-z]+/[a-z0-9]+)', 1))) AS code
          |  FROM withhtml
          |) ORDER BY doc_id, code""".stripMargin,
+
+    "s7_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  n_name || ', region ' || CAST(n_regionkey AS VARCHAR) AS note
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "s4_merge_upsert" ->
       """WITH updates AS (

@@ -182,6 +182,44 @@ object Graph extends QueryPack {
         .select(nodeName.as("component"), col("n_members"))
         .orderBy(col("n_members").desc, col("component").asc)
         .limit(20)
+    },
+
+    // G6d: TRUE connected components — label propagation iterated to
+    // fixpoint ([[LinkGraph.connectedComponents]]), not a fixed round
+    // count, over the sparse high-quantity subgraph (fragmented: ~850
+    // components at sf0.01). The converged labeling is canonical (smallest
+    // node id per component), so the oracle just unrolls enough rounds to
+    // be safely past ITS fixpoint — extra rounds are no-ops.
+    "g6_components_converged" -> { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 50)
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val (labels, _) = new LinkGraph(e).symmetrized.materialized.connectedComponents()
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("id"), col("n_members"))
+        .select(nodeName.as("component"), col("n_members"))
+        .orderBy(col("n_members").desc, col("component").asc)
+        .limit(20)
+    },
+
+    // G6e: k-hop neighborhood joined back to node attributes — BFS output
+    // resolved to part rows (the reference's "expand then show the pages"
+    // network view). Part nodes live at ODD distances in the bipartite
+    // order↔part graph, so 3 hops yields parts at dist 1 and 3.
+    "g6_khop_attrs" -> { (s, d) =>
+      val g = symGraph(s, d)
+      val src = Tables.lineitem(s, d)
+        .agg(min(col("l_orderkey")).as("k"))
+        .select((col("k") * 2).as("id"))
+      g.kHop(src, 3)
+        .filter(col("id") % 2 === 1)
+        .withColumn("p_partkey", expr("id DIV 2"))
+        .join(Tables.part(s, d), Seq("p_partkey"))
+        .select(col("dist"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("dist").asc, col("p_partkey").asc)
+        .limit(200)
     }
   )
 
@@ -275,6 +313,57 @@ object Graph extends QueryPack {
          |${iter("r2", "r3")}
          |SELECT $nodeNameSql AS node, rank FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
     },
+
+    "g6_components_converged" -> {
+      // Every round CTE is MATERIALIZED: each references its predecessor
+      // twice, and DuckDB inlines plain CTEs — a 10-round chain would
+      // re-evaluate the whole prefix 2^10 times without it.
+      def round(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT l.id, least(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+           |  FROM $prev l LEFT JOIN (
+           |    SELECT e.dst AS id, MIN($prev.lbl) AS nl
+           |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
+           |  ) m ON m.id = l.id
+           |)""".stripMargin
+      // 10 unrolled rounds: measured fixpoint is 5 rounds at sf0.01 and 8 at
+      // sf0.1; rounds past the fixpoint don't change the labeling.
+      val rounds = (0 until 10).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_quantity >= 50),
+         |edges AS MATERIALIZED (
+         |  $symEdgesSql
+         |),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+         |$rounds
+         |SELECT $nodeNameSql AS component, n_members FROM (
+         |  SELECT lbl AS id, COUNT(*) AS n_members FROM l10 GROUP BY lbl
+         |) ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin
+    },
+
+    "g6_khop_attrs" ->
+      s"""WITH e AS ($edgesSql),
+         |edges AS (
+         |  $symEdgesSql
+         |),
+         |n0 AS (SELECT MIN(l_orderkey) * 2 AS id FROM lineitem),
+         |d1 AS (
+         |  SELECT DISTINCT dst AS id FROM edges JOIN n0 ON edges.src = n0.id
+         |),
+         |d2 AS (
+         |  SELECT DISTINCT dst AS id FROM edges JOIN d1 ON edges.src = d1.id
+         |  WHERE dst NOT IN (SELECT id FROM n0) AND dst NOT IN (SELECT id FROM d1)
+         |),
+         |d3 AS (
+         |  SELECT DISTINCT dst AS id FROM edges JOIN d2 ON edges.src = d2.id
+         |  WHERE dst NOT IN (SELECT id FROM n0) AND dst NOT IN (SELECT id FROM d1)
+         |    AND dst NOT IN (SELECT id FROM d2)
+         |),
+         |hops AS (SELECT 1 AS dist, id FROM d1 UNION ALL SELECT 3 AS dist, id FROM d3)
+         |SELECT dist, p_partkey, p_name, p_retailprice
+         |FROM hops JOIN part ON p_partkey = hops.id // 2
+         |WHERE hops.id % 2 = 1
+         |ORDER BY dist ASC, p_partkey ASC LIMIT 200""".stripMargin,
 
     "g6_labelprop" -> {
       def round(prev: String, cur: String) =

@@ -111,6 +111,24 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id", "session_start")
     },
 
+    // ST3 (batch shape): watermark late-row semantics made oracle-visible —
+    // per user, the watermark is that user's max event time minus a 24 h
+    // horizon; rows behind it are the ones a streaming run with
+    // `withWatermark("ts", "24 hours")` would have dropped had they arrived
+    // last (the StreamingSpec late-row scenario, rendered deterministically
+    // over the full batch). Output: per-user kept/dropped accounting.
+    "st3_late_drop" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("wm", max(col("ts")).over(w) - expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("ts") < col("wm"), 1L).otherwise(0L)).as("n_dropped"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("user_id")
+    },
+
     // ST5 (batch shape): dedup by event_id — input doubled so the dedup
     // provably halves it; streaming form is dropDuplicatesWithinWatermark
     // (graft.streaming.StreamOps.dedupEvents, asserted in StreamingSpec).
@@ -236,6 +254,16 @@ object WindowsAndEvents extends QueryPack {
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM grouped GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st3_late_drop" ->
+      """SELECT user_id, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  MAX(ts) AS max_ts
+        |FROM (
+        |  SELECT user_id, ts, MAX(ts) OVER (PARTITION BY user_id) - INTERVAL 24 HOUR AS wm
+        |  FROM events
+        |)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st5_dedup" ->
       """SELECT (SELECT COUNT(*) FROM (SELECT * FROM events UNION ALL SELECT * FROM events)) AS n_total,

@@ -52,6 +52,28 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(m("b") > m("a") && m("c") > m("d"))
   }
 
+  test("connectedComponents converges to exact component minima and stops") {
+    val (labels, rounds) = tiny.connectedComponents()
+    val m = labels.as[(String, String)].collect().toMap
+    assert(m === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e"))
+    // Path a-b-c-d has eccentricity 3 from 'a'; must stop soon after, not
+    // run to the maxIters guard.
+    assert(rounds >= 3 && rounds <= 6, s"rounds=$rounds")
+  }
+
+  test("pageRankConverged reaches the fixed-iteration fixpoint") {
+    val g = tiny
+    val tol = 1e-6
+    val conv  = g.pageRankConverged(tol).orderBy("id").as[(String, Long)].collect().toSeq
+    val fixed = g.pageRankFixed(30).orderBy("id").as[(String, Long)].collect().toSeq
+    assert(conv.map(_._1) === fixed.map(_._1))
+    val maxDiff = conv.zip(fixed).map { case ((_, a), (_, b)) => math.abs(a - b) }.max
+    // Stopping at delta <= tol·scale leaves ranks within a small multiple
+    // of that band of the true fixpoint.
+    assert(maxDiff <= 10L * (tol * 1000000000000L).toLong, s"maxDiff=$maxDiff")
+  }
+
   test("coSourcePairs: uncapped pairs on a known graph") {
     // dsts: x shared by a,b,c; y shared by a,b → pairs (a,b):2, (a,c):1, (b,c):1
     val e = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("b", "y"))

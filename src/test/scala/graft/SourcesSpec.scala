@@ -34,6 +34,52 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("csv bad-record handling: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft_badcsv_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$out/data.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", IntegerType),
+      StructField("_corrupt", StringType)))
+
+    val permissive = spark.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt").schema(schema).csv(s"$out/data.csv")
+    // Corrupt-record column semantics: must materialize the raw line for the
+    // bad row and null for good ones.
+    val rows = permissive.cache().collect() // cache: corrupt col needs full-row parse
+    assert(rows.length === 3)
+    assert(permissive.filter(col("_corrupt").isNotNull).count() === 1)
+    assert(permissive.filter(col("_corrupt").isNotNull).select("id").head().getInt(0) === 2)
+
+    val dropped = spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .schema(StructType(schema.dropRight(1))).csv(s"$out/data.csv")
+    assert(dropped.select(sum("qty")).head().getLong(0) === 40L)
+
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", "true").option("mode", "FAILFAST")
+        .schema(StructType(schema.dropRight(1))).csv(s"$out/data.csv").collect()
+    }
+  }
+
+  test("multiline json objects parse with multiLine=true") {
+    val out = Files.createTempDirectory("graft_mljson_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$out/data.json"),
+      """[
+        |  {"id": 1,
+        |   "name": "alpha"},
+        |  {"id": 2,
+        |   "name": "beta"}
+        |]""".stripMargin)
+    val ml = spark.read.option("multiLine", "true").json(s"$out/data.json")
+    assert(ml.count() === 2)
+    assert(ml.orderBy("id").select("name").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq === Seq("alpha", "beta"))
+    // Without multiLine the same file is one corrupt record, not two rows.
+    val single = spark.read.json(s"$out/data.json")
+    assert(single.columns.contains("_corrupt_record") || single.count() != 2)
+  }
+
   test("parquet partitioned write prunes partitions on read") {
     val src = Tables.documents(spark, dir).select("doc_id", "lang", "source", "text")
     val out = Files.createTempDirectory("graft_part_").toString
