@@ -102,6 +102,29 @@ object Embeddings extends QueryPack {
         .orderBy("qid")
     },
 
+    // V6: embedding-cosine near-dup pairs — the vector-space member of the
+    // dedup family (T3/T4/T5/T6 are its text-space siblings). Candidates
+    // come ONLY from shared 6-bit sign-LSH buckets (corpus ~1/64 per
+    // bucket, never all-pairs), buckets are capped at 64 members before the
+    // self-join (same guard as the MinHash band caps — a degenerate bucket
+    // stays C(64,2)), and the exact cosine then verifies candidates at the
+    // threshold. The synthetic corpus has no true duplicates, so the
+    // threshold is set where the fixture's near-neighbors live (≥ 0.4).
+    "v6_cosine_neardup" -> { (s, d) =>
+      val c = corpus(s, d).withColumn("bucket", signBucket(col("emb"), 6))
+      // Materialized once: the capped corpus feeds both self-join sides.
+      val capped = graft.plans.TopKPerKey(
+        c.select("vec_id", "emb", "nrm", "bucket"),
+        Seq("bucket"), Seq("vec_id" -> true), k = 64).localCheckpoint()
+      val a = capped.select(col("vec_id").as("qid"), col("emb").as("qe"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      a.join(capped, col("bucket") === col("qbucket") && col("qid") < col("vec_id"))
+        .select(col("qid").as("vec_a"), col("vec_id").as("vec_b"),
+          pairCos.as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    },
+
     // V4: per-label centroid, decimal-exact (order-independent sums → hash
     // parity with the oracle). One row per (label, dim).
     "v4_label_centroid" -> { (s, d) =>
@@ -198,6 +221,25 @@ object Embeddings extends QueryPack {
          |SELECT qid, vec_id AS nn_id, cos_sim FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
          |) WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    "v6_cosine_neardup" -> {
+      val bucket6 = (1 to 6).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, $bucket6 AS bucket
+         |  FROM embeddings),
+         |capped AS (
+         |  SELECT vec_id, emb, bucket FROM (
+         |    SELECT vec_id, emb, bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn FROM v
+         |  ) WHERE rn <= 64
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosSql("a.emb", "b.emb")}, 6) AS cos_sim
+         |FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.emb", "b.emb")}, 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "v4_label_centroid" ->
       """SELECT label, dim,

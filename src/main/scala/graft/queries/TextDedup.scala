@@ -90,9 +90,13 @@ object TextDedup extends QueryPack {
     */
   private[queries] val BucketCap = 64
 
-  /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands. */
+  /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands.
+    * The capped band table feeds BOTH sides of the self-join; without the
+    * eager materialization the whole signature pipeline (shingle scan →
+    * minhash agg → banding → cap) executes twice, once per side.
+    */
   private def candidates(bands: DataFrame): DataFrame = {
-    val capped = capBuckets(bands, BucketCap)
+    val capped = capBuckets(bands, BucketCap).localCheckpoint()
     val a = capped.toDF("doc_a", "band_a", "key_a")
     val b = capped.toDF("doc_b", "band_b", "key_b")
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&

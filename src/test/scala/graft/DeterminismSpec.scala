@@ -24,7 +24,10 @@ class DeterminismSpec extends AnyFunSuite {
     "g6_labelprop",
     "st2_session_window",
     "e1_ingest_pages",
-    "a1_salted_degree")     // salted two-phase agg
+    "a1_salted_degree",     // salted two-phase agg
+    "g6_components_converged", // convergence loop (round count must not depend on partitioning)
+    "v6_cosine_neardup",    // capped-bucket self-join
+    "st3_late_drop")        // per-key watermark arithmetic
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
