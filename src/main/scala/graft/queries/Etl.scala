@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -158,6 +158,36 @@ object Etl extends QueryPack {
         .limit(200)
     },
 
+    // DQ2: PII redaction — the scrub pass a corpus runs before shipping:
+    // emails, URLs, and phone-shaped tokens replaced by typed placeholders
+    // via a codegen'd regexp_replace chain (no UDF). The fixture text has
+    // no PII, so (as with s2's synthetic HTML) each doc gets a
+    // deterministic synthetic contact line appended from its own tokens;
+    // the output counts prove every planted token was found, and both
+    // engines run the identical regex chain.
+    "dq2_redact" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      val contact = concat(
+        lit(" contact "), element_at(t, 1), lit("@example.com or "),
+        element_at(t, 2), lit("@mail.org visit https://"),
+        element_at(t, 3), lit(".example.net/page call 555-0142"))
+      def count(x: Column, tokn: String): Column =
+        (size(split(x, tokn)) - 1).cast("long")
+      val red = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("aug"), "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+", "<EMAIL>"),
+          "https?://[a-z0-9./]+", "<URL>"),
+        "[0-9]{3}-[0-9]{4}", "<PHONE>")
+      Tables.documents(s, d)
+        .withColumn("aug", concat(col("text"), contact))
+        .select(col("doc_id"), length(col("aug")).as("len_before"),
+          length(red).as("len_after"),
+          count(red, "<EMAIL>").as("n_emails"),
+          count(red, "<URL>").as("n_urls"),
+          count(red, "<PHONE>").as("n_phones"))
+        .orderBy("doc_id")
+    },
+
     // DQ1: column profiling — the null/distinct/min/max summary a pipeline
     // runs before trusting a new drop of data (one pass, all columns).
     "dq1_profile" -> { (s, d) =>
@@ -306,6 +336,25 @@ object Etl extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |  len(json_keys(props)) + 1 AS merged_n
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "dq2_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || t[1] || '@example.com or ' || t[2] || '@mail.org visit https://' || t[3] || '.example.net/page call 555-0142' AS aug
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |), red AS (
+        |  SELECT doc_id, aug,
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      'https?://[a-z0-9./]+', '<URL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r
+        |  FROM aug
+        |)
+        |SELECT doc_id, length(aug) AS len_before, length(r) AS len_after,
+        |  CAST(len(string_split(r, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(string_split(r, '<URL>')) - 1 AS BIGINT) AS n_urls,
+        |  CAST(len(string_split(r, '<PHONE>')) - 1 AS BIGINT) AS n_phones
+        |FROM red ORDER BY doc_id""".stripMargin,
 
     "dq1_profile" ->
       """WITH s AS (SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey, l_quantity, l_extendedprice, l_discount FROM lineitem)

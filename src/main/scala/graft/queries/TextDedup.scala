@@ -313,6 +313,31 @@ object TextDedup extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // T11: benchmark-contamination check — the decontamination pass a
+    // training pipeline runs before shipping a corpus: per corpus doc, the
+    // count of distinct word-4-grams also present in a held-out "benchmark"
+    // set (deterministic 1-in-7 doc_id sample). The join runs on the
+    // shingle HASH (15 md5 hex digits as a long), so the shuffle carries
+    // 8 bytes per shingle instead of the n-gram text; the hash is mirrored
+    // in the oracle SQL, so any collision behaves identically in both
+    // engines. Benchmark side is distinct-hashed and at 100 TB would be
+    // broadcast (it is small by construction).
+    "t11_contamination" -> { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), 4)
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val bench  = sh.filter(col("doc_id") % 7 === 0).select(col("h").as("bh")).distinct()
+      val corpus = sh.filter(col("doc_id") % 7 =!= 0)
+      val sizes  = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      val hits   = corpus.join(broadcast(bench), col("h") === col("bh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      hits.join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_ngrams"), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
+    },
+
     // T7a: language-ID + quality scoring per doc (marker-count heuristic and
     // composite score, all arithmetic mirrored exactly in the oracle SQL).
     "t7_lang_quality" -> { (s, d) =>
@@ -446,6 +471,26 @@ object TextDedup extends QueryPack {
         |)
         |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
         |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "t11_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')))) AS sh
+        |  FROM tok WHERE len(t) >= 4
+        |), h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM sh
+        |), bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, h FROM h WHERE doc_id % 7 != 0),
+        |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_contaminated FROM corpus
+        |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, n_ngrams, n_contaminated,
+        |  round(CAST(n_contaminated AS DOUBLE) / n_ngrams, 6) AS contamination
+        |FROM hits JOIN sizes s ON s.doc_id = hits.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "t7_lang_quality" ->
       s"""WITH padded_docs AS (
