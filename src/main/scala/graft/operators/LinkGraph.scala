@@ -65,6 +65,10 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     */
   def coSourcePairs(cap: Int): DataFrame = {
     require(cap >= 2, s"coSourcePairs: cap must be >= 2, got $cap")
+    // Requires DISTINCT (src, dst) edges — duplicates would inflate the
+    // co-occurrence counts. collect_list over pre-distinct input measured
+    // faster than fusing the dedup into collect_set here (set maintenance
+    // per row costs more than the distinct pass it saves).
     val byDst = edges
       .groupBy(col("dst"))
       .agg(slice(sort_array(collect_list(col("src"))), 1, cap).as("ss"))
@@ -121,15 +125,18 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
-      val contrib = e
+      // One shuffle per iteration: neighbor contributions unioned with a
+      // zero row per node (ranks holds every node id, so the zero row both
+      // guarantees presence and removes the join-back onto the node table —
+      // the former left-outer join cost a sort-merge join + two exchanges
+      // per round).
+      val contribs = e
         .join(ranks, e("src") === ranks("id"))
-        .select(col("dst").as("id"), expr("rank DIV out_deg").as("c"))
-        .groupBy("id")
-        .agg(sum(col("c")).as("in_sum"))
-      ranks = nodes
-        .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
-          expr(s"(15 * ${scale}L + 85 * coalesce(in_sum, 0L)) DIV 100").as("rank"))
+        .select(col("dst").as("nid"), expr("rank DIV out_deg").as("c"))
+        .union(ranks.select(col("id").as("nid"), lit(0L).as("c")))
+      ranks = contribs
+        .groupBy(col("nid").as("id"))
+        .agg(expr(s"(15 * ${scale}L + 85 * sum(c)) DIV 100").as("rank"))
       if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
@@ -196,16 +203,18 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     var delta = Long.MaxValue
     var i = 0
     while (delta > tolFixed && i < maxIters) {
-      val contrib = e
+      // Same single-shuffle round as [[pageRankFixed]]; the per-node zero
+      // row doubles as the previous-rank carrier for the delta check.
+      val contribs = e
         .join(ranks, e("src") === ranks("id"))
-        .select(col("dst").as("id"), expr("rank DIV out_deg").as("c"))
-        .groupBy("id")
-        .agg(sum(col("c")).as("in_sum"))
-      val next = ranks
-        .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
-          expr(s"(15 * ${scale}L + 85 * coalesce(in_sum, 0L)) DIV 100").as("new_rank"),
-          col("rank").as("prev"))
+        .select(col("dst").as("nid"), expr("rank DIV out_deg").as("c"),
+          lit(null).cast("long").as("prev_in"))
+        .union(ranks.select(col("id").as("nid"), lit(0L).as("c"),
+          col("rank").as("prev_in")))
+      val next = contribs
+        .groupBy(col("nid").as("id"))
+        .agg(expr(s"(15 * ${scale}L + 85 * sum(c)) DIV 100").as("new_rank"),
+          max(col("prev_in")).as("prev"))
         .localCheckpoint()
       delta = next.agg(max(abs(col("new_rank") - col("prev"))))
         .head().getLong(0)
