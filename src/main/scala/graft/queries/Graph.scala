@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -152,6 +152,34 @@ object Graph extends QueryPack {
         .select("p_partkey", "p_name")
     },
 
+    // E2: the serving-layer payload PRECURSOR — the reference's network
+    // API rows (hub node + top-k neighbors with label, size=in-degree, and
+    // deterministic md5-derived layout coords) as a table. The JSON
+    // assembly itself ([[graft.api.NetworkApi.neighborhoodPayload]],
+    // collect_list(struct)+to_json over exactly these rows) is asserted in
+    // NetworkApiSpec; this query makes the row content oracle-visible.
+    "e2_network_nodes" -> { (s, d) =>
+      def coord(id: Column, salt: String) =
+        round(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+          .cast("double") / 65536.0, 6)
+      val e = edges(s, d).localCheckpoint()
+      val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("o").asc).limit(1)
+        .select(col("o").as("hub_o"), col("n").as("hub_deg"))
+      val indeg = e.groupBy(col("p")).agg(count(lit(1)).as("part_indeg"))
+      val nbrs = e.join(broadcast(hub), col("o") === col("hub_o"))
+        .join(indeg, Seq("p"))
+        .join(Tables.part(s, d), col("p") === col("p_partkey"))
+        .orderBy(col("part_indeg").desc, col("p").asc).limit(10)
+        .select(concat(lit("p"), col("p").cast("string")).as("id"),
+          col("p_name").as("label"), col("part_indeg").as("size"),
+          coord(col("p"), "x").as("x"), coord(col("p"), "y").as("y"))
+      val hubRow = hub.select(concat(lit("o"), col("hub_o").cast("string")).as("id"),
+        lit("hub").as("label"), col("hub_deg").as("size"),
+        coord(col("hub_o"), "x").as("x"), coord(col("hub_o"), "y").as("y"))
+      hubRow.union(nbrs).orderBy(col("size").desc, col("id").asc)
+    },
+
     // G6a: BFS — node counts at distance 1..3 from the smallest order node.
     "g6_khop" -> { (s, d) =>
       val g = symGraph(s, d)
@@ -245,6 +273,33 @@ object Graph extends QueryPack {
          |WHERE o IN (SELECT o_orderkey FROM orders WHERE o_custkey <= 5)
          |  AND p IN (SELECT p_partkey FROM part WHERE p_size >= 40)
          |ORDER BY o, p""".stripMargin,
+
+    "e2_network_nodes" -> {
+      def coordSql(idExpr: String, salt: String) =
+        s"round(CAST(('0x' || substr(md5('$salt' || CAST($idExpr AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0, 6)"
+      s"""WITH e AS ($edgesSql),
+         |hub AS (
+         |  SELECT o AS hub_o, n AS hub_deg FROM (
+         |    SELECT o, COUNT(*) AS n, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o ASC) AS rn
+         |    FROM e GROUP BY o
+         |  ) WHERE rn = 1
+         |),
+         |indeg AS (SELECT p, COUNT(*) AS part_indeg FROM e GROUP BY p),
+         |nbrs AS (
+         |  SELECT 'p' || CAST(e.p AS VARCHAR) AS id, p_name AS label, part_indeg AS size,
+         |    ${coordSql("e.p", "x")} AS x, ${coordSql("e.p", "y")} AS y
+         |  FROM e JOIN hub ON e.o = hub.hub_o
+         |  JOIN indeg ON indeg.p = e.p
+         |  JOIN part ON p_partkey = e.p
+         |  ORDER BY part_indeg DESC, e.p ASC LIMIT 10
+         |)
+         |SELECT * FROM (
+         |  SELECT 'o' || CAST(hub_o AS VARCHAR) AS id, 'hub' AS label, hub_deg AS size,
+         |    ${coordSql("hub_o", "x")} AS x, ${coordSql("hub_o", "y")} AS y
+         |  FROM hub
+         |  UNION ALL SELECT * FROM nbrs
+         |) ORDER BY size DESC, id ASC""".stripMargin
+    },
 
     "g3_degrees" ->
       """SELECT l_partkey, COUNT(*) AS indeg, COUNT(DISTINCT l_orderkey) AS n_orders
