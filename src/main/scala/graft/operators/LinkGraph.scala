@@ -160,14 +160,17 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * smallest node id in the component.
     */
   def connectedComponents(maxIters: Int = 100): (DataFrame, Int) = {
+    // Loop-invariant edge input materializes ONCE (as in the PageRank
+    // methods) — otherwise a derived edge plan re-executes every round.
+    val e = edges.localCheckpoint()
     val nodes = nodeIds.localCheckpoint()
     val lblType = nodes.schema("id").dataType
     var labels  = nodes.withColumn("lbl", col("id"))
     var changed = 1L
     var rounds  = 0
     while (changed > 0 && rounds < maxIters) {
-      val contribs = edges
-        .join(labels, edges("src") === labels("id"))
+      val contribs = e
+        .join(labels, e("src") === labels("id"))
         .select(col("dst").as("nid"), col("lbl"),
           lit(null).cast(lblType).as("self_lbl"))
         .union(labels.select(col("id").as("nid"), col("lbl"),
@@ -216,8 +219,9 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .agg(expr(s"(15 * ${scale}L + 85 * sum(c)) DIV 100").as("new_rank"),
           max(col("prev_in")).as("prev"))
         .localCheckpoint()
-      delta = next.agg(max(abs(col("new_rank") - col("prev"))))
-        .head().getLong(0)
+      // max over an empty frame is NULL (empty graph) — converged trivially.
+      val deltaRow = next.agg(max(abs(col("new_rank") - col("prev")))).head()
+      delta = if (deltaRow.isNullAt(0)) 0L else deltaRow.getLong(0)
       ranks = next.select(col("id"), col("new_rank").as("rank"))
       i += 1
     }

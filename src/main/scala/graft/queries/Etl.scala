@@ -47,7 +47,11 @@ object Etl extends QueryPack {
     // The oracle computes the same projection straight off the parquet
     // table, so any quoting/header/type-inference loss breaks the hash.
     "s7_csv_roundtrip" -> { (s, d) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_${d.hashCode.toHexString}"
+      // Path is per-application (applicationId) so concurrent processes
+      // against the same sfDir never race on the overwrite; reruns within
+      // one session reuse (and atomically overwrite) their own dir.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_" +
+        s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}"
       Tables.nation(s, d)
         .withColumn("note", concat(col("n_name"), lit(", region "), col("n_regionkey")))
         .write.mode("overwrite").option("header", "true").csv(tmp)

@@ -79,6 +79,24 @@ object Graph extends QueryPack {
   private val nodeNameSql =
     "CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR) ELSE 'p' || CAST(id // 2 AS VARCHAR) END"
 
+  /** Shared by g1_neighborhood and e2_network_nodes: the hub order (most
+    * distinct parts, deterministic tiebreak) and its neighbors resolved to
+    * part rows with in-degrees. One definition so the serving payload and
+    * the neighborhood query can never disagree about hub selection.
+    */
+  private def hubNeighborhood(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = edges(s, d).localCheckpoint()
+    val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o").asc)
+      .limit(1)
+      .select(col("o").as("hub_o"), col("n").as("hub_deg"))
+    val indeg = e.groupBy(col("p")).agg(count(lit(1)).as("part_indeg"))
+    val nbrs = e.join(broadcast(hub), col("o") === col("hub_o"))
+      .join(indeg, Seq("p"))
+      .join(Tables.part(s, d), col("p") === col("p_partkey"))
+    (hub, nbrs)
+  }
+
   /** Max adjacency-list length per shared endpoint in g4 pair generation
     * (see [[graft.operators.LinkGraph.coSourcePairs]]); above the hottest
     * fixture part (~30 orders at sf0.1), so fixture results are unchanged.
@@ -90,17 +108,10 @@ object Graph extends QueryPack {
     // neighbors resolved to part rows and ranked by their in-degree —
     // the reference's network-view shape (top-k neighbors by `incoming`).
     "g1_neighborhood" -> { (s, d) =>
-      // Top-1 via orderBy+limit → TakeOrderedAndProject, not a global
+      // Top-1 hub via orderBy+limit → TakeOrderedAndProject, not a global
       // single-partition window (which would serialize the whole agg).
-      val e = edges(s, d).localCheckpoint()
-      val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("o").asc)
-        .limit(1)
-        .select(col("o").as("hub_o"))
-      val indeg = e.groupBy(col("p")).agg(count(lit(1)).as("part_indeg"))
-      e.join(broadcast(hub), col("o") === col("hub_o"))
-        .join(indeg, Seq("p"))
-        .join(Tables.part(s, d), col("p") === col("p_partkey"))
+      val (_, nbrs) = hubNeighborhood(s, d)
+      nbrs
         .select(col("hub_o"), col("p_partkey"), col("p_name"), col("part_indeg"))
         .orderBy(col("part_indeg").desc, col("p_partkey").asc)
         .limit(10)
@@ -162,14 +173,8 @@ object Graph extends QueryPack {
       def coord(id: Column, salt: String) =
         round(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
           .cast("double") / 65536.0, 6)
-      val e = edges(s, d).localCheckpoint()
-      val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("o").asc).limit(1)
-        .select(col("o").as("hub_o"), col("n").as("hub_deg"))
-      val indeg = e.groupBy(col("p")).agg(count(lit(1)).as("part_indeg"))
-      val nbrs = e.join(broadcast(hub), col("o") === col("hub_o"))
-        .join(indeg, Seq("p"))
-        .join(Tables.part(s, d), col("p") === col("p_partkey"))
+      val (hub, nbrsAll) = hubNeighborhood(s, d)
+      val nbrs = nbrsAll
         .orderBy(col("part_indeg").desc, col("p").asc).limit(10)
         .select(concat(lit("p"), col("p").cast("string")).as("id"),
           col("p_name").as("label"), col("part_indeg").as("size"),
@@ -381,9 +386,12 @@ object Graph extends QueryPack {
            |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
            |  ) m ON m.id = l.id
            |)""".stripMargin
-      // 10 unrolled rounds: measured fixpoint is 5 rounds at sf0.01 and 8 at
-      // sf0.1; rounds past the fixpoint don't change the labeling.
-      val rounds = (0 until 10).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
+      // 16 unrolled rounds: measured fixpoint is 5 rounds at sf0.01 and 8
+      // at sf0.1 (growing slowly with SF); rounds past the fixpoint don't
+      // change the labeling, so the margin costs little (MATERIALIZED CTEs
+      // make each extra round one cheap incremental join) and protects
+      // against a longer-chained component at a bigger SF.
+      val rounds = (0 until 16).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
       s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_quantity >= 50),
          |edges AS MATERIALIZED (
          |  $symEdgesSql
@@ -392,7 +400,7 @@ object Graph extends QueryPack {
          |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
          |$rounds
          |SELECT $nodeNameSql AS component, n_members FROM (
-         |  SELECT lbl AS id, COUNT(*) AS n_members FROM l10 GROUP BY lbl
+         |  SELECT lbl AS id, COUNT(*) AS n_members FROM l16 GROUP BY lbl
          |) ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin
     },
 

@@ -314,9 +314,11 @@ object TextDedup extends QueryPack {
     },
 
     // T11: benchmark-contamination check — the decontamination pass a
-    // training pipeline runs before shipping a corpus: per corpus doc, the
-    // count of distinct word-4-grams also present in a held-out "benchmark"
-    // set (deterministic 1-in-7 doc_id sample). The join runs on the
+    // training pipeline runs before shipping a corpus: for every CONTAMINATED
+    // corpus doc (≥1 hit — clean docs emit no row; this is the flag list a
+    // pipeline acts on, not a full census), the count of distinct
+    // word-4-grams also present in a held-out "benchmark" set
+    // (deterministic 1-in-7 doc_id sample). The join runs on the
     // shingle HASH (15 md5 hex digits as a long), so the shuffle carries
     // 8 bytes per shingle instead of the n-gram text; the hash is mirrored
     // in the oracle SQL, so any collision behaves identically in both

@@ -21,6 +21,10 @@ def canon(rows, cols):
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
+    # --partial: a filtered Verify run dumped a subset; skip (don't fail)
+    # oracle entries with no output. WITHOUT the flag a missing output is a
+    # FAILURE — a query that crashed in Verify must not go green.
+    partial = "--partial" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -28,11 +32,14 @@ def main():
     n_pass = n_fail = 0
     import os
     produced = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
-    # Filtered Verify runs dump a subset; only judge what was produced.
     missing = sorted(set(oracle) - set(produced))
-    if missing:
+    if missing and partial:
         print(f"  (skipping {len(missing)} oracle entries with no dumped output)")
-    oracle = {k: v for k, v in oracle.items() if k in produced}
+        oracle = {k: v for k, v in oracle.items() if k in produced}
+    elif missing:
+        for name in missing:
+            print(f"✗ {name}: oracle SQL present but no spark output (query crashed in Verify?)")
+            n_fail += 1
     for name in produced:
         if name not in oracle:
             r = con.execute(f"SELECT count(*) FROM '{out}/{name}/*.parquet'").fetchone()[0]
@@ -98,11 +105,8 @@ def main():
         else:
             print(f"✓ {name} ({len(a)} rows)")
             n_pass += 1
-    missing = [k for k in oracle if k not in produced]
-    for k in missing:
-        print(f"✗ {k}: oracle SQL present but no spark output")
-        n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(produced)-n_pass-n_fail} rows-only")
+    rows_only = len([n for n in produced if n not in oracle])
+    print(f"\n{n_pass} pass, {n_fail} fail, {rows_only} rows-only")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
