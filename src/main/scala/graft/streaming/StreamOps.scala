@@ -57,6 +57,20 @@ object StreamOps {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** ST5b: within-watermark CONTENT dedup — the streaming form of exact
+    * text dedup (T3): rows are deduplicated by an md5 fingerprint of their
+    * payload, not their id, so re-delivered copies with fresh event_ids
+    * still collapse. State is one fingerprint per unique payload inside
+    * the watermark horizon — bounded, like every watermarked op here.
+    */
+  def dedupByContent(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("__fp", md5(concat_ws("|",
+        col("user_id"), col("event_type"), col("value"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** ST6: stream-static enrichment join (static side broadcast per batch). */
   def enrich(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers), col("user_id") === col("c_custkey"), "left_outer")

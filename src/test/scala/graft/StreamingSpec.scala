@@ -72,6 +72,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST5b: content dedup collapses re-delivered payloads with fresh event ids") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.dedupByContent(ms.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("content_dedup_test").outputMode("append").start()
+    try {
+      // Same payload (uid=1, view, 1.0) under three DIFFERENT event ids,
+      // plus one distinct payload.
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"), ev(2, "2024-01-01T10:01:00Z"),
+        ev(3, "2024-01-01T10:02:00Z", uid = 2L, v = 5.0))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01T10:03:00Z")) // re-delivery, new id → dropped
+      q.processAllAvailable()
+      val ids = spark.table("content_dedup_test").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 3L), "one row per distinct payload, first delivery wins")
+    } finally q.stop()
+  }
+
   test("ST4: mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
