@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => new TopKPerKeyStrategy)
+    // Key-only Filters commute with per-key top-k; without this rule the
+    // custom node is a pushdown barrier (see PushFilterThroughTopKPerKey).
+    ext.injectOptimizerRule(_ => PushFilterThroughTopKPerKey)
 
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

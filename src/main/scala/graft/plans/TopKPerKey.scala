@@ -71,6 +71,36 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = newChild)
 }
 
+/** Optimizer rule: a deterministic Filter directly above [[TopKPerKeyNode]]
+  * whose predicates reference only the node's KEY columns commutes with the
+  * operator — "top k per key, then keep some keys" ≡ "keep some keys, then
+  * top k per key", because the operator treats key groups independently.
+  * Pushing the key predicates below the node re-enters Catalyst's normal
+  * pushdown pipeline, so they keep sinking to the scan (`PushedFilters`).
+  * Without this rule a custom logical node is a pushdown BARRIER: Catalyst
+  * won't move a Filter through an operator it doesn't know is
+  * key-group-preserving. Predicates referencing non-key columns stay above
+  * (they would change which rows win the top k).
+  */
+object PushFilterThroughTopKPerKey
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, t: TopKPerKeyNode) =>
+      val keyAttrs = AttributeSet(t.keys.flatMap(_.references))
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(keyAttrs))
+      if (push.isEmpty) f
+      else {
+        val pushed = t.copy(child = Filter(push.reduce(And), t.child))
+        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+      }
+  }
+}
+
 /** Planner strategy mapping the logical node to the physical exec. The
   * per-partition key-count threshold for the in-memory heap path is read
   * here (plan time) from `spark.graft.topk.maxHeapKeys`.

@@ -71,6 +71,27 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.topk.maxHeapKeys")
   }
 
+  test("key-only filter pushes through the node to the scan; value filter stays above") {
+    val base = TopKPerKey(Tables.part(spark, dir), Seq("p_brand"),
+      Seq("p_retailprice" -> false, "p_partkey" -> true), k = 3)
+
+    // Key predicate: commutes with per-key top-k → must reach PushedFilters.
+    val keyFiltered = base.filter(col("p_brand") === "Brand#11")
+    val kp = keyFiltered.queryExecution.executedPlan.toString
+    assert(kp.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#11)]"),
+      kp.take(2000))
+    // Semantics: identical to filtering before the operator.
+    val pre = TopKPerKey(Tables.part(spark, dir).filter(col("p_brand") === "Brand#11"),
+      Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), k = 3)
+    assert(keyFiltered.exceptAll(pre).isEmpty && pre.exceptAll(keyFiltered).isEmpty)
+
+    // Non-key predicate must NOT push below (it would change the winners).
+    val vp = base.filter(col("p_retailprice") > 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(!vp.contains("PushedFilters: [IsNotNull(p_retailprice)"),
+      s"value filter must stay above the operator:\n${vp.take(2000)}")
+  }
+
   test("k larger than any group returns everything") {
     val part = Tables.part(spark, dir)
     val all = TopKPerKey(part, Seq("p_brand"),
