@@ -149,6 +149,41 @@ object Embeddings extends QueryPack {
         .orderBy("label")
     },
 
+    // V7: multi-probe IVF — same coarse quantizer as v5 but each probe
+    // searches its TWO nearest centroid lists (nprobe=2), the standard
+    // recall fix for probes that land near a Voronoi boundary. Cost is
+    // nprobe/nlists of the corpus per probe instead of 1/nlists; at scale
+    // this is scanning two partitions instead of one.
+    "v7_ivf_multiprobe" -> { (s, d) =>
+      val cents = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cemb"))
+        .select(col("label").as("clabel"), col("cemb"))
+      val c = corpus(s, d)
+      val q = probes(c)
+      val wAssign = Window.partitionBy(col("qid"))
+        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("clabel").asc)
+      val assigned = q.crossJoin(broadcast(cents))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") <= 2)
+        .select(col("qid"), col("qe"), col("qnrm"), col("clabel"))
+      val scored = broadcast(assigned)
+        .join(c, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
+        // A corpus vector can be reached through both probed lists only if
+        // lists were overlapping — labels partition the corpus, so no
+        // dedup is needed; rank over the union of both lists.
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
     // V5: IVF-style search — assign each probe to its nearest label centroid
     // (coarse quantizer), then search ONLY that label's partition. At scale
     // the corpus is partitioned by list id, so the probe touches one
@@ -248,6 +283,33 @@ object Embeddings extends QueryPack {
         |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
         |  FROM embeddings
         |) GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "v7_ivf_multiprobe" ->
+      s"""WITH cdim AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM (
+         |    SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v FROM embeddings
+         |  ) GROUP BY label, dim
+         |), cent AS (
+         |  SELECT label AS clabel, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY label
+         |),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT qid, qe, clabel FROM (
+         |    SELECT qid, qe, clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, clabel ASC) AS arn
+         |    FROM q, cent
+         |  ) WHERE arn <= 2
+         |),
+         |sc AS (
+         |  SELECT qid, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
+         |  FROM assigned a JOIN v ON v.label = a.clabel AND v.vec_id != a.qid
+         |)
+         |SELECT qid, vec_id, cos_sim, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "v5_ivf_topk" ->
       s"""WITH cdim AS (

@@ -27,7 +27,8 @@ class DeterminismSpec extends AnyFunSuite {
     "a1_salted_degree",     // salted two-phase agg
     "g6_components_converged", // convergence loop (round count must not depend on partitioning)
     "v6_cosine_neardup",    // capped-bucket self-join
-    "st3_late_drop")        // per-key watermark arithmetic
+    "st3_late_drop",        // per-key watermark arithmetic
+    "e2_network_nodes")     // serving payload rows (md5 coords, union ordering)
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
