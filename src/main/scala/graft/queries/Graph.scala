@@ -228,7 +228,9 @@ object Graph extends QueryPack {
         .filter(col("l_quantity") >= 50)
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
-      val (labels, _) = new LinkGraph(e).symmetrized.materialized.connectedComponents()
+      // No .materialized: connectedComponents checkpoints its edge input
+      // itself — doing both would materialize the edge table twice.
+      val (labels, _) = new LinkGraph(e).symmetrized.connectedComponents()
       labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_members"))
         .select(col("lbl").as("id"), col("n_members"))
