@@ -162,8 +162,12 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
   def connectedComponents(maxIters: Int = 100): (DataFrame, Int) = {
     // Loop-invariant edge input materializes ONCE (as in the PageRank
     // methods) — otherwise a derived edge plan re-executes every round.
+    // Nodes derive from the CHECKPOINTED edges, not the raw plan, so the
+    // edge derivation truly runs once.
     val e = edges.localCheckpoint()
-    val nodes = nodeIds.localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
     val lblType = nodes.schema("id").dataType
     var labels  = nodes.withColumn("lbl", col("id"))
     var changed = 1L

@@ -89,8 +89,13 @@ object PushFilterThroughTopKPerKey
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, t: TopKPerKeyNode) =>
-      val keyAttrs = AttributeSet(t.keys.flatMap(_.references))
+    // Fire only when every key is a bare Attribute: for a computed key
+    // (e.g. `a % 10`) a predicate over the underlying attribute is NOT a
+    // predicate over the key value — rows within one key group differ on
+    // it, and pushing would change which rows win the top k.
+    case f @ Filter(cond, t: TopKPerKeyNode)
+        if t.keys.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) =>
+      val keyAttrs = AttributeSet(t.keys)
       val (push, keep) = splitConjunctivePredicates(cond)
         .partition(p => p.deterministic && p.references.subsetOf(keyAttrs))
       if (push.isEmpty) f

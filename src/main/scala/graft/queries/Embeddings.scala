@@ -56,6 +56,32 @@ object Embeddings extends QueryPack {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
 
+  /** Per-label decimal-exact centroids as `(clabel, cemb)` — the IVF coarse
+    * quantizer shared by v5 (nprobe=1) and v7 (nprobe=2).
+    */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cemb"))
+      .select(col("label").as("clabel"), col("cemb"))
+
+  /** DuckDB mirror of [[centroids]] (cdim/cent CTE bodies). */
+  private val centSql: String =
+    """cdim AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
+      |  FROM (
+      |    SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v FROM embeddings
+      |  ) GROUP BY label, dim
+      |), cent AS (
+      |  SELECT label AS clabel, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY label
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1: brute-force top-10 cosine neighbors for each probe (baseline).
     "v1_knn_brute" -> { (s, d) =>
@@ -155,15 +181,7 @@ object Embeddings extends QueryPack {
     // nprobe/nlists of the corpus per probe instead of 1/nlists; at scale
     // this is scanning two partitions instead of one.
     "v7_ivf_multiprobe" -> { (s, d) =>
-      val cents = Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
-          count(lit(1))).as("cv"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("cemb"))
-        .select(col("label").as("clabel"), col("cemb"))
+      val cents = centroids(s, d)
       val c = corpus(s, d)
       val q = probes(c)
       val wAssign = Window.partitionBy(col("qid"))
@@ -189,15 +207,7 @@ object Embeddings extends QueryPack {
     // the corpus is partitioned by list id, so the probe touches one
     // partition instead of the full corpus.
     "v5_ivf_topk" -> { (s, d) =>
-      val cents = Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
-          count(lit(1))).as("cv"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("cemb"))
-        .select(col("label").as("clabel"), col("cemb"))
+      val cents = centroids(s, d)
       val c = corpus(s, d)
       val q = probes(c)
       val wAssign = Window.partitionBy(col("qid"))
@@ -285,15 +295,7 @@ object Embeddings extends QueryPack {
         |) GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "v7_ivf_multiprobe" ->
-      s"""WITH cdim AS (
-         |  SELECT label, dim,
-         |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
-         |  FROM (
-         |    SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v FROM embeddings
-         |  ) GROUP BY label, dim
-         |), cent AS (
-         |  SELECT label AS clabel, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY label
-         |),
+      s"""WITH $centSql,
          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
          |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
          |assigned AS (
@@ -312,15 +314,7 @@ object Embeddings extends QueryPack {
          |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "v5_ivf_topk" ->
-      s"""WITH cdim AS (
-         |  SELECT label, dim,
-         |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
-         |  FROM (
-         |    SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v FROM embeddings
-         |  ) GROUP BY label, dim
-         |), cent AS (
-         |  SELECT label AS clabel, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY label
-         |),
+      s"""WITH $centSql,
          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
          |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
          |assigned AS (

@@ -65,8 +65,13 @@ object StreamOps {
     */
   def dedupByContent(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
-      .withColumn("__fp", md5(concat_ws("|",
-        col("user_id"), col("event_type"), col("value"))))
+      // JSON-encode the payload struct for the fingerprint: field names and
+      // escaping make it injective where a delimiter join is not —
+      // concat_ws would SKIP null fields, aliasing (type=NULL, value=2.0)
+      // with (type="2.0", value=NULL), and a field containing the delimiter
+      // could forge another row's fingerprint.
+      .withColumn("__fp", md5(to_json(struct(
+        col("user_id"), col("event_type"), col("value")))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
