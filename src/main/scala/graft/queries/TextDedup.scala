@@ -356,6 +356,39 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // E3: the end-to-end corpus pipeline as ONE declarative plan — the
+    // composition a training-data run actually executes: quality filter
+    // (T7) → exact dedup by normalized fingerprint (T3) → deterministic
+    // stratified split (T9) → token-budget shard packing per (lang, split)
+    // (T10). Every stage reuses the already-oracle-gated building block;
+    // the output is the shard manifest. One codegen'd scan feeds the
+    // fingerprint window, then one window per (lang, split) packs — no
+    // collect, no driver loop, composes to any scale the parts do.
+    "e3_corpus_pipeline" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val deduped = Tables.documents(s, d)
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val withSplit = deduped
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      val wp = Window.partitionBy(col("lang"), col("split")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withSplit
+        .withColumn("cum_before", sum(col("n_tokens")).over(wp) - col("n_tokens"))
+        .withColumn("shard", expr("cum_before DIV 2000"))
+        .groupBy(col("lang"), col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "split", "shard")
+    },
+
     // T7b: per-(lang, source) slice analytics.
     "t7_slice_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -394,6 +427,25 @@ object TextDedup extends QueryPack {
   }
 
   private val swInList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** sw/mtl/pr component expressions over a relation exposing `text` and the
+    * token array `t` — shared by the t7 oracle and the e3 pipeline oracle so
+    * the quality arithmetic cannot diverge between them.
+    */
+  private val swSql =
+    s"CAST(len(list_filter(t, x -> x IN ($swInList))) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE)"
+  private val mtlSql =
+    "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE)"
+  private val prSql =
+    "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+
+  /** Composite quality score over sw/mtl/pr columns (mirror of
+    * [[TextFunctions.qualityScore]]).
+    */
+  private val qualityExprSql =
+    """round(least(1.0, greatest(0.0,
+      |    0.4 * least(sw * 5.0, 1.0) + 0.4 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+      |    + 0.2 * (1.0 - least(pr * 10.0, 1.0)))), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -501,17 +553,52 @@ object TextDedup extends QueryPack {
          |  FROM documents
          |), $langGuessSql, q AS (
          |  SELECT doc_id, lang, lang_guess,
-         |    CAST(len(list_filter(t, x -> x IN ($swInList))) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS sw,
-         |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS mtl,
-         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS pr
+         |    $swSql AS sw,
+         |    $mtlSql AS mtl,
+         |    $prSql AS pr
          |  FROM guessed
          |)
          |SELECT doc_id, lang, lang_guess, round(sw, 6) AS stopword_ratio,
          |  round(mtl, 6) AS mean_tok_len,
-         |  round(least(1.0, greatest(0.0,
-         |    0.4 * least(sw * 5.0, 1.0) + 0.4 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-         |    + 0.2 * (1.0 - least(pr * 10.0, 1.0)))), 6) AS quality
+         |  $qualityExprSql AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    "e3_corpus_pipeline" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang, text, $qualityExprSql AS quality FROM (
+         |    SELECT doc_id, lang, text,
+         |      $swSql AS sw,
+         |      $mtlSql AS mtl,
+         |      $prSql AS pr
+         |    FROM docs
+         |  )
+         |), filtered AS (
+         |  SELECT doc_id, lang, text,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         |  FROM scored WHERE quality >= 0.5
+         |), deduped AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM filtered
+         |  ) WHERE rn = 1
+         |), splitx AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+         |    FROM deduped
+         |  )
+         |), packed AS (
+         |  SELECT lang, split, doc_id, n_tokens,
+         |    CAST((SUM(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000
+         |         AS BIGINT) AS shard
+         |  FROM splitx
+         |)
+         |SELECT lang, split, shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens, MIN(doc_id) AS first_doc
+         |FROM packed GROUP BY lang, split, shard ORDER BY lang, split, shard""".stripMargin,
 
     "t7_slice_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
