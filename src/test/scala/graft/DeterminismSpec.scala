@@ -28,7 +28,9 @@ class DeterminismSpec extends AnyFunSuite {
     "g6_components_converged", // convergence loop (round count must not depend on partitioning)
     "v6_cosine_neardup",    // capped-bucket self-join
     "st3_late_drop",        // per-key watermark arithmetic
-    "e2_network_nodes")     // serving payload rows (md5 coords, union ordering)
+    "e2_network_nodes",     // serving payload rows (md5 coords, union ordering)
+    "e3_corpus_pipeline",   // 4-stage composition (filter→dedup→split→pack)
+    "v7_ivf_multiprobe")    // 2-list probe union ranking
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
