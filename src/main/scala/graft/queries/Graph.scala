@@ -17,10 +17,11 @@ import graft.operators.LinkGraph
   *   - neighborhood / induced-subgraph are semi-joins against a small,
   *     broadcastable node set — the fact side never shuffles;
   *   - common-neighbor pairing joins the edge list to itself on the shared
-  *     endpoint: Σ deg² intermediate rows. At 100 TB the standard guard is
-  *     capping/hashing hub nodes (celebrity problem) before the pair join —
-  *     here hub degree is bounded (~30 at sf0.1), so the plain join is the
-  *     right plan and AQE handles residual skew;
+  *     endpoint: Σ deg² intermediate rows. The celebrity-node guard is
+  *     LIVE: `LinkGraph.coSourcePairs(HubCap)` truncates every shared
+  *     endpoint's adjacency to its `HubCap` smallest sources BEFORE pair
+  *     emission (cap mirrored in the oracle SQL), bounding any hub at
+  *     C(cap, 2) pairs; AQE handles residual skew below the cap;
   *   - iterative ops (BFS, PageRank, label propagation) live in
   *     [[graft.operators.LinkGraph]] with lineage checkpointing; the
   *     PageRank uses fixed-point integer arithmetic so results are exact,
