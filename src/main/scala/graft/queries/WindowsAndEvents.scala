@@ -129,6 +129,36 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id")
     },
 
+    // ST4 (batch shape): timeout sessionization — the deterministic render
+    // of `StreamOps.userSessionsTimeout` (flatMapGroupsWithState +
+    // EventTimeTimeout, gap 45 min) over the full batch. Per user: session
+    // id = running count of gap>45min breaks (lag + cumulative sum), then
+    // per-session agg with the EXACT SessionOut shape (session_end = last
+    // event, not last+gap — the state machine's endMs, unlike ST2's
+    // session_window). `closed` mirrors timeout scheduling: a session has
+    // fired by end-of-input iff the global event-time watermark (max ts
+    // over ALL users) passed its end + gap; open sessions are what the
+    // state store still holds. The 1-row global-max side is a broadcast
+    // cross join — no single-partition window, scales with users not rows.
+    "st4_sessionization" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val sessions = e
+        .withColumn("brk",
+          when(col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 45 MINUTES"), 1L)
+            .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+      sessions
+        .crossJoin(broadcast(e.agg(max(col("ts")).as("wm_ts"))))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"),
+          (col("session_end") + expr("INTERVAL 45 MINUTES") <= col("wm_ts")).as("closed"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ST5 (batch shape): dedup by event_id — input doubled so the dedup
     // provably halves it; streaming form is dropDuplicatesWithinWatermark
     // (graft.streaming.StreamOps.dedupEvents, asserted in StreamingSpec).
@@ -264,6 +294,25 @@ object WindowsAndEvents extends QueryPack {
         |  FROM events
         |)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st4_sessionization" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 45 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), grouped AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |), sessions AS (
+        |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    COUNT(*) AS n_events
+        |  FROM grouped GROUP BY user_id, sid
+        |)
+        |SELECT user_id, session_start, session_end, n_events,
+        |  session_end + INTERVAL 45 MINUTE <= (SELECT MAX(ts) FROM events) AS closed
+        |FROM sessions ORDER BY user_id, session_start""".stripMargin,
 
     "st5_dedup" ->
       """SELECT (SELECT COUNT(*) FROM (SELECT * FROM events UNION ALL SELECT * FROM events)) AS n_total,

@@ -160,6 +160,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST4: batch st4_sessionization render matches the flatMapGroupsWithState state machine") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+
+    // Real events for a handful of users, replayed through the streaming
+    // state machine with the same 45-minute gap the batch query uses. A
+    // far-future sentinel user then drags the watermark past every real
+    // session's end+gap so ALL of them time out and emit — at which point
+    // the streaming output must equal the batch lag+cumsum render row for
+    // row (the `closed` flag aside, which the sentinel makes all-true).
+    val subset = Tables.events(spark, dir).filter(col("user_id") < 20)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val watermarked = ms.toDF().withWatermark("ts", "0 seconds").as[Event]
+    val q = StreamOps.userSessionsTimeout(watermarked, gapMs = 45 * 60 * 1000L)
+      .writeStream.format("memory").queryName("st4_equiv_test").outputMode("append").start()
+    try {
+      val sentinelTs = subset.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000
+      ms.addData(subset: _*)
+      q.processAllAvailable()
+      ms.addData(Event(9000001L, new Timestamp(sentinelTs), 999999L, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(9000002L, new Timestamp(sentinelTs + 1000), 999999L, "view", 0.0))
+      q.processAllAvailable()
+
+      // The state machine keeps epoch-millis (Timestamp.getTime), the batch
+      // render keeps the parquet microseconds — truncate both for compare.
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Long)] =
+        df.filter(col("user_id") < 20)
+          .select(col("user_id"),
+            date_trunc("millisecond", col("session_start")).cast("string"),
+            date_trunc("millisecond", col("session_end")).cast("string"),
+            col("n_events"))
+          .as[(Long, String, String, Long)].collect().toSeq.sorted
+      val streamed = rows(spark.table("st4_equiv_test"))
+      val batch    = rows(SparkEntry.queries("st4_sessionization")(spark, dir))
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally q.stop()
+  }
+
   test("ST6: stream-static join enriches events with the customer dimension") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
