@@ -56,31 +56,98 @@ object Embeddings extends QueryPack {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
 
-  /** Per-label decimal-exact centroids as `(clabel, cemb)` — the IVF coarse
-    * quantizer shared by v5 (nprobe=1) and v7 (nprobe=2).
+  private val nLists = 8
+
+  /** IVF coarse quantizer COMPUTED from the data — one deterministic
+    * Lloyd's iteration, not a borrowed label column:
+    *
+    *   1. seeds: the `nLists` corpus vectors with the smallest
+    *      `md5(vec_id)` — deterministic, engine-portable sampling that
+    *      plans as distributed top-k (TakeOrderedAndProject), never a
+    *      global sort;
+    *   2. assign: every corpus vector to its nearest seed
+    *      (`round(cos, 6)` desc, seed-id tiebreak). The argmax is
+    *      `max(struct(...))` under `groupBy(vec_id)`: the K candidate rows
+    *      per vector sit in one partition (broadcast cross join), so the
+    *      partial aggregate collapses N×K → N BEFORE the shuffle;
+    *   3. update: per-list decimal-exact means (DECIMAL(28,10) sums are
+    *      order-independent → bit parity with the oracle);
+    *   4. re-assign the corpus to the UPDATED centers — these list ids are
+    *      the inverted file both searches and the probe assignment use.
+    *
+    * Returns (lists: vec_id/lid/emb/nrm, centers: csid/cemb). At 100 TB
+    * the lists table is written partitioned by `lid`, so a probe scans
+    * nprobe partitions; the iteration itself is two broadcast-joined
+    * linear passes plus one groups×dims-sized aggregate.
     */
-  private def centroids(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+  private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val c = corpus(s, d)
+    val skey = md5(col("vec_id").cast("string"))
+    val wSeed = Window.orderBy(col("skey").asc, col("vec_id").asc)
+    val seeds = c.select(col("vec_id"), col("emb"), skey.as("skey"))
+      .orderBy(col("skey").asc, col("vec_id").asc).limit(nLists)
+      .withColumn("sid", row_number().over(wSeed))
+      .select(col("sid"), col("emb").as("semb"))
+    val asg = c.crossJoin(broadcast(seeds))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        roundedCos(col("emb"), col("semb")).as("cs"),
+        (-col("sid")).as("neg"), col("sid").as("sid"),
+        col("emb").as("emb"))).as("m"))
+      .select(col("vec_id"), col("m.sid").as("sid"), col("m.emb").as("emb"))
+    val cents = asg
+      .select(col("sid"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("sid"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double") /
         count(lit(1))).as("cv"))
-      .groupBy(col("label"))
+      .groupBy(col("sid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cemb"))
-      .select(col("label").as("clabel"), col("cemb"))
+      .select(col("sid").as("csid"), col("cemb"))
+    val lists = c.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        roundedCos(col("emb"), col("cemb")).as("cs"),
+        (-col("csid")).as("neg"), col("csid").as("lid"),
+        col("emb").as("emb"), col("nrm").as("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.lid").as("lid"),
+        col("m.emb").as("emb"), col("m.nrm").as("nrm"))
+    (lists, cents)
+  }
 
-  /** DuckDB mirror of [[centroids]] (cdim/cent CTE bodies). */
-  private val centSql: String =
-    """cdim AS (
-      |  SELECT label, dim,
-      |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
-      |  FROM (
-      |    SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v FROM embeddings
-      |  ) GROUP BY label, dim
-      |), cent AS (
-      |  SELECT label AS clabel, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY label
-      |)""".stripMargin
+  /** DuckDB mirror of [[ivfModel]]: seeds → assign → decimal means →
+    * re-assign, as CTE bodies (MATERIALIZED where referenced downstream so
+    * the iteration runs once, not per reference).
+    */
+  private val ivfSql: String =
+    s"""v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT emb AS semb,
+       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS sid
+       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT $nLists
+       |),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, emb, sid FROM (
+       |    SELECT v.vec_id, v.emb, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v.emb", "s.semb")}, 6) DESC, s.sid ASC) AS arn
+       |    FROM v, seeds s
+       |  ) WHERE arn = 1
+       |),
+       |cdim AS (
+       |  SELECT sid, dim, CAST(SUM(CAST(vv AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM (SELECT sid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS vv FROM asg)
+       |  GROUP BY sid, dim
+       |),
+       |cent AS MATERIALIZED (SELECT sid AS csid, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY sid),
+       |lists AS MATERIALIZED (
+       |  SELECT vec_id, emb, csid AS lid FROM (
+       |    SELECT v.vec_id, v.emb, c.csid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v.emb", "c.cemb")}, 6) DESC, c.csid ASC) AS arn
+       |    FROM v, cent c
+       |  ) WHERE arn = 1
+       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1: brute-force top-10 cosine neighbors for each probe (baseline).
@@ -175,50 +242,48 @@ object Embeddings extends QueryPack {
         .orderBy("label")
     },
 
-    // V7: multi-probe IVF — same coarse quantizer as v5 but each probe
-    // searches its TWO nearest centroid lists (nprobe=2), the standard
-    // recall fix for probes that land near a Voronoi boundary. Cost is
-    // nprobe/nlists of the corpus per probe instead of 1/nlists; at scale
-    // this is scanning two partitions instead of one.
+    // V7: multi-probe IVF — same computed quantizer as v5 but each probe
+    // searches its TWO nearest lists (nprobe=2), the standard recall fix
+    // for probes that land near a Voronoi boundary. Cost is nprobe/nlists
+    // of the corpus per probe instead of 1/nlists; at scale this is
+    // scanning two partitions instead of one.
     "v7_ivf_multiprobe" -> { (s, d) =>
-      val cents = centroids(s, d)
-      val c = corpus(s, d)
-      val q = probes(c)
+      val (lists, cents) = ivfModel(s, d)
+      val q = probes(corpus(s, d))
       val wAssign = Window.partitionBy(col("qid"))
-        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("clabel").asc)
+        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("csid").asc)
       val assigned = q.crossJoin(broadcast(cents))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") <= 2)
-        .select(col("qid"), col("qe"), col("qnrm"), col("clabel"))
+        .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
       val scored = broadcast(assigned)
-        .join(c, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+        .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
-        // A corpus vector can be reached through both probed lists only if
-        // lists were overlapping — labels partition the corpus, so no
-        // dedup is needed; rank over the union of both lists.
+        // The Lloyd's assignment partitions the corpus (each vector in
+        // exactly one list), so the two probed lists are disjoint — rank
+        // over their union, no dedup needed.
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
     },
 
-    // V5: IVF-style search — assign each probe to its nearest label centroid
-    // (coarse quantizer), then search ONLY that label's partition. At scale
-    // the corpus is partitioned by list id, so the probe touches one
-    // partition instead of the full corpus.
+    // V5: IVF search against the COMPUTED quantizer ([[ivfModel]]): assign
+    // each probe to its nearest updated center, then search ONLY that
+    // list's vectors. At scale the lists table is partitioned by lid, so
+    // the probe touches one partition instead of the full corpus.
     "v5_ivf_topk" -> { (s, d) =>
-      val cents = centroids(s, d)
-      val c = corpus(s, d)
-      val q = probes(c)
+      val (lists, cents) = ivfModel(s, d)
+      val q = probes(corpus(s, d))
       val wAssign = Window.partitionBy(col("qid"))
-        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("clabel").asc)
+        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("csid").asc)
       val assigned = q.crossJoin(broadcast(cents))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select(col("qid"), col("qe"), col("qnrm"), col("clabel"))
+        .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
       val scored = broadcast(assigned)
-        .join(c, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("clabel").as("probe_label"), col("vec_id"),
+        .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("csid").as("probe_list"), col("vec_id"),
           pairCos.as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
@@ -295,40 +360,38 @@ object Embeddings extends QueryPack {
         |) GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "v7_ivf_multiprobe" ->
-      s"""WITH $centSql,
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+      s"""WITH $ivfSql,
          |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
          |assigned AS (
-         |  SELECT qid, qe, clabel FROM (
-         |    SELECT qid, qe, clabel,
-         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, clabel ASC) AS arn
+         |  SELECT qid, qe, csid FROM (
+         |    SELECT qid, qe, csid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
          |    FROM q, cent
          |  ) WHERE arn <= 2
          |),
          |sc AS (
-         |  SELECT qid, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
-         |  FROM assigned a JOIN v ON v.label = a.clabel AND v.vec_id != a.qid
+         |  SELECT qid, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
+         |  FROM assigned a JOIN lists l ON l.lid = a.csid AND l.vec_id != a.qid
          |)
          |SELECT qid, vec_id, cos_sim, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
          |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "v5_ivf_topk" ->
-      s"""WITH $centSql,
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+      s"""WITH $ivfSql,
          |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
          |assigned AS (
-         |  SELECT qid, qe, clabel FROM (
-         |    SELECT qid, qe, clabel,
-         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, clabel ASC) AS arn
+         |  SELECT qid, qe, csid FROM (
+         |    SELECT qid, qe, csid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
          |    FROM q, cent
          |  ) WHERE arn = 1
          |),
          |sc AS (
-         |  SELECT qid, clabel AS probe_label, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
-         |  FROM assigned a JOIN v ON v.label = a.clabel AND v.vec_id != a.qid
+         |  SELECT qid, a.csid AS probe_list, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
+         |  FROM assigned a JOIN lists l ON l.lid = a.csid AND l.vec_id != a.qid
          |)
-         |SELECT qid, probe_label, vec_id, cos_sim, rn FROM (
+         |SELECT qid, probe_list, vec_id, cos_sim, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
          |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   )
