@@ -80,6 +80,39 @@ object Graph extends QueryPack {
   private val nodeNameSql =
     "CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR) ELSE 'p' || CAST(id // 2 AS VARCHAR) END"
 
+  /** Component-census oracle shared by g6_components_converged and
+    * g6_components_star: both algorithms produce the canonical
+    * smallest-id-per-component labeling, so one unrolled min-propagation
+    * SQL gates both. Every round CTE is MATERIALIZED: each references its
+    * predecessor twice, and DuckDB inlines plain CTEs — a 10-round chain
+    * would re-evaluate the whole prefix 2^10 times without it. 16 unrolled
+    * rounds: measured fixpoint is 5 rounds at sf0.01 and 8 at sf0.1
+    * (growing slowly with SF); rounds past the fixpoint don't change the
+    * labeling, and the Spark side now ASSERTS roundsRun <= 16 so the
+    * margin is checked, not assumed.
+    */
+  private lazy val componentsOracleSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT l.id, least(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT e.dst AS id, MIN($prev.lbl) AS nl
+         |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
+         |  ) m ON m.id = l.id
+         |)""".stripMargin
+    val rounds = (0 until 16).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_quantity >= 50),
+       |edges AS MATERIALIZED (
+       |  $symEdgesSql
+       |),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+       |$rounds
+       |SELECT $nodeNameSql AS component, n_members FROM (
+       |  SELECT lbl AS id, COUNT(*) AS n_members FROM l16 GROUP BY lbl
+       |) ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin
+  }
+
   /** Shared by g1_neighborhood and e2_network_nodes: the hub order (most
     * distinct parts, deterministic tiebreak) and its neighbors resolved to
     * part rows with in-degrees. One definition so the serving payload and
@@ -231,7 +264,32 @@ object Graph extends QueryPack {
         .distinct()
       // No .materialized: connectedComponents checkpoints its edge input
       // itself — doing both would materialize the edge table twice.
-      val (labels, _) = new LinkGraph(e).symmetrized.connectedComponents()
+      val (labels, roundsRun) = new LinkGraph(e).symmetrized.connectedComponents()
+      // The oracle unrolls exactly 16 rounds; the margin must be CHECKED,
+      // not assumed — a bigger SF with a longer-chained component would
+      // otherwise silently diverge from the (correct) converged labels.
+      require(roundsRun <= 16,
+        s"components took $roundsRun rounds; oracle unrolls only 16 — widen it")
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("id"), col("n_members"))
+        .select(nodeName.as("component"), col("n_members"))
+        .orderBy(col("n_members").desc, col("component").asc)
+        .limit(20)
+    },
+
+    // G6f: same component census via large-star/small-star contraction
+    // ([[LinkGraph.connectedComponentsStar]]) — the O(log n)-round
+    // formulation that replaces min-label propagation's O(diameter)
+    // shuffles at scale. Labels are canonical component minima for BOTH
+    // algorithms, so this shares g6_components_converged's oracle and the
+    // green row proves algorithm equivalence under the hash gate.
+    "g6_components_star" -> { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 50)
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val (labels, _) = new LinkGraph(e).symmetrized.connectedComponentsStar()
       labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_members"))
         .select(col("lbl").as("id"), col("n_members"))
@@ -377,35 +435,12 @@ object Graph extends QueryPack {
          |SELECT $nodeNameSql AS node, rank FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
     },
 
-    "g6_components_converged" -> {
-      // Every round CTE is MATERIALIZED: each references its predecessor
-      // twice, and DuckDB inlines plain CTEs — a 10-round chain would
-      // re-evaluate the whole prefix 2^10 times without it.
-      def round(prev: String, cur: String) =
-        s"""$cur AS MATERIALIZED (
-           |  SELECT l.id, least(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
-           |  FROM $prev l LEFT JOIN (
-           |    SELECT e.dst AS id, MIN($prev.lbl) AS nl
-           |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
-           |  ) m ON m.id = l.id
-           |)""".stripMargin
-      // 16 unrolled rounds: measured fixpoint is 5 rounds at sf0.01 and 8
-      // at sf0.1 (growing slowly with SF); rounds past the fixpoint don't
-      // change the labeling, so the margin costs little (MATERIALIZED CTEs
-      // make each extra round one cheap incremental join) and protects
-      // against a longer-chained component at a bigger SF.
-      val rounds = (0 until 16).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_quantity >= 50),
-         |edges AS MATERIALIZED (
-         |  $symEdgesSql
-         |),
-         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
-         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
-         |$rounds
-         |SELECT $nodeNameSql AS component, n_members FROM (
-         |  SELECT lbl AS id, COUNT(*) AS n_members FROM l16 GROUP BY lbl
-         |) ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin
-    },
+    "g6_components_converged" -> componentsOracleSql,
+
+    // Star contraction yields the SAME canonical labels (component
+    // minima), so the star query shares the unrolled-propagation oracle —
+    // the green row is the cross-engine proof of algorithm equivalence.
+    "g6_components_star" -> componentsOracleSql,
 
     "g6_khop_attrs" ->
       s"""WITH e AS ($edgesSql),

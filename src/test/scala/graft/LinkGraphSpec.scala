@@ -93,6 +93,35 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(maxSrc === "s00063") // deterministic: smallest 64 sources kept
   }
 
+  test("connectedComponentsStar matches the fixpoint labels on the fixture") {
+    val (expect, _) = tiny.connectedComponents()
+    val (got, _)    = tiny.connectedComponentsStar()
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("connectedComponentsStar is O(log n) rounds on a path graph") {
+    // Path 0-1-...-63: min-label propagation needs ~63 rounds (the min
+    // travels one hop per round); star contraction squares the jump
+    // distance each round, so it must finish in a handful.
+    val n = 64
+    val path = new LinkGraph(
+      (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("src", "dst"))
+    val (labels, rounds) = path.connectedComponentsStar()
+    assert(rounds <= 12, s"rounds=$rounds — not logarithmic")
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size === n && m.values.forall(_ === 0L))
+  }
+
+  test("connectedComponentsStar matches connectedComponents on the lineitem graph") {
+    val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val g = new LinkGraph(e).symmetrized
+    val (expect, _) = g.connectedComponents()
+    val (got, _)    = g.connectedComponentsStar()
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),
