@@ -28,10 +28,16 @@ object Bench {
     // carries plan-specific JIT/codegen compilation and any transient host
     // stall (this VM shows up-to-4x hiccups on identical code), the min is
     // the engine's warm steady-state — the number that scales.
+    // A failed query must be LOUD in the artifact: it's excluded from the
+    // timing min but counted in "failures" and named in "failed" — a broken
+    // plan benching "fast" would otherwise hide behind the correctness gate.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case _: Throwable => failed += name
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
@@ -39,7 +45,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

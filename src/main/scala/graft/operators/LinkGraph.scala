@@ -124,7 +124,15 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       .select(col("src"), col("dst"), col("out_deg"))
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(scale))
+    // `contribs` references ranks TWICE (join + zero-row union): with
+    // un-truncated lineage each reference doubles the recompute between
+    // checkpoints (2^n growth vs the old single-reference left-outer
+    // formulation's linear growth). So ranks is materialized before the
+    // dual reference whenever the previous round didn't checkpoint it —
+    // a no-op at the default checkpointEvery=1.
+    var ranksFresh = true // round-1 ranks is one projection over checkpointed nodes
     for (i <- 1 to iters) {
+      if (!ranksFresh) ranks = ranks.localCheckpoint()
       // One shuffle per iteration: neighbor contributions unioned with a
       // zero row per node (ranks holds every node id, so the zero row both
       // guarantees presence and removes the join-back onto the node table —
@@ -137,7 +145,8 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       ranks = contribs
         .groupBy(col("nid").as("id"))
         .agg(expr(s"(15 * ${scale}L + 85 * sum(c)) DIV 100").as("rank"))
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+      ranksFresh = i % checkpointEvery == 0 && i < iters
+      if (ranksFresh) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -324,7 +333,12 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
   def labelPropagation(iters: Int): DataFrame = {
     val nodes = nodeIds.localCheckpoint()
     var labels = nodes.withColumn("lbl", col("id"))
+    // Same dual-reference guard as [[pageRankFixed]]: contribs references
+    // labels twice, so materialize before the references whenever the
+    // previous round didn't checkpoint (no-op at checkpointEvery=1).
+    var labelsFresh = true
     for (i <- 1 to iters) {
+      if (!labelsFresh) labels = labels.localCheckpoint()
       // One shuffle per round: neighbor labels (edge join, broadcastable
       // labels side) unioned with self labels, then a single min-agg —
       // no separate join-back onto the node table.
@@ -334,7 +348,8 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .union(labels.select(col("id").as("nid"), col("lbl")))
       labels = contribs.groupBy(col("nid").as("id")).agg(min(col("lbl")).as("lbl"))
         .select(col("id"), col("lbl"))
-      if (i % checkpointEvery == 0 && i < iters) labels = labels.localCheckpoint()
+      labelsFresh = i % checkpointEvery == 0 && i < iters
+      if (labelsFresh) labels = labels.localCheckpoint()
     }
     labels
   }
