@@ -28,20 +28,6 @@ object Etl extends QueryPack {
       lit(""" <a href="http://example.com/x">ext</a></p>"""))
   }
 
-  /** One shutdown hook per distinct scratch dir: recursive delete on JVM
-    * exit (the s7 round-trip writes real files under java.io.tmpdir).
-    */
-  private val tmpCleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def registerTmpCleanup(dir: String): Unit =
-    if (tmpCleanupRegistered.add(dir)) sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
-    }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2: HTML→links parse — regexp extraction of pmwiki codes, one row per
     // extracted link (flatMap shape), lowercased + deduped per doc.
@@ -61,13 +47,9 @@ object Etl extends QueryPack {
     // The oracle computes the same projection straight off the parquet
     // table, so any quoting/header/type-inference loss breaks the hash.
     "s7_csv_roundtrip" -> { (s, d) =>
-      // Path is per-application (applicationId) so concurrent processes
-      // against the same sfDir never race on the overwrite; reruns within
-      // one session reuse (and atomically overwrite) their own dir, which a
-      // JVM shutdown hook deletes so repeated runs don't litter tmpdir.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s7_csv_" +
-        s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}"
-      registerTmpCleanup(tmp)
+      // Reruns within one session reuse (and atomically overwrite) their
+      // own application-scoped dir (see [[QueryPack.scratchDir]]).
+      val tmp = scratchDir(s, d, "s7_csv")
       Tables.nation(s, d)
         .withColumn("note", concat(col("n_name"), lit(", region "), col("n_regionkey")))
         .write.mode("overwrite").option("header", "true").csv(tmp)

@@ -20,4 +20,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
+
+  /** Per-(application, sfDir) scratch directory under java.io.tmpdir for
+    * round-trip queries that write real files (s7 CSV, st7 sink):
+    * application-scoped so concurrent processes never race on the same
+    * path, and registered for recursive delete on JVM exit so repeated
+    * runs don't litter tmpdir.
+    */
+  protected def scratchDir(s: SparkSession, d: String, tag: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}"
+    if (QueryPack.tmpCleanupRegistered.add(dir)) sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+}
+
+private object QueryPack {
+  private val tmpCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

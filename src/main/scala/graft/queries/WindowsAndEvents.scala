@@ -169,6 +169,30 @@ object WindowsAndEvents extends QueryPack {
         .crossJoin(doubled.dropDuplicates("event_id").agg(count(lit(1)).as("n_unique")))
     },
 
+    // ST7+S8/S9 made oracle-visible: a REAL Structured Streaming run —
+    // file-stream source over the events parquet → foreachBatch parquet
+    // append sink (AvailableNow trigger) → SnapshotSink atomic symlink
+    // publish — then the published snapshot is read back and aggregated
+    // per event type. The hash gate proves every source row landed in the
+    // sink exactly once: any dropped/duplicated batch changes the counts.
+    // Reruns are idempotent: the checkpoint makes re-delivery a no-op and
+    // the snapshot republish swaps in identical content.
+    "st7_sink_roundtrip" -> { (s, d) =>
+      val base = scratchDir(s, d, "st7_sink")
+      val staging = s"$base/staging"
+      val ckpt    = s"$base/ckpt"
+      val snap    = s"$base/snapshot"
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        graft.streaming.StreamOps.eventsStream(s, d), staging, ckpt)
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(s.read.parquet(staging), snap)
+      s.read.parquet(snap)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+
     // ST6 (batch shape): stream-static enrichment — events joined to the
     // customer dimension (broadcast), aggregated per segment.
     "st6_stream_static" -> { (s, d) =>
@@ -317,6 +341,11 @@ object WindowsAndEvents extends QueryPack {
     "st5_dedup" ->
       """SELECT (SELECT COUNT(*) FROM (SELECT * FROM events UNION ALL SELECT * FROM events)) AS n_total,
         |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_unique""".stripMargin,
+
+    "st7_sink_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "st6_stream_static" ->
       """SELECT COALESCE(c_mktsegment, '<none>') AS segment, COUNT(*) AS n,
