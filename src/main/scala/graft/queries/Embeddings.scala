@@ -149,6 +149,26 @@ object Embeddings extends QueryPack {
        |  ) WHERE arn = 1
        |)""".stripMargin
 
+  /** Scored IVF candidates shared by v5/v7/v8: probes assigned to their
+    * `nprobe` nearest updated centers (window over the broadcast K-row
+    * center table), then each probed list's vectors scored. Corpus never
+    * shuffles; at scale the lists side is partition-pruned to `nprobe`
+    * partitions per probe.
+    */
+  private def ivfCandidates(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val (lists, cents) = ivfModel(s, d)
+    val q = probes(corpus(s, d))
+    val wAssign = Window.partitionBy(col("qid"))
+      .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("csid").asc)
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
+    broadcast(assigned)
+      .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("csid"), col("vec_id"), pairCos.as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1: brute-force top-10 cosine neighbors for each probe (baseline).
     "v1_knn_brute" -> { (s, d) =>
@@ -248,20 +268,11 @@ object Embeddings extends QueryPack {
     // of the corpus per probe instead of 1/nlists; at scale this is
     // scanning two partitions instead of one.
     "v7_ivf_multiprobe" -> { (s, d) =>
-      val (lists, cents) = ivfModel(s, d)
-      val q = probes(corpus(s, d))
-      val wAssign = Window.partitionBy(col("qid"))
-        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("csid").asc)
-      val assigned = q.crossJoin(broadcast(cents))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") <= 2)
-        .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
-      val scored = broadcast(assigned)
-        .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
-        // The Lloyd's assignment partitions the corpus (each vector in
-        // exactly one list), so the two probed lists are disjoint — rank
-        // over their union, no dedup needed.
+      // The Lloyd's assignment partitions the corpus (each vector in
+      // exactly one list), so the two probed lists are disjoint — rank
+      // over their union, no dedup needed.
+      val scored = ivfCandidates(s, d, nprobe = 2)
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -273,22 +284,38 @@ object Embeddings extends QueryPack {
     // list's vectors. At scale the lists table is partitioned by lid, so
     // the probe touches one partition instead of the full corpus.
     "v5_ivf_topk" -> { (s, d) =>
-      val (lists, cents) = ivfModel(s, d)
-      val q = probes(corpus(s, d))
-      val wAssign = Window.partitionBy(col("qid"))
-        .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("csid").asc)
-      val assigned = q.crossJoin(broadcast(cents))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
-      val scored = broadcast(assigned)
-        .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("csid").as("probe_list"), col("vec_id"),
-          pairCos.as("cos_sim"))
+      val scored = ivfCandidates(s, d, nprobe = 1)
+        .select(col("qid"), col("csid").as("probe_list"), col("vec_id"), col("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // V8: ANN index quality made measurable — recall@5 of the IVF search
+    // (nprobe=1) against the brute-force ground truth, per probe. THE
+    // metric a pipeline watches when tuning nlists/nprobe: both top-5 sets
+    // are deterministic (rounded cosines, id tiebreaks), so recall itself
+    // is oracle-exact. Ground truth costs one brute pass over the probe
+    // set — the same O(probes × corpus) as v1, only run when measuring.
+    "v8_ann_recall" -> { (s, d) =>
+      val c = corpus(s, d)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val brute5 = broadcast(probes(c))
+        .join(c, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val ivf5 = ivfCandidates(s, d, nprobe = 1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val hits = brute5.join(ivf5, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      brute5.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left_outer")
+        .select(col("qid"), coalesce(col("n"), lit(0L)).as("n_hits"),
+          (coalesce(col("n"), lit(0L)) / 5.0).as("recall"))
+        .orderBy("qid")
     }
   )
 
@@ -376,6 +403,36 @@ object Embeddings extends QueryPack {
          |SELECT qid, vec_id, cos_sim, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
          |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "v8_ann_recall" ->
+      s"""WITH $ivfSql,
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
+         |brute5 AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "emb")}, 6) DESC, vec_id ASC) AS rn
+         |    FROM q, v WHERE v.vec_id != q.qid
+         |  ) WHERE rn <= 5
+         |),
+         |assigned AS (
+         |  SELECT qid, qe, csid FROM (
+         |    SELECT qid, qe, csid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
+         |    FROM q, cent
+         |  ) WHERE arn = 1
+         |),
+         |ivf5 AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT a.qid, l.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY round(${cosSql("qe", "l.emb")}, 6) DESC, l.vec_id ASC) AS rn
+         |    FROM assigned a JOIN lists l ON l.lid = a.csid AND l.vec_id != a.qid
+         |  ) WHERE rn <= 5
+         |)
+         |SELECT p.qid, COALESCE(h.n, 0) AS n_hits, COALESCE(h.n, 0) / 5.0 AS recall
+         |FROM (SELECT DISTINCT qid FROM brute5) p LEFT JOIN (
+         |  SELECT b.qid, COUNT(*) AS n FROM brute5 b
+         |  JOIN ivf5 i ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY b.qid
+         |) h ON h.qid = p.qid ORDER BY p.qid""".stripMargin,
 
     "v5_ivf_topk" ->
       s"""WITH $ivfSql,
