@@ -30,7 +30,10 @@ class DeterminismSpec extends AnyFunSuite {
     "st3_late_drop",        // per-key watermark arithmetic
     "e2_network_nodes",     // serving payload rows (md5 coords, union ordering)
     "e3_corpus_pipeline",   // 4-stage composition (filter→dedup→split→pack)
-    "v7_ivf_multiprobe")    // 2-list probe union ranking
+    "v7_ivf_multiprobe",    // 2-list probe union ranking
+    "st4_sessionization",   // lag+cumsum session ids, watermark flag
+    "g6_components_star",   // star-contraction loop + fingerprint convergence
+    "v8_ann_recall")        // recall join of two deterministic top-5 sets
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
