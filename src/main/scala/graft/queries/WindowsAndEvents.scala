@@ -204,6 +204,30 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("segment")
     },
 
+    // DQ3: z-score anomaly detection per event type — the data-quality
+    // outlier pass a pipeline runs over metric columns. Mean and E[x²] run
+    // through EXACT decimal sums (value has 2dp → squares exact at 4dp),
+    // divisions/sqrt are then scalar IEEE doubles over identical operands
+    // in both engines, so the z-scores are bit-identical and the |z|>3
+    // flag list hash-matches. The per-type stats table is tiny (one row
+    // per type) and broadcast back onto the stream — no window over the
+    // full table, no second shuffle at scale.
+    "dq3_outliers" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val stats = e.groupBy(col("event_type").as("t"))
+        .agg(
+          (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("mean"),
+          (sum(dec2(col("value")) * dec2(col("value"))).cast("double") /
+            count(lit(1))).as("msq"))
+        .withColumn("sd", sqrt(col("msq") - col("mean") * col("mean")))
+      e.join(broadcast(stats), col("event_type") === col("t"))
+        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("mean"), 6).as("type_mean"), col("z"))
+        .orderBy("event_id")
+    },
+
     // J6b: interval join — error events landing within 1 day AFTER a
     // purchase by the same user, via the bucketed equi-join formulation
     // (graft.operators.RangeJoin; per-key blowup bounded by bucket count).
@@ -352,6 +376,19 @@ object WindowsAndEvents extends QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "dq3_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type AS t,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS msq
+        |  FROM events GROUP BY event_type
+        |), st AS (SELECT t, mean, sqrt(msq - mean * mean) AS sd FROM stats)
+        |SELECT event_id, event_type, value, round(mean, 6) AS type_mean,
+        |  round((value - mean) / sd, 6) AS z
+        |FROM events JOIN st ON event_type = t
+        |WHERE abs(round((value - mean) / sd, 6)) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "j6_interval_join" ->
       """SELECT e.event_id, p.event_id AS purchase_id
