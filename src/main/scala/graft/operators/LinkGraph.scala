@@ -228,10 +228,13 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       val sym = e.select(col("src").as("u"), col("dst").as("v"))
         .union(e.select(col("dst").as("u"), col("src").as("v")))
       val w = Window.partitionBy(col("u"))
+      // No interior distinct: duplicates don't affect small-star's window
+      // MIN, the round's trailing dedup canonicalizes, and total duplicate
+      // volume is bounded by Σdeg = |E| — dropping it saves one shuffle of
+      // the full edge set per round.
       sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {

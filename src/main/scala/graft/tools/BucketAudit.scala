@@ -43,6 +43,10 @@ object BucketAudit {
     sb ++= fmt(spark.table("links_by_src").join(spark.table("attrs_by_src"), "src"))
     sb ++= "\n-- non-bucketed baseline degree agg (Exchange present) --\n"
     sb ++= fmt(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    edges.write.mode("overwrite")
+      .bucketBy(8, "dst").sortBy("dst").saveAsTable("links_by_dst")
+    sb ++= "\n-- reverse scan: in-degree agg over the dst-bucketed copy (NO Exchange) --\n"
+    sb ++= fmt(spark.table("links_by_dst").groupBy("dst").agg(count(lit(1)).as("in_deg")))
 
     Files.writeString(Paths.get(outFile), sb.toString)
     spark.stop()

@@ -91,6 +91,28 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("dst-bucketed copy serves reverse scans (in-degree agg) with no Exchange") {
+    // SCALE.md's other half: the reference kept a reverse B-tree index;
+    // here a dst-bucketed COPY of the edge table plays that role.
+    if (!spark.catalog.tableExists("links_by_dst")) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "dst").sortBy("dst")
+        .saveAsTable("links_by_dst")
+    }
+    val agg = spark.table("links_by_dst")
+      .groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    val p = fmt(agg)
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    val plain = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")).distinct()
+      .groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    assert(agg.exceptAll(plain).isEmpty && plain.exceptAll(agg).isEmpty)
+  }
+
   test("non-bucketed baseline DOES exchange (the claim is about bucketing)") {
     // Guard against the assertions above passing vacuously (e.g. if a
     // future config made every small plan exchange-free).
