@@ -59,60 +59,16 @@ object Embeddings extends QueryPack {
   private val nLists = 8
 
   /** IVF coarse quantizer COMPUTED from the data — one deterministic
-    * Lloyd's iteration, not a borrowed label column:
-    *
-    *   1. seeds: the `nLists` corpus vectors with the smallest
-    *      `md5(vec_id)` — deterministic, engine-portable sampling that
-    *      plans as distributed top-k (TakeOrderedAndProject), never a
-    *      global sort;
-    *   2. assign: every corpus vector to its nearest seed
-    *      (`round(cos, 6)` desc, seed-id tiebreak). The argmax is
-    *      `max(struct(...))` under `groupBy(vec_id)`: the K candidate rows
-    *      per vector sit in one partition (broadcast cross join), so the
-    *      partial aggregate collapses N×K → N BEFORE the shuffle;
-    *   3. update: per-list decimal-exact means (DECIMAL(28,10) sums are
-    *      order-independent → bit parity with the oracle);
-    *   4. re-assign the corpus to the UPDATED centers — these list ids are
-    *      the inverted file both searches and the probe assignment use.
-    *
+    * Lloyd's iteration via [[graft.operators.IvfIndex]] (see its scaladoc
+    * for the seed/assign/update/re-assign steps and their scale shapes).
     * Returns (lists: vec_id/lid/emb/nrm, centers: csid/cemb). At 100 TB
-    * the lists table is written partitioned by `lid`, so a probe scans
-    * nprobe partitions; the iteration itself is two broadcast-joined
-    * linear passes plus one groups×dims-sized aggregate.
+    * the lists table is persisted partitioned by `lid`
+    * (`IvfIndex.persist`, pruning pinned in IvfIndexSpec), so a probe
+    * scans nprobe partitions.
     */
   private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val c = corpus(s, d)
-    val skey = md5(col("vec_id").cast("string"))
-    val wSeed = Window.orderBy(col("skey").asc, col("vec_id").asc)
-    val seeds = c.select(col("vec_id"), col("emb"), skey.as("skey"))
-      .orderBy(col("skey").asc, col("vec_id").asc).limit(nLists)
-      .withColumn("sid", row_number().over(wSeed))
-      .select(col("sid"), col("emb").as("semb"))
-    val asg = c.crossJoin(broadcast(seeds))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        roundedCos(col("emb"), col("semb")).as("cs"),
-        (-col("sid")).as("neg"), col("sid").as("sid"),
-        col("emb").as("emb"))).as("m"))
-      .select(col("vec_id"), col("m.sid").as("sid"), col("m.emb").as("emb"))
-    val cents = asg
-      .select(col("sid"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy(col("sid"), col("pos"))
-      .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double") /
-        count(lit(1))).as("cv"))
-      .groupBy(col("sid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("cemb"))
-      .select(col("sid").as("csid"), col("cemb"))
-    val lists = c.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        roundedCos(col("emb"), col("cemb")).as("cs"),
-        (-col("csid")).as("neg"), col("csid").as("lid"),
-        col("emb").as("emb"), col("nrm").as("nrm"))).as("m"))
-      .select(col("vec_id"), col("m.lid").as("lid"),
-        col("m.emb").as("emb"), col("m.nrm").as("nrm"))
-    (lists, cents)
+    val m = graft.operators.IvfIndex.build(corpus(s, d), nLists)
+    (m.lists, m.centers)
   }
 
   /** DuckDB mirror of [[ivfModel]]: seeds → assign → decimal means →
