@@ -47,6 +47,9 @@ object IvfIndex {
   def build(corpus: DataFrame, nLists: Int): Model = {
     val c = corpus
     val skey = md5(col("vec_id").cast("string"))
+    // The global window runs AFTER limit(nLists) — K rows, not the corpus —
+    // so Spark's "no partition defined" warning is expected and harmless
+    // here (a literal partitionBy would be constant-folded away anyway).
     val wSeed = Window.orderBy(col("skey").asc, col("vec_id").asc)
     val seeds = c.select(col("vec_id"), col("emb"), skey.as("skey"))
       .orderBy(col("skey").asc, col("vec_id").asc).limit(nLists)
