@@ -347,6 +347,26 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // T12: intra-document repetition scoring — the Gopher-style quality
+    // filter (duplicate 3-gram fraction) that catches boilerplate/looping
+    // text BEFORE corpus-level dedup ever sees it. Pure per-row HOFs
+    // (transform/array_distinct) — zero shuffles beyond the output sort;
+    // at 100 TB this is a map-only pass.
+    "t12_repetition" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      val tg = transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", slice(t, i, lit(3))))
+      Tables.documents(s, d)
+        .filter(size(t) >= 3)
+        .select(col("doc_id"), size(t).as("n_tokens"),
+          size(tg).as("n_trigrams"),
+          size(array_distinct(tg)).as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct") / col("n_trigrams"), 6))
+        .withColumn("repetitive", col("rep_ratio") > 0.2)
+        .orderBy("doc_id")
+    },
+
     // T7a: language-ID + quality scoring per doc (marker-count heuristic and
     // composite score, all arithmetic mirrored exactly in the oracle SQL).
     "t7_lang_quality" -> { (s, d) =>
@@ -552,6 +572,22 @@ object TextDedup extends QueryPack {
         |  round(CAST(n_contaminated AS DOUBLE) / n_ngrams, 6) AS contamination
         |FROM hits JOIN sizes s ON s.doc_id = hits.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "t12_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), tg AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> array_to_string(tk[i:i+2], ' ')) AS tri
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens, len(tri) AS n_trigrams,
+        |  len(list_distinct(tri)) AS n_distinct,
+        |  round(1.0 - len(list_distinct(tri)) / len(tri), 6) AS rep_ratio,
+        |  round(1.0 - len(list_distinct(tri)) / len(tri), 6) > 0.2 AS repetitive
+        |FROM tg ORDER BY doc_id""".stripMargin,
 
     "t7_lang_quality" ->
       s"""WITH padded_docs AS (
