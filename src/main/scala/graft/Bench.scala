@@ -28,9 +28,11 @@ object Bench {
     // carries plan-specific JIT/codegen compilation and any transient host
     // stall (this VM shows up-to-4x hiccups on identical code), the min is
     // the engine's warm steady-state — the number that scales.
-    // A failed query must be LOUD in the artifact: it's excluded from the
-    // timing min but counted in "failures" and named in "failed" — a broken
-    // plan benching "fast" would otherwise hide behind the correctness gate.
+    // A failed query must be LOUD in the artifact: its name lands in
+    // "failed" and the "failures" count. Its (meaningless) elapsed-to-throw
+    // time still appears in "queries" so the driver's per-query diffing
+    // keeps a stable key set — readers must treat any name in "failed" as
+    // untimed rather than fast.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {

@@ -249,11 +249,12 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .distinct()
     }
 
-    val nodes = {
-      val e0 = edges.localCheckpoint()
-      e0.select(col("src").as("id"))
-        .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
-    }
+    // Loop-invariant edge input materializes ONCE; both the node table and
+    // the first small-star pass read the checkpointed plan, not the raw
+    // derivation (which would otherwise re-execute scan+distinct+symmetrize).
+    val e0 = edges.localCheckpoint()
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
     // Fingerprint = (edge count, order-independent hash-sum): unchanged
     // across a full round ⇒ the star set is the fixpoint. The sum runs in
     // DECIMAL(38,0) — a long sum of 64-bit hashes overflows under ANSI. A
@@ -266,7 +267,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
 
-    var cur = smallStar(edges).localCheckpoint()
+    var cur = smallStar(e0).localCheckpoint()
     var fp = fingerprint(cur)
     var rounds = 1
     var stable = false
@@ -277,6 +278,11 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       cur = next; fp = nfp
       rounds += 1
     }
+    // An unconverged edge set is not a star forest: a node could appear
+    // under two labels and the join below would emit duplicate rows. Fail
+    // loudly instead (mirrors g6_components_converged's margin require).
+    require(stable,
+      s"connectedComponentsStar did not converge in $maxIters rounds — raise maxIters")
     // Component minima never appear as src in the final star set; they
     // (and any isolated node) label themselves.
     val labels = nodes

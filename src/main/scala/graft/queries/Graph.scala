@@ -80,6 +80,25 @@ object Graph extends QueryPack {
   private val nodeNameSql =
     "CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR) ELSE 'p' || CAST(id // 2 AS VARCHAR) END"
 
+  /** Shared edge derivation for the two component queries (sparse
+    * high-quantity subgraph, packed ids) — one definition so the two
+    * queries can never diverge from their SHARED oracle's `e` CTE.
+    */
+  private def componentsEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 50)
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  /** Shared component census (top-20 by size) over `(id, lbl)` labels. */
+  private def componentCensus(labels: DataFrame): DataFrame =
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("id"), col("n_members"))
+      .select(nodeName.as("component"), col("n_members"))
+      .orderBy(col("n_members").desc, col("component").asc)
+      .limit(20)
+
   /** Component-census oracle shared by g6_components_converged and
     * g6_components_star: both algorithms produce the canonical
     * smallest-id-per-component labeling, so one unrolled min-propagation
@@ -258,24 +277,16 @@ object Graph extends QueryPack {
     // node id per component), so the oracle just unrolls enough rounds to
     // be safely past ITS fixpoint — extra rounds are no-ops.
     "g6_components_converged" -> { (s, d) =>
-      val e = Tables.lineitem(s, d)
-        .filter(col("l_quantity") >= 50)
-        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
       // No .materialized: connectedComponents checkpoints its edge input
       // itself — doing both would materialize the edge table twice.
-      val (labels, roundsRun) = new LinkGraph(e).symmetrized.connectedComponents()
+      val (labels, roundsRun) =
+        new LinkGraph(componentsEdges(s, d)).symmetrized.connectedComponents()
       // The oracle unrolls exactly 16 rounds; the margin must be CHECKED,
       // not assumed — a bigger SF with a longer-chained component would
       // otherwise silently diverge from the (correct) converged labels.
       require(roundsRun <= 16,
         s"components took $roundsRun rounds; oracle unrolls only 16 — widen it")
-      labels.groupBy(col("lbl"))
-        .agg(count(lit(1)).as("n_members"))
-        .select(col("lbl").as("id"), col("n_members"))
-        .select(nodeName.as("component"), col("n_members"))
-        .orderBy(col("n_members").desc, col("component").asc)
-        .limit(20)
+      componentCensus(labels)
     },
 
     // G6f: same component census via large-star/small-star contraction
@@ -283,19 +294,15 @@ object Graph extends QueryPack {
     // formulation that replaces min-label propagation's O(diameter)
     // shuffles at scale. Labels are canonical component minima for BOTH
     // algorithms, so this shares g6_components_converged's oracle and the
-    // green row proves algorithm equivalence under the hash gate.
+    // green row proves algorithm equivalence under the hash gate. No
+    // .symmetrized: star contraction is orientation-agnostic (large-star
+    // symmetrizes in-expression, small-star canonicalizes via
+    // greatest/least), so pre-doubling the edges would only add a
+    // redundant full-edge union+distinct shuffle.
     "g6_components_star" -> { (s, d) =>
-      val e = Tables.lineitem(s, d)
-        .filter(col("l_quantity") >= 50)
-        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-      val (labels, _) = new LinkGraph(e).symmetrized.connectedComponentsStar()
-      labels.groupBy(col("lbl"))
-        .agg(count(lit(1)).as("n_members"))
-        .select(col("lbl").as("id"), col("n_members"))
-        .select(nodeName.as("component"), col("n_members"))
-        .orderBy(col("n_members").desc, col("component").asc)
-        .limit(20)
+      val (labels, _) =
+        new LinkGraph(componentsEdges(s, d)).connectedComponentsStar()
+      componentCensus(labels)
     },
 
     // G6e: k-hop neighborhood joined back to node attributes — BFS output

@@ -154,8 +154,12 @@ object WindowsAndEvents extends QueryPack {
           count(lit(1)).as("n_events"))
       sessions
         .crossJoin(broadcast(e.agg(max(col("ts")).as("wm_ts"))))
+        // STRICT <: EventTimeTimeout fires only when the watermark EXCEEDS
+        // the timeout timestamp (timeoutTimestamp < watermark in
+        // FlatMapGroupsWithStateExec), so a session whose end+gap equals
+        // the final watermark is still held in state, not emitted.
         .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"),
-          (col("session_end") + expr("INTERVAL 45 MINUTES") <= col("wm_ts")).as("closed"))
+          (col("session_end") + expr("INTERVAL 45 MINUTES") < col("wm_ts")).as("closed"))
         .orderBy("user_id", "session_start")
     },
 
@@ -219,8 +223,13 @@ object WindowsAndEvents extends QueryPack {
           (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("mean"),
           (sum(dec2(col("value")) * dec2(col("value"))).cast("double") /
             count(lit(1))).as("msq"))
-        .withColumn("sd", sqrt(col("msq") - col("mean") * col("mean")))
-      e.join(broadcast(stats), col("event_type") === col("t"))
+        // greatest(...,0): E[x²]−mean² can cancel to ~-1e-18 in doubles for
+        // a constant-valued type — DuckDB's sqrt THROWS on negatives and
+        // Spark yields NaN (which compares greatest, flagging every row).
+        .withColumn("sd", sqrt(greatest(col("msq") - col("mean") * col("mean"), lit(0.0))))
+      // sd=0 (constant-valued type) has no outliers by definition; filter
+      // it out rather than dividing by zero (IEEE Inf/NaN vs DuckDB NULL).
+      e.join(broadcast(stats.filter(col("sd") > 0)), col("event_type") === col("t"))
         .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
         .filter(abs(col("z")) > 3.0)
         .select(col("event_id"), col("event_type"), col("value"),
@@ -359,7 +368,7 @@ object WindowsAndEvents extends QueryPack {
         |  FROM grouped GROUP BY user_id, sid
         |)
         |SELECT user_id, session_start, session_end, n_events,
-        |  session_end + INTERVAL 45 MINUTE <= (SELECT MAX(ts) FROM events) AS closed
+        |  session_end + INTERVAL 45 MINUTE < (SELECT MAX(ts) FROM events) AS closed
         |FROM sessions ORDER BY user_id, session_start""".stripMargin,
 
     "st5_dedup" ->
@@ -383,11 +392,11 @@ object WindowsAndEvents extends QueryPack {
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS msq
         |  FROM events GROUP BY event_type
-        |), st AS (SELECT t, mean, sqrt(msq - mean * mean) AS sd FROM stats)
+        |), st AS (SELECT t, mean, sqrt(greatest(msq - mean * mean, 0)) AS sd FROM stats)
         |SELECT event_id, event_type, value, round(mean, 6) AS type_mean,
         |  round((value - mean) / sd, 6) AS z
         |FROM events JOIN st ON event_type = t
-        |WHERE abs(round((value - mean) / sd, 6)) > 3.0
+        |WHERE sd > 0 AND abs(round((value - mean) / sd, 6)) > 3.0
         |ORDER BY event_id""".stripMargin,
 
     "j6_interval_join" ->
