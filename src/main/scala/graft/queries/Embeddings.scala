@@ -65,10 +65,28 @@ object Embeddings extends QueryPack {
     * the lists table is persisted partitioned by `lid`
     * (`IvfIndex.persist`, pruning pinned in IvfIndexSpec), so a probe
     * scans nprobe partitions.
+    *
+    * One MATERIALIZED model per (session, sf dir), shared by v5/v7/v8 —
+    * the in-memory analogue of the persisted index all searches read
+    * (same pattern as Graph.symGraph's edge cache). Bounded: cleared past
+    * 8 entries so checkpoint blocks can't starve storage memory in a
+    * long-lived JVM. Content is deterministic, so caching cannot change
+    * results — only skip recomputing the Lloyd's iteration per query.
     */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
   private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val m = graft.operators.IvfIndex.build(corpus(s, d), nLists)
-    (m.lists, m.centers)
+    val key = s.sparkContext.applicationId + "|" + d
+    val cached = ivfCache.get(key)
+    if (cached != null) cached
+    else {
+      val m = graft.operators.IvfIndex.build(corpus(s, d), nLists)
+      val built = (m.lists.localCheckpoint(), m.centers.localCheckpoint())
+      if (ivfCache.size >= 8) ivfCache.clear()
+      val prev = ivfCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** DuckDB mirror of [[ivfModel]]: seeds → assign → decimal means →
