@@ -132,7 +132,16 @@ object TextDedup extends QueryPack {
   /** Shared SQL fragment: the DuckDB mirror of [[shingles]]→[[bandKeys]]→
     * [[candidates]]→[[jaccard]] with word-`n`-grams and given banding.
     */
-  private def neardupSql(n: Int, nHashes: Int, bandSize: Int, threshold: String): String = {
+  private def neardupSql(n: Int, nHashes: Int, bandSize: Int, threshold: String): String =
+    s"""${neardupCtes(n, nHashes, bandSize)}
+       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+       |FROM jac WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The WITH-body through the `jac` CTE, shared by [[neardupSql]] and the
+    * t13 cluster-resolution oracle (which keeps composing CTEs after it).
+    */
+  private def neardupCtes(n: Int, nHashes: Int, bandSize: Int): String = {
     val sliceEnd = s"i+${n - 1}"
     def sliceSql(i: Int): String = {
       val src = if (i < 4) "md5(sh)" else "md5('x' || sh)"
@@ -171,10 +180,7 @@ object TextDedup extends QueryPack {
        |  JOIN sizes sa ON sa.doc_id = c.doc_a
        |  JOIN sizes sb ON sb.doc_id = c.doc_b
        |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
-       |)
-       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-       |FROM jac WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |)""".stripMargin
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -239,6 +245,23 @@ object TextDedup extends QueryPack {
     "t5_ngram_jaccard" -> { (s, d) =>
       val sh = shingles(Tables.documents(s, d), 2).localCheckpoint()
       jaccard(candidates(bandKeys(sh, nHashes = 4, bandSize = 2)), sh, 0.6)
+    },
+
+    // T13: near-dup CLUSTER RESOLUTION — the action a dedup pipeline takes
+    // after pair detection: treat t4's jaccard>=0.5 pairs as edges, find
+    // connected components with the O(log n) star contraction, keep the
+    // smallest doc_id per cluster. Composes the two flagship pieces (LSH
+    // banding + star components) into the production dedup; the census
+    // (representative, member count, max member) is oracle-gated against
+    // the same pair CTEs + 16 unrolled propagation rounds.
+    "t13_neardup_clusters" -> { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), 3).localCheckpoint()
+      val pairs = jaccard(candidates(bandKeys(sh, nHashes = 8, bandSize = 2)), sh, 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()
+      labels.groupBy(col("lbl").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+        .orderBy("cluster_rep")
     },
 
     // T6: 16-bit SimHash per doc, computed in ONE pass with higher-order
@@ -501,6 +524,36 @@ object TextDedup extends QueryPack {
         |FROM fps GROUP BY fp ORDER BY keeper_id""".stripMargin,
 
     "t4_minhash_neardup" -> neardupSql(n = 3, nHashes = 8, bandSize = 2, threshold = "0.5"),
+
+    // Star-contraction labels equal min-label-propagation fixpoint labels,
+    // so the oracle unrolls 16 propagation rounds over the SAME pair CTEs
+    // (near-dup chains are far shallower than 16; MATERIALIZED keeps each
+    // round incremental — plain CTEs re-inline exponentially).
+    "t13_neardup_clusters" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT l.id, least(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+           |  FROM $prev l LEFT JOIN (
+           |    SELECT e.dst AS id, MIN($prev.lbl) AS nl
+           |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
+           |  ) m ON m.id = l.id
+           |)""".stripMargin
+      val rounds = (0 until 16).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
+      s"""${neardupCtes(3, 8, 2)},
+         |pairs AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM jac
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+         |$rounds
+         |SELECT lbl AS cluster_rep, COUNT(*) AS n_members, MAX(id) AS max_member
+         |FROM l16 GROUP BY lbl ORDER BY cluster_rep""".stripMargin
+    },
 
     "t5_ngram_jaccard" -> neardupSql(n = 2, nHashes = 4, bandSize = 2, threshold = "0.6"),
 
