@@ -336,6 +336,30 @@ object TextDedup extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // T14: mixture rebalancing — downsample every language to the minority
+    // language's (expected) count, the reweighting step before training-mix
+    // assembly. The keep decision is ALL-INTEGER: keep iff
+    // (md5-hash % 1e6) * n_lang < min_n * 1e6 — no double rounding to
+    // diverge between engines, deterministic per doc (stable under
+    // repartitioning, like the t9 split), expected kept ≈ min_n per lang.
+    // Counts are one tiny broadcast row per lang.
+    "t14_mixture_balance" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min(col("n_docs")).as("min_n"))
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      docs.join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(minN))
+        .withColumn("keep", h * col("n_docs") < col("min_n") * 1000000L)
+        .groupBy(col("lang"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast("double") / col("n_docs"), 6))
+        .orderBy("lang")
+    },
+
     // T11: benchmark-contamination check — the decontamination pass a
     // training pipeline runs before shipping a corpus: for every CONTAMINATED
     // corpus doc (≥1 hit — clean docs emit no row; this is the flag list a
@@ -605,6 +629,19 @@ object TextDedup extends QueryPack {
         |)
         |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
         |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "t14_mixture_balance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_docs) AS min_n FROM c),
+        |k AS (
+        |  SELECT d.lang, c.n_docs,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS h
+        |  FROM documents d JOIN c USING (lang)
+        |)
+        |SELECT lang, ANY_VALUE(n_docs) AS n_docs,
+        |  CAST(SUM(CASE WHEN h * n_docs < (SELECT min_n FROM m) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(CASE WHEN h * n_docs < (SELECT min_n FROM m) * 1000000 THEN 1 ELSE 0 END) AS DOUBLE) / ANY_VALUE(n_docs), 6) AS kept_frac
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t11_contamination" ->
       """WITH tok AS (
