@@ -33,7 +33,9 @@ class DeterminismSpec extends AnyFunSuite {
     "v7_ivf_multiprobe",    // 2-list probe union ranking
     "st4_sessionization",   // lag+cumsum session ids, watermark flag
     "g6_components_star",   // star-contraction loop + fingerprint convergence
-    "v8_ann_recall")        // recall join of two deterministic top-5 sets
+    "v8_ann_recall",        // recall join of two deterministic top-5 sets
+    "t13_neardup_clusters", // LSH pairs → star components → census
+    "t14_mixture_balance")  // integer-hash keep decision per doc
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
