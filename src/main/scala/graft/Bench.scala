@@ -29,10 +29,11 @@ object Bench {
     // stall (this VM shows up-to-4x hiccups on identical code), the min is
     // the engine's warm steady-state — the number that scales.
     // A failed query must be LOUD in the artifact: its name lands in
-    // "failed" and the "failures" count. Its (meaningless) elapsed-to-throw
-    // time still appears in "queries" so the driver's per-query diffing
-    // keeps a stable key set — readers must treat any name in "failed" as
-    // untimed rather than fast.
+    // "failed" and the "failures" count, and its (meaningless)
+    // elapsed-to-throw time is EXCLUDED from the headline total so
+    // cross-run total diffing never credits a crash as a speedup. The time
+    // still appears under "queries" so the driver's per-query diffing
+    // keeps a stable key set — treat any name in "failed" as untimed.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -46,7 +47,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

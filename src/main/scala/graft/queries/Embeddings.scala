@@ -66,26 +66,24 @@ object Embeddings extends QueryPack {
     * (`IvfIndex.persist`, pruning pinned in IvfIndexSpec), so a probe
     * scans nprobe partitions.
     *
-    * One MATERIALIZED model per (session, sf dir), shared by v5/v7/v8 —
-    * the in-memory analogue of the persisted index all searches read
-    * (same pattern as Graph.symGraph's edge cache). Bounded: cleared past
-    * 8 entries so checkpoint blocks can't starve storage memory in a
-    * long-lived JVM. Content is deterministic, so caching cannot change
-    * results — only skip recomputing the Lloyd's iteration per query.
+    * One MATERIALIZED model per (application, shuffle-partition conf, sf
+    * dir), shared by v5/v7/v8 — the in-memory analogue of the persisted
+    * index all searches read ([[graft.operators.BoundedCache]] carries the
+    * eviction policy, shared with Graph's edge cache). The shuffle
+    *-partition conf is part of the key so DeterminismSpec's 3-vs-16
+    * partition runs REBUILD the model rather than trivially reusing one
+    * build — the cache must never make the invariance tests vacuous.
+    * Content is deterministic, so caching cannot change results — only
+    * skip recomputing the Lloyd's iteration per query.
     */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val ivfCache = new graft.operators.BoundedCache[(DataFrame, DataFrame)]()
 
   private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val key = s.sparkContext.applicationId + "|" + d
-    val cached = ivfCache.get(key)
-    if (cached != null) cached
-    else {
+    val key = s.sparkContext.applicationId + "|" +
+      s.conf.get("spark.sql.shuffle.partitions") + "|" + d
+    ivfCache.getOrBuild(key) {
       val m = graft.operators.IvfIndex.build(corpus(s, d), nLists)
-      val built = (m.lists.localCheckpoint(), m.centers.localCheckpoint())
-      if (ivfCache.size >= 8) ivfCache.clear()
-      val prev = ivfCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      (m.lists.localCheckpoint(), m.centers.localCheckpoint())
     }
   }
 

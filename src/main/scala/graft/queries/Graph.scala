@@ -37,30 +37,23 @@ object Graph extends QueryPack {
     * part → 2k+1): numeric keys shuffle/compare far cheaper than strings
     * at any scale; ids translate back to o<key>/p<key> only at output.
     */
-  private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LinkGraph]()
+  private val graphCache = new graft.operators.BoundedCache[LinkGraph]()
 
-  /** One materialized edge table per (session, sf dir), shared by every
-    * graph query in the session — the local analogue of a persisted
-    * bucketed edge table that all graph workloads read. Bounded: the cache
-    * clears past 8 entries (checkpoint blocks are block-manager resident;
-    * unbounded growth would starve storage memory in a long-lived JVM).
-    * The build runs OUTSIDE the map lock — a rare duplicate build under a
-    * race is cheaper than serializing first-touch queries behind a Spark
-    * job holding the bin lock.
+  /** One materialized edge table per (application, sf dir), shared by
+    * every graph query — the local analogue of a persisted bucketed edge
+    * table that all graph workloads read. Eviction policy lives in
+    * [[graft.operators.BoundedCache]] (shared with Embeddings' IVF-model
+    * cache). Caches only the INPUT edge table: the iterative algorithms
+    * still execute per call, so partition-invariance tests stay
+    * meaningful.
     */
   private def symGraph(s: SparkSession, d: String): LinkGraph = {
     val key = s.sparkContext.applicationId + "|" + d
-    val cached = graphCache.get(key)
-    if (cached != null) cached
-    else {
+    graphCache.getOrBuild(key) {
       val e = edges(s, d).select(
         (col("o") * 2).as("src"),
         (col("p") * 2 + 1).as("dst"))
-      val built = new LinkGraph(e).symmetrized.materialized
-      if (graphCache.size >= 8) graphCache.clear()
-      val prev = graphCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      new LinkGraph(e).symmetrized.materialized
     }
   }
 

@@ -259,9 +259,21 @@ object TextDedup extends QueryPack {
       val pairs = jaccard(candidates(bandKeys(sh, nHashes = 8, bandSize = 2)), sh, 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()
-      labels.groupBy(col("lbl").as("cluster_rep"))
+      val census = labels.groupBy(col("lbl").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
-        .orderBy("cluster_rep")
+      // Oracle margin CHECKED, like g6: its 16 unrolled propagation rounds
+      // converge iff every cluster's min-label eccentricity <= 16, and
+      // eccentricity <= n_members - 1, so max 17 members is a sufficient
+      // bound. Cheap: the census is a handful of rows over checkpointed
+      // labels.
+      val maxMembers = census.agg(max(col("n_members"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      require(maxMembers <= 17,
+        s"largest near-dup cluster has $maxMembers members; the oracle unrolls " +
+          "only 16 propagation rounds — widen it")
+      census.orderBy("cluster_rep")
     },
 
     // T6: 16-bit SimHash per doc, computed in ONE pass with higher-order
