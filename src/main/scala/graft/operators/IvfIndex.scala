@@ -93,4 +93,31 @@ object IvfIndex {
     */
   def loadLists(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Top-k cosine search against an inverted file. `probes` must carry
+    * (qid, qe: array<double>, qnrm); `lists` is either `Model.lists` or a
+    * [[loadLists]] read of a persisted index — in the latter case the
+    * lid-equality join prunes to the probed partitions before any dot
+    * product. Probes are assigned to their `nprobe` nearest centers
+    * (window over the broadcast K-row center table) and ranked over the
+    * union of the probed lists with deterministic rounded-cosine,
+    * id-tiebreak ordering. Returns (qid, vec_id, cos_sim, rn), rn <= k.
+    */
+  def search(lists: DataFrame, centers: DataFrame, probes: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAssign = Window.partitionBy(col("qid"))
+      .orderBy(roundedCos(col("qe"), col("cemb")).desc, col("csid").asc)
+    val assigned = probes.crossJoin(broadcast(centers))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
+    val scored = broadcast(assigned)
+      .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dotNative(col("qe"), col("emb")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
 }

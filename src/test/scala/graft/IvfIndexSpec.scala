@@ -52,4 +52,21 @@ class IvfIndexSpec extends AnyFunSuite {
         f.selectedPartitions.partitionCount }
     assert(scanned.sum === 1, s"expected 1 selected partition, got ${scanned.sum}")
   }
+
+  test("search over the persisted index equals search over the in-memory lists") {
+    val path = Files.createTempDirectory("graft_ivf_s_").toString + "/lists"
+    IvfIndex.persist(model, path)
+    val probes = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm"))
+
+    def rows(lists: org.apache.spark.sql.DataFrame) =
+      IvfIndex.search(lists, model.centers, probes, k = 5, nprobe = 2)
+        .select("qid", "vec_id", "cos_sim", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sorted
+    val inMem = rows(model.lists)
+    val onDisk = rows(IvfIndex.loadLists(spark, path)
+      .select("vec_id", "lid", "emb", "nrm"))
+    assert(inMem.nonEmpty && inMem === onDisk)
+  }
 }
