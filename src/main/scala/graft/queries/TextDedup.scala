@@ -372,6 +372,43 @@ object TextDedup extends QueryPack {
         .orderBy("lang")
     },
 
+    // T15: INCREMENTAL dedup — the continuously-growing-corpus path: an
+    // incoming batch (doc_id % 5 == 0, deterministic) is admitted only if
+    // it is neither an exact duplicate (normalized-fingerprint anti-join)
+    // nor an LSH near-duplicate (shared capped band bucket with an
+    // EXISTING doc and exact Jaccard >= 0.5) of the standing corpus. At
+    // scale the existing side's fingerprints and band keys are maintained
+    // tables; the incoming batch joins against them — cost scales with the
+    // batch, not the corpus. Output: per-incoming-doc admission status.
+    "t15_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = shingles(docs, 3).localCheckpoint()
+      val bands = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
+        .localCheckpoint()
+      val incoming = col("doc_id") % 5 === 0
+      val exFp = docs.filter(!incoming)
+        .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+      val inDocs = docs.filter(incoming)
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val exactDups = inDocs.join(exFp, Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("is_exact", lit(true))
+      val cand = bands.filter(incoming).toDF("doc_a", "band_a", "key_a")
+        .join(bands.filter(!incoming).toDF("doc_b", "band_b", "key_b"),
+          col("band_a") === col("band_b") && col("key_a") === col("key_b"))
+        .select("doc_a", "doc_b").distinct()
+      val nearDups = jaccard(cand, sh, 0.5)
+        .select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("is_near", lit(true))
+      inDocs.select(col("doc_id"))
+        .join(exactDups, Seq("doc_id"), "left_outer")
+        .join(nearDups, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(col("is_near"), "near_dup")
+            .otherwise("kept").as("status"))
+        .orderBy("doc_id")
+    },
+
     // T11: benchmark-contamination check — the decontamination pass a
     // training pipeline runs before shipping a corpus: for every CONTAMINATED
     // corpus doc (≥1 hit — clean docs emit no row; this is the flag list a
@@ -641,6 +678,46 @@ object TextDedup extends QueryPack {
         |)
         |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
         |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // Reuses the full near-dup CTE prefix; `cand`/`jac` inside it are
+    // plain (non-materialized) CTEs DuckDB never evaluates unreferenced —
+    // only the cross-set xcand/xjac below run.
+    "t15_incremental_dedup" -> {
+      val fpSql =
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+      s"""${neardupCtes(3, 8, 2)},
+         |exfp AS (SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id % 5 != 0),
+         |infp AS (SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id % 5 = 0),
+         |exact_dups AS (
+         |  SELECT DISTINCT doc_id FROM infp WHERE fp IN (SELECT fp FROM exfp)
+         |),
+         |xcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+         |),
+         |xjac AS (
+         |  SELECT c.doc_a, count(*) AS inter, sa.n AS na, sb.n AS nb
+         |  FROM xcand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+         |),
+         |near_dups AS (
+         |  SELECT DISTINCT doc_a AS doc_id FROM xjac
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS status
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN exact_dups e ON e.doc_id = d.doc_id
+         |LEFT JOIN near_dups n ON n.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "t14_mixture_balance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
