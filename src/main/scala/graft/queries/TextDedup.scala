@@ -372,6 +372,29 @@ object TextDedup extends QueryPack {
         .orderBy("lang")
     },
 
+    // T16: adaptive quality thresholding — keep the TOP HALF of each
+    // language by composite quality, the percentile-based alternative to
+    // t7/e3's fixed cutoff (a fixed threshold over- or under-prunes
+    // languages whose score distributions differ). percent_rank over
+    // (quality desc, doc_id) — quality is rounded to 6dp and doc_id
+    // unique, so ranks (and the 0.5 cut) are engine-identical. One
+    // window per lang partition: embarrassingly parallel across langs.
+    "t16_quality_percentile" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("keep", col("pr") <= 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          round(min(when(col("keep"), col("quality"))), 6).as("cutoff_quality"))
+        .orderBy("lang")
+    },
+
     // T15: INCREMENTAL dedup — the continuously-growing-corpus path: an
     // incoming batch (doc_id % 5 == 0, deterministic) is admitted only if
     // it is neither an exact duplicate (normalized-fingerprint anti-join)
@@ -678,6 +701,26 @@ object TextDedup extends QueryPack {
         |)
         |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
         |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "t16_quality_percentile" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang, $qualityExprSql AS quality FROM (
+         |    SELECT doc_id, lang,
+         |      $swSql AS sw,
+         |      $mtlSql AS mtl,
+         |      $prSql AS pr
+         |    FROM docs
+         |  )
+         |), ranked AS (
+         |  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS pr
+         |  FROM scored
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(MIN(CASE WHEN pr <= 0.5 THEN quality END), 6) AS cutoff_quality
+         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Reuses the full near-dup CTE prefix; `cand`/`jac` inside it are
     // plain (non-materialized) CTEs DuckDB never evaluates unreferenced —
