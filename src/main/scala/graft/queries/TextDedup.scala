@@ -90,13 +90,38 @@ object TextDedup extends QueryPack {
     */
   private[queries] val BucketCap = 64
 
+  /** One materialized (3-gram shingles, capped 8×2 band keys) pair per
+    * (application, shuffle-partition conf, sf dir) — t4/t13/t15 all run
+    * the same signature pipeline over the same documents, so it builds
+    * once per session instead of once per query. Policy and caveats match
+    * the IVF-model cache: [[graft.operators.BoundedCache]] eviction, and
+    * the shuffle-partition conf in the key so DeterminismSpec's 3-vs-16
+    * runs rebuild instead of trivially reusing one build.
+    */
+  private val lshCache =
+    new graft.operators.BoundedCache[(DataFrame, DataFrame)]()
+
+  private def lsh3(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = s.sparkContext.applicationId + "|" +
+      s.conf.get("spark.sql.shuffle.partitions") + "|" + d
+    lshCache.getOrBuild(key) {
+      val sh = shingles(Tables.documents(s, d), 3).localCheckpoint()
+      val bands = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
+        .localCheckpoint()
+      (sh, bands)
+    }
+  }
+
   /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands.
     * The capped band table feeds BOTH sides of the self-join; without the
     * eager materialization the whole signature pipeline (shingle scan →
     * minhash agg → banding → cap) executes twice, once per side.
     */
-  private def candidates(bands: DataFrame): DataFrame = {
-    val capped = capBuckets(bands, BucketCap).localCheckpoint()
+  private def candidates(bands: DataFrame): DataFrame =
+    candidatePairs(capBuckets(bands, BucketCap).localCheckpoint())
+
+  /** Same-band pairs (doc_a < doc_b) from an ALREADY-capped band table. */
+  private def candidatePairs(capped: DataFrame): DataFrame = {
     val a = capped.toDF("doc_a", "band_a", "key_a")
     val b = capped.toDF("doc_b", "band_b", "key_b")
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
@@ -234,10 +259,10 @@ object TextDedup extends QueryPack {
     // T4: MinHash+LSH near-dup pairs — word-trigram shingles, 8 minhashes
     // in 4 bands of 2, exact-Jaccard verification of candidates at ≥ 0.5.
     "t4_minhash_neardup" -> { (s, d) =>
-      // The shingle set feeds four consumers (minhash, candidate join ×2,
-      // sizes); materialize it once instead of re-deriving per consumer.
-      val sh = shingles(Tables.documents(s, d), 3).localCheckpoint()
-      jaccard(candidates(bandKeys(sh, nHashes = 8, bandSize = 2)), sh, 0.5)
+      // Shingles + capped bands come from the session-shared [[lsh3]]
+      // materialization (t13/t15 reuse the same signature pipeline).
+      val (sh, capped) = lsh3(s, d)
+      jaccard(candidatePairs(capped), sh, 0.5)
     },
 
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
@@ -255,8 +280,8 @@ object TextDedup extends QueryPack {
     // (representative, member count, max member) is oracle-gated against
     // the same pair CTEs + 16 unrolled propagation rounds.
     "t13_neardup_clusters" -> { (s, d) =>
-      val sh = shingles(Tables.documents(s, d), 3).localCheckpoint()
-      val pairs = jaccard(candidates(bandKeys(sh, nHashes = 8, bandSize = 2)), sh, 0.5)
+      val (sh, capped) = lsh3(s, d)
+      val pairs = jaccard(candidatePairs(capped), sh, 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()
       val census = labels.groupBy(col("lbl").as("cluster_rep"))
@@ -405,9 +430,7 @@ object TextDedup extends QueryPack {
     // batch, not the corpus. Output: per-incoming-doc admission status.
     "t15_incremental_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val sh = shingles(docs, 3).localCheckpoint()
-      val bands = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
-        .localCheckpoint()
+      val (sh, bands) = lsh3(s, d)
       val incoming = col("doc_id") % 5 === 0
       val exFp = docs.filter(!incoming)
         .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
