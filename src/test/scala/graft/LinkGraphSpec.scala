@@ -112,6 +112,16 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(m.size === n && m.values.forall(_ === 0L))
   }
 
+  test("connectedComponentsStar fails loudly when maxIters is too small to converge") {
+    val n = 64
+    val path = new LinkGraph(
+      (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("src", "dst"))
+    val e = intercept[IllegalArgumentException] {
+      path.connectedComponentsStar(maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponentsStar matches connectedComponents on the lineitem graph") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
