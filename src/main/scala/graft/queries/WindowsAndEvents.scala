@@ -208,6 +208,33 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("segment")
     },
 
+    // W5: funnel analysis — ordered-sequence matching (view → click →
+    // purchase, strictly increasing event times per user), the
+    // match_recognize-style capability class. Each stage is a keyed min
+    // over the events AFTER the previous stage's timestamp: three tiny
+    // per-user aggregates joined in sequence (the user-stage tables are
+    // filtered aggregations, far smaller than the event stream), then one
+    // single-row census with exact conversion ratios. No windows over the
+    // full stream, no cross product.
+    "w5_event_funnel" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+        .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
+          round(col("n_clicked").cast("double") / col("n_viewed"), 6).as("view_to_click"),
+          round(col("n_purchased").cast("double") /
+            greatest(col("n_clicked"), lit(1L)), 6).as("click_to_purchase"))
+    },
+
     // DQ3: z-score anomaly detection per event type — the data-quality
     // outlier pass a pipeline runs over metric columns. Mean and E[x²] run
     // through EXACT decimal sums (value has 2dp → squares exact at 4dp),
@@ -385,6 +412,25 @@ object WindowsAndEvents extends QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "w5_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+        |)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+        |  (SELECT COUNT(*) FROM c) AS n_clicked,
+        |  (SELECT COUNT(*) FROM p) AS n_purchased,
+        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+        |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / greatest((SELECT COUNT(*) FROM c), 1), 6) AS click_to_purchase""".stripMargin,
 
     "dq3_outliers" ->
       """WITH stats AS (
