@@ -94,30 +94,42 @@ object IvfIndex {
   def loadLists(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Top-k cosine search against an inverted file. `probes` must carry
-    * (qid, qe: array<double>, qnrm); `lists` is either `Model.lists` or a
-    * [[loadLists]] read of a persisted index — in the latter case the
-    * lid-equality join prunes to the probed partitions before any dot
-    * product. Probes are assigned to their `nprobe` nearest centers
-    * (window over the broadcast K-row center table) and ranked over the
-    * union of the probed lists with deterministic rounded-cosine,
-    * id-tiebreak ordering. Returns (qid, vec_id, cos_sim, rn), rn <= k.
+  /** Scored candidates for `probes` (qid, qe: array<double>, qnrm):
+    * probes assigned to their `nprobe` nearest centers (window over the
+    * broadcast K-row center table), each probed list's vectors scored
+    * with precomputed-norm rounded cosine. THE single implementation the
+    * oracle-gated v5/v7/v8 queries and [[search]] both run — any change
+    * to tiebreaks, rounding, or self-exclusion lands everywhere at once.
+    * Returns (qid, csid, vec_id, cos_sim).
     */
-  def search(lists: DataFrame, centers: DataFrame, probes: DataFrame,
-      k: Int, nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def scoredCandidates(lists: DataFrame, centers: DataFrame, probes: DataFrame,
+      nprobe: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("qid"))
       .orderBy(roundedCos(col("qe"), col("cemb")).desc, col("csid").asc)
     val assigned = probes.crossJoin(broadcast(centers))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= nprobe)
       .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
-    val scored = broadcast(assigned)
+    broadcast(assigned)
       .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
+      .select(col("qid"), col("csid"),
+        col("vec_id"),
         round(dotNative(col("qe"), col("emb")) / (col("qnrm") * col("nrm")), 6)
           .as("cos_sim"))
+  }
+
+  /** Top-k cosine search against an inverted file. `lists` is either
+    * `Model.lists` or a [[loadLists]] read of a persisted index — in the
+    * latter case the lid-equality join prunes to the probed partitions
+    * before any dot product. Ranks [[scoredCandidates]] with the
+    * deterministic rounded-cosine, id-tiebreak ordering. Returns
+    * (qid, vec_id, cos_sim, rn), rn <= k.
+    */
+  def search(lists: DataFrame, centers: DataFrame, probes: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scoredCandidates(lists, centers, probes, nprobe)
+      .select(col("qid"), col("vec_id"), col("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 }

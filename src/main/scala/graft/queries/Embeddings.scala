@@ -121,24 +121,15 @@ object Embeddings extends QueryPack {
        |  ) WHERE arn = 1
        |)""".stripMargin
 
-  /** Scored IVF candidates shared by v5/v7/v8: probes assigned to their
-    * `nprobe` nearest updated centers (window over the broadcast K-row
-    * center table), then each probed list's vectors scored. Corpus never
-    * shuffles; at scale the lists side is partition-pruned to `nprobe`
-    * partitions per probe.
+  /** Scored IVF candidates shared by v5/v7/v8 — delegates to the single
+    * pipeline in [[graft.operators.IvfIndex.scoredCandidates]] (also
+    * behind the public `search` API), over the session-cached model.
+    * Corpus never shuffles; at scale the lists side is partition-pruned
+    * to `nprobe` partitions per probe.
     */
   private def ivfCandidates(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val (lists, cents) = ivfModel(s, d)
-    val q = probes(corpus(s, d))
-    val wAssign = Window.partitionBy(col("qid"))
-      .orderBy(round(cosine(col("qe"), col("cemb")), 6).desc, col("csid").asc)
-    val assigned = q.crossJoin(broadcast(cents))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= nprobe)
-      .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
-    broadcast(assigned)
-      .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("csid"), col("vec_id"), pairCos.as("cos_sim"))
+    graft.operators.IvfIndex.scoredCandidates(lists, cents, probes(corpus(s, d)), nprobe)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -48,7 +48,11 @@ object Graph extends QueryPack {
     * meaningful.
     */
   private def symGraph(s: SparkSession, d: String): LinkGraph = {
-    val key = s.sparkContext.applicationId + "|" + d
+    // Shuffle-partition conf in the key for the same reason as the IVF and
+    // LSH caches: the build itself shuffles (symmetrize + distinct), so
+    // DeterminismSpec's 3-vs-16 partition runs must rebuild it.
+    val key = s.sparkContext.applicationId + "|" +
+      s.conf.get("spark.sql.shuffle.partitions") + "|" + d
     graphCache.getOrBuild(key) {
       val e = edges(s, d).select(
         (col("o") * 2).as("src"),

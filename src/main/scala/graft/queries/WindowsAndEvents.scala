@@ -229,8 +229,11 @@ object WindowsAndEvents extends QueryPack {
       v.agg(count(lit(1)).as("n_viewed"))
         .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+        // Both denominators guarded: 0/0 is NULL in Spark but NaN/Inf in
+        // DuckDB's IEEE float ops — an empty stage must not diverge.
         .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
-          round(col("n_clicked").cast("double") / col("n_viewed"), 6).as("view_to_click"),
+          round(col("n_clicked").cast("double") /
+            greatest(col("n_viewed"), lit(1L)), 6).as("view_to_click"),
           round(col("n_purchased").cast("double") /
             greatest(col("n_clicked"), lit(1L)), 6).as("click_to_purchase"))
     },
@@ -429,7 +432,7 @@ object WindowsAndEvents extends QueryPack {
         |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
         |  (SELECT COUNT(*) FROM c) AS n_clicked,
         |  (SELECT COUNT(*) FROM p) AS n_purchased,
-        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / greatest((SELECT COUNT(*) FROM v), 1), 6) AS view_to_click,
         |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / greatest((SELECT COUNT(*) FROM c), 1), 6) AS click_to_purchase""".stripMargin,
 
     "dq3_outliers" ->
