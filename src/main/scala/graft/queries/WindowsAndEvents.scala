@@ -238,6 +238,31 @@ object WindowsAndEvents extends QueryPack {
             greatest(col("n_clicked"), lit(1L)), 6).as("click_to_purchase"))
     },
 
+    // W6: cohort retention — users bucketed by the week of their FIRST
+    // event; for each cohort, the fraction still active 1–4 weeks later.
+    // The other classic event-analytics shape next to w5's funnel. Week
+    // ids are exact integer floor((days since epoch-date)/7) on both
+    // engines; cohort/active tables are per-user aggregates (small), the
+    // retention join is cohort-keyed.
+    "w6_cohort_retention" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .withColumn("week",
+          floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7)
+            .cast("long"))
+      val firstWeek = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      val active = e.select(col("user_id"), col("week")).distinct()
+      val sizes = firstWeek.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+      active.join(firstWeek, Seq("user_id"))
+        .withColumn("week_offset", col("week") - col("cohort"))
+        .filter(col("week_offset").between(1, 4))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, Seq("cohort"))
+        .select(col("cohort"), col("week_offset"), col("n_users"), col("n_active"),
+          round(col("n_active").cast("double") / col("n_users"), 6).as("retention"))
+        .orderBy("cohort", "week_offset")
+    },
+
     // DQ3: z-score anomaly detection per event type — the data-quality
     // outlier pass a pipeline runs over metric columns. Mean and E[x²] run
     // through EXACT decimal sums (value has 2dp → squares exact at 4dp),
@@ -434,6 +459,22 @@ object WindowsAndEvents extends QueryPack {
         |  (SELECT COUNT(*) FROM p) AS n_purchased,
         |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / greatest((SELECT COUNT(*) FROM v), 1), 6) AS view_to_click,
         |  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / greatest((SELECT COUNT(*) FROM c), 1), 6) AS click_to_purchase""".stripMargin,
+
+    "w6_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+        |  FROM events
+        |), fw AS (SELECT user_id, MIN(week) AS cohort FROM w GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, week FROM w),
+        |sizes AS (SELECT cohort, COUNT(*) AS n_users FROM fw GROUP BY cohort)
+        |SELECT f.cohort, a.week - f.cohort AS week_offset, s.n_users,
+        |  COUNT(DISTINCT a.user_id) AS n_active,
+        |  round(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.n_users, 6) AS retention
+        |FROM act a JOIN fw f ON a.user_id = f.user_id JOIN sizes s ON s.cohort = f.cohort
+        |WHERE a.week - f.cohort BETWEEN 1 AND 4
+        |GROUP BY f.cohort, a.week - f.cohort, s.n_users
+        |ORDER BY f.cohort, week_offset""".stripMargin,
 
     "dq3_outliers" ->
       """WITH stats AS (
