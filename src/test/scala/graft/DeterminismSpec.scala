@@ -35,7 +35,8 @@ class DeterminismSpec extends AnyFunSuite {
     "g6_components_star",   // star-contraction loop + fingerprint convergence
     "v8_ann_recall",        // recall join of two deterministic top-5 sets
     "t13_neardup_clusters", // LSH pairs → star components → census
-    "t14_mixture_balance")  // integer-hash keep decision per doc
+    "t14_mixture_balance",  // integer-hash keep decision per doc
+    "w6_cohort_retention")  // week bucketing + cohort-keyed joins
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
