@@ -28,22 +28,29 @@ object Bench {
     // carries plan-specific JIT/codegen compilation and any transient host
     // stall (this VM shows up-to-4x hiccups on identical code), the min is
     // the engine's warm steady-state — the number that scales.
-    // A failed query must be LOUD in the artifact: its name lands in
-    // "failed" and the "failures" count, and its (meaningless)
-    // elapsed-to-throw time is EXCLUDED from the headline total so
-    // cross-run total diffing never credits a crash as a speedup. The time
-    // still appears under "queries" so the driver's per-query diffing
-    // keeps a stable key set — treat any name in "failed" as untimed.
+    // A query is "failed" only if NO run succeeded (a first-run throw with
+    // a clean second run counts as a success — the reported time is then
+    // the min over SUCCESSFUL runs only, never a mix of a valid timing and
+    // an elapsed-to-throw). A failed query must be LOUD in the artifact:
+    // its name lands in "failed" and the "failures" count, and its
+    // (meaningless) elapsed-to-throw time is EXCLUDED from the headline
+    // total so cross-run total diffing never credits a crash as a speedup.
+    // The throw time still appears under "queries" so the driver's
+    // per-query diffing keeps a stable key set — treat any name in
+    // "failed" as untimed.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case _: Throwable => failed += name
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case _: Throwable => false
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> math.min(once(), once())
+      val runs = Seq(once(), once())
+      val good = runs.collect { case (t, true) => t }
+      if (good.isEmpty) failed += name
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

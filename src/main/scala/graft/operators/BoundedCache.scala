@@ -2,10 +2,12 @@ package graft.operators
 
 /** Tiny bounded build-once cache for materialized (checkpointed) plans
   * shared across queries in one application — the policy lives here once
-  * so the graph-edge, IVF-model, and LSH caches cannot drift: clear past
-  * `max` entries, and run the build OUTSIDE the map lock — a rare
-  * duplicate build under a race is cheaper than serializing first-touch
-  * queries behind a Spark job holding the bin lock.
+  * so the graph-edge, IVF-model, and LSH caches cannot drift: LRU-evict a
+  * SINGLE entry past `max` (a burst of first-touch builds can no longer
+  * trigger clear-all rebuild storms in a long-lived JVM), and run the
+  * build OUTSIDE the map lock — a rare duplicate build under a race is
+  * cheaper than serializing first-touch queries behind a Spark job
+  * holding the map lock.
   *
   * Eviction deliberately only DROPS REFERENCES — it does not eagerly
   * unpersist checkpoint blocks. `localCheckpoint` output is
@@ -16,14 +18,23 @@ package graft.operators
   * hazard.
   */
 final class BoundedCache[V](max: Int = 8) {
-  private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+  // Access-ordered LinkedHashMap: `removeEldestEntry` drops exactly the
+  // least-recently-USED entry on insert past the bound, keeping hot
+  // entries live. All access goes through the synchronized wrapper (the
+  // JDK one overrides the default-method map ops with synchronized
+  // versions, so `get`/`putIfAbsent` are individually atomic); the
+  // build itself runs outside any lock by design.
+  private val m: java.util.Map[String, V] = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > max
+    })
 
   def getOrBuild(key: String)(build: => V): V = {
     val cached = m.get(key)
     if (cached != null) cached
     else {
       val built = build
-      if (m.size >= max) m.clear()
       val prev = m.putIfAbsent(key, built)
       if (prev != null) prev else built
     }

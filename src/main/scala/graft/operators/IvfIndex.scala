@@ -29,40 +29,57 @@ object IvfIndex {
   private def roundedCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     round(cosine(a, b), 6)
 
-  /** One deterministic Lloyd's iteration over `corpus` (columns: vec_id,
-    * emb: array<double>, nrm: double):
+  /** `iters` deterministic Lloyd's iterations over `corpus` (columns:
+    * vec_id, emb: array<double>, nrm: double):
     *
-    *   1. seeds: the `nLists` vectors with the smallest `md5(vec_id)` —
-    *      deterministic, engine-portable sampling planned as distributed
-    *      top-k (TakeOrderedAndProject), never a global sort;
-    *   2. assign: every vector to its nearest seed (`round(cos,6)` desc,
-    *      seed-id tiebreak). The argmax is `max(struct(...))` under
-    *      `groupBy(vec_id)`: the K candidate rows per vector sit in one
-    *      partition (broadcast cross join), so the partial aggregate
-    *      collapses N×K → N BEFORE the shuffle;
-    *   3. update: per-list decimal-exact means (DECIMAL(28,10) sums are
-    *      order-independent → bit parity with the oracle);
-    *   4. re-assign the corpus to the UPDATED centers — the inverted file.
+    *   1. seeds: the `nLists` DISTINCT-embedding vectors with the smallest
+    *      `md5(vec_id)` — deterministic, engine-portable sampling. The
+    *      dedup (one hash agg keyed by the embedding, min-(skey, vec_id)
+    *      representative per distinct vector) guarantees `nLists` distinct
+    *      starting centers whenever the corpus has that many distinct
+    *      embeddings — duplicate seed embeddings would start two lists at
+    *      the same point and one would end empty;
+    *   2. per iteration — assign: every vector to its nearest center
+    *      (`round(cos,6)` desc, center-id tiebreak). The argmax is
+    *      `max(struct(...))` under `groupBy(vec_id)`: the K candidate rows
+    *      per vector sit in one partition (broadcast cross join), so the
+    *      partial aggregate collapses N×K → N BEFORE the shuffle;
+    *      then update: per-list decimal-exact means (DECIMAL(28,10) sums
+    *      are order-independent → bit parity with the oracle). Iteration 1
+    *      assigns to the seeds; iteration i to iteration i−1's means. Each
+    *      round's centers are K rows, checkpointed so round i+1's plan
+    *      does not re-execute rounds 1..i;
+    *   3. re-assign the corpus to the FINAL centers — the inverted file.
     */
-  def build(corpus: DataFrame, nLists: Int): Model = {
+  def build(corpus: DataFrame, nLists: Int, iters: Int = 1): Model = {
+    require(iters >= 1, s"IvfIndex.build: iters must be >= 1, got $iters")
     val c = corpus
     val skey = md5(col("vec_id").cast("string"))
     // The global window runs AFTER limit(nLists) — K rows, not the corpus —
     // so Spark's "no partition defined" warning is expected and harmless
     // here (a literal partitionBy would be constant-folded away anyway).
     val wSeed = Window.orderBy(col("skey").asc, col("vec_id").asc)
-    val seeds = c.select(col("vec_id"), col("emb"), skey.as("skey"))
+    val seedCand = c.select(col("vec_id"), col("emb"), skey.as("skey"))
+      .groupBy(col("emb"))
+      .agg(min(struct(col("skey"), col("vec_id"))).as("m"))
+      .select(col("m.skey").as("skey"), col("m.vec_id").as("vec_id"), col("emb"))
+    val seeds = seedCand
       .orderBy(col("skey").asc, col("vec_id").asc).limit(nLists)
       .withColumn("sid", row_number().over(wSeed))
-      .select(col("sid"), col("emb").as("semb"))
-    val asg = c.crossJoin(broadcast(seeds))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        roundedCos(col("emb"), col("semb")).as("cs"),
-        (-col("sid")).as("neg"), col("sid").as("sid"),
-        col("emb").as("emb"))).as("m"))
-      .select(col("vec_id"), col("m.sid").as("sid"), col("m.emb").as("emb"))
-    val cents = asg
+      .select(col("sid").as("csid"), col("emb").as("cemb"))
+
+    /** Nearest-center assignment: (vec_id, sid, emb). */
+    def assign(centers: DataFrame): DataFrame =
+      c.crossJoin(broadcast(centers))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(
+          roundedCos(col("emb"), col("cemb")).as("cs"),
+          (-col("csid")).as("neg"), col("csid").as("sid"),
+          col("emb").as("emb"))).as("m"))
+        .select(col("vec_id"), col("m.sid").as("sid"), col("m.emb").as("emb"))
+
+    /** Per-list decimal-exact means: (csid, cemb). */
+    def means(asg: DataFrame): DataFrame = asg
       .select(col("sid"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy(col("sid"), col("pos"))
       .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double") /
@@ -71,6 +88,10 @@ object IvfIndex {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("cemb"))
       .select(col("sid").as("csid"), col("cemb"))
+
+    var cents = seeds
+    for (_ <- 1 to iters)
+      cents = means(assign(cents)).localCheckpoint()
     val lists = c.crossJoin(broadcast(cents))
       .groupBy(col("vec_id"))
       .agg(max(struct(
@@ -98,19 +119,33 @@ object IvfIndex {
     * probes assigned to their `nprobe` nearest centers (window over the
     * broadcast K-row center table), each probed list's vectors scored
     * with precomputed-norm rounded cosine. THE single implementation the
-    * oracle-gated v5/v7/v8 queries and [[search]] both run — any change
+    * oracle-gated v5/v7/v9 queries and [[search]] both run — any change
     * to tiebreaks, rounding, or self-exclusion lands everywhere at once.
     * Returns (qid, csid, vec_id, cos_sim).
+    *
+    * Probe-side contract (`broadcastProbes`):
+    *   - `true` (serving shape): the assigned probe set is BROADCAST and
+    *     the corpus-side lists never shuffle — correct only while the
+    *     probe set fits an executor broadcast (serving traffic does;
+    *     probes ≈ corpus would OOM the broadcast);
+    *   - `false` (bulk shape): both sides SHUFFLE on the list id — the
+    *     bulk-rescore plan for probe sets comparable to the corpus. The
+    *     join key has only `nLists` distinct values, so partition count is
+    *     bounded by nLists and hot lists are exactly the skew AQE's
+    *     runtime skew-split handles (proven in SkewJoinSpec).
+    * Both paths are the same expression tree — only the join strategy
+    * differs — and IvfIndexSpec pins row-for-row equality between them.
     */
   def scoredCandidates(lists: DataFrame, centers: DataFrame, probes: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, broadcastProbes: Boolean = true): DataFrame = {
     val wAssign = Window.partitionBy(col("qid"))
       .orderBy(roundedCos(col("qe"), col("cemb")).desc, col("csid").asc)
     val assigned = probes.crossJoin(broadcast(centers))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= nprobe)
       .select(col("qid"), col("qe"), col("qnrm"), col("csid"))
-    broadcast(assigned)
+    val probeSide = if (broadcastProbes) broadcast(assigned) else assigned
+    probeSide
       .join(lists, col("lid") === col("csid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("csid"),
         col("vec_id"),
@@ -126,9 +161,9 @@ object IvfIndex {
     * (qid, vec_id, cos_sim, rn), rn <= k.
     */
   def search(lists: DataFrame, centers: DataFrame, probes: DataFrame,
-      k: Int, nprobe: Int = 1): DataFrame = {
+      k: Int, nprobe: Int = 1, broadcastProbes: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scoredCandidates(lists, centers, probes, nprobe)
+    scoredCandidates(lists, centers, probes, nprobe, broadcastProbes)
       .select(col("qid"), col("vec_id"), col("cos_sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * driver-side loops over DataFrames. Each iteration extends the lineage;
   * `localCheckpoint` every `checkpointEvery` iterations truncates it so
   * plans don't grow unboundedly (SURVEY.md §5 watch-list item).
+  * `checkpointEvery` governs [[kHop]] only: the dual-reference loops
+  * ([[pageRankFixed]], [[labelPropagation]]) reference their state frame
+  * twice per round (join + zero-row union), so they materialize EVERY
+  * round regardless — either at the round's end (on-schedule checkpoint)
+  * or at the next round's top (the guard that stops 2^n recompute growth
+  * between sparse checkpoints). A knob value > 1 is honored but cannot
+  * reduce their materialization frequency.
   *
   * PageRank uses fixed-point integer arithmetic (ranks scaled by `scale`,
   * integer division everywhere) — deterministic regardless of partition

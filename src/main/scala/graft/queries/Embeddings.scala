@@ -58,9 +58,17 @@ object Embeddings extends QueryPack {
 
   private val nLists = 8
 
-  /** IVF coarse quantizer COMPUTED from the data — one deterministic
-    * Lloyd's iteration via [[graft.operators.IvfIndex]] (see its scaladoc
-    * for the seed/assign/update/re-assign steps and their scale shapes).
+  /** Lloyd's rounds in the computed quantizer (assign → decimal means,
+    * iterated; see [[graft.operators.IvfIndex.build]]). Every round is
+    * mirrored as a MATERIALIZED CTE pair in [[ivfSql]], and IvfIndexSpec
+    * asserts recall@5 does not degrade versus the one-round model.
+    */
+  private val ivfIters = 2
+
+  /** IVF coarse quantizer COMPUTED from the data — [[ivfIters]]
+    * deterministic Lloyd's iterations via [[graft.operators.IvfIndex]]
+    * (see its scaladoc for the seed/assign/update/re-assign steps and
+    * their scale shapes).
     * Returns (lists: vec_id/lid/emb/nrm, centers: csid/cemb). At 100 TB
     * the lists table is persisted partitioned by `lid`
     * (`IvfIndex.persist`, pruning pinned in IvfIndexSpec), so a probe
@@ -82,44 +90,63 @@ object Embeddings extends QueryPack {
     val key = s.sparkContext.applicationId + "|" +
       s.conf.get("spark.sql.shuffle.partitions") + "|" + d
     ivfCache.getOrBuild(key) {
-      val m = graft.operators.IvfIndex.build(corpus(s, d), nLists)
+      val m = graft.operators.IvfIndex.build(corpus(s, d), nLists, ivfIters)
       (m.lists.localCheckpoint(), m.centers.localCheckpoint())
     }
   }
 
-  /** DuckDB mirror of [[ivfModel]]: seeds → assign → decimal means →
-    * re-assign, as CTE bodies (MATERIALIZED where referenced downstream so
-    * the iteration runs once, not per reference).
-    */
-  private val ivfSql: String =
-    s"""v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |seeds AS MATERIALIZED (
-       |  SELECT emb AS semb,
-       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS sid
-       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT $nLists
-       |),
-       |asg AS MATERIALIZED (
-       |  SELECT vec_id, emb, sid FROM (
-       |    SELECT v.vec_id, v.emb, s.sid,
+  /** One assign round: v rows labeled with their nearest `$cent` center. */
+  private def ivfAssignSql(cent: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT vec_id, emb, csid AS sid FROM (
+       |    SELECT v.vec_id, v.emb, c.csid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |        ORDER BY round(${cosSql("v.emb", "s.semb")}, 6) DESC, s.sid ASC) AS arn
-       |    FROM v, seeds s
+       |        ORDER BY round(${cosSql("v.emb", "c.cemb")}, 6) DESC, c.csid ASC) AS arn
+       |    FROM v, $cent c
        |  ) WHERE arn = 1
-       |),
-       |cdim AS (
+       |)""".stripMargin
+
+  /** One update round: per-list decimal-exact means of `$asg`. */
+  private def ivfMeansSql(asg: String, out: String): String =
+    s"""${out}d AS (
        |  SELECT sid, dim, CAST(SUM(CAST(vv AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
-       |  FROM (SELECT sid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS vv FROM asg)
+       |  FROM (SELECT sid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS vv FROM $asg)
        |  GROUP BY sid, dim
        |),
-       |cent AS MATERIALIZED (SELECT sid AS csid, list(cv ORDER BY dim) AS cemb FROM cdim GROUP BY sid),
+       |$out AS MATERIALIZED (SELECT sid AS csid, list(cv ORDER BY dim) AS cemb FROM ${out}d GROUP BY sid)""".stripMargin
+
+  /** DuckDB mirror of [[ivfModel]]: distinct-embedding seeds → [[ivfIters]]
+    * unrolled (assign → decimal means) rounds → final re-assign, as CTE
+    * bodies (MATERIALIZED where referenced downstream so each round runs
+    * once, not per reference — a plain CTE chain would re-evaluate the
+    * whole prefix per reference). The final means CTE is named `cent` and
+    * the final assignment `lists`, so downstream query SQL is independent
+    * of the round count.
+    */
+  private val ivfSql: String = {
+    val skeySql = "md5(CAST(vec_id AS VARCHAR))"
+    val rounds = (1 to ivfIters).map { i =>
+      val prevCent = if (i == 1) "seeds" else s"cent${i - 1}"
+      val out = if (i == ivfIters) "cent" else s"cent$i"
+      ivfAssignSql(prevCent, s"asg$i") + ",\n" + ivfMeansSql(s"asg$i", out)
+    }.mkString(",\n")
+    s"""v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sdd AS (SELECT emb, arg_min(vec_id, $skeySql) AS vec_id FROM v GROUP BY emb),
+       |seeds AS MATERIALIZED (
+       |  SELECT emb AS cemb,
+       |    ROW_NUMBER() OVER (ORDER BY $skeySql ASC, vec_id ASC) AS csid
+       |  FROM sdd ORDER BY $skeySql ASC, vec_id ASC LIMIT $nLists
+       |),
+       |$rounds,
        |lists AS MATERIALIZED (
-       |  SELECT vec_id, emb, csid AS lid FROM (
-       |    SELECT v.vec_id, v.emb, c.csid,
+       |  SELECT vec_id, emb, sid AS lid FROM (
+       |    SELECT v.vec_id, v.emb, c.csid AS sid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY round(${cosSql("v.emb", "c.cemb")}, 6) DESC, c.csid ASC) AS arn
        |    FROM v, cent c
        |  ) WHERE arn = 1
        |)""".stripMargin
+  }
 
   /** Scored IVF candidates shared by v5/v7/v8 — delegates to the single
     * pipeline in [[graft.operators.IvfIndex.scoredCandidates]] (also
@@ -252,6 +279,27 @@ object Embeddings extends QueryPack {
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // V9: BULK rescore — the probes-≈-corpus shape (every 10th vector, a
+    // 10× denser probe set than the serving queries' 1-in-100): re-score
+    // each probe against its assigned IVF list and keep the top 3. The
+    // point is the JOIN STRATEGY: `broadcastProbes = false` shuffles BOTH
+    // sides on the list id instead of broadcasting the probe set — the
+    // only plan that survives when the probe side is a corpus-scale table
+    // (a broadcast would OOM). Same scoring expression tree as v5/v7, so
+    // this row oracle-gates the shuffled path end to end.
+    "v9_ivf_bulk_rescore" -> { (s, d) =>
+      val c = corpus(s, d)
+      val bulkProbes = c.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm"))
+      val (lists, cents) = ivfModel(s, d)
+      val scored = graft.operators.IvfIndex
+        .scoredCandidates(lists, cents, bulkProbes, nprobe = 1, broadcastProbes = false)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .orderBy("qid", "rn")
     },
 
@@ -396,6 +444,24 @@ object Embeddings extends QueryPack {
          |  SELECT b.qid, COUNT(*) AS n FROM brute5 b
          |  JOIN ivf5 i ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY b.qid
          |) h ON h.qid = p.qid ORDER BY p.qid""".stripMargin,
+
+    "v9_ivf_bulk_rescore" ->
+      s"""WITH $ivfSql,
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 10 = 0),
+         |assigned AS (
+         |  SELECT qid, qe, csid FROM (
+         |    SELECT qid, qe, csid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
+         |    FROM q, cent
+         |  ) WHERE arn = 1
+         |),
+         |sc AS (
+         |  SELECT qid, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
+         |  FROM assigned a JOIN lists l ON l.lid = a.csid AND l.vec_id != a.qid
+         |)
+         |SELECT qid, vec_id, cos_sim, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "v5_ivf_topk" ->
       s"""WITH $ivfSql,

@@ -23,7 +23,7 @@ class IvfIndexSpec extends AnyFunSuite {
     .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     .withColumn("nrm", sqrt(dotNative(col("emb"), col("emb"))))
 
-  private lazy val model = IvfIndex.build(corpus, nLists = 8)
+  private lazy val model = IvfIndex.build(corpus, nLists = 8, iters = 2)
 
   test("build partitions the corpus: every vector in exactly one list, all lists used") {
     val lists = model.lists.cache()
@@ -31,7 +31,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(lists.select("vec_id").distinct().count() === corpus.count())
     val usedLists = lists.select("lid").distinct().count()
     assert(usedLists >= 2 && usedLists <= 8, s"lists used: $usedLists")
-    assert(model.centers.count() === 8)
+    // Means run only over non-empty lists, so a center that loses every
+    // member in a later assignment round drops out — ≤ nLists, never more.
+    val nCenters = model.centers.count()
+    assert(nCenters >= 2 && nCenters <= 8, s"centers: $nCenters")
+  }
+
+  test("seed dedupe: a corpus dominated by one repeated embedding still seeds distinct centers") {
+    // 40 copies of the same vector + 8 distinct ones. Without the
+    // distinct-embedding dedupe, md5-smallest sampling would almost surely
+    // pick the repeated vector several times and seed < 8 distinct
+    // centers; with it, all 8 distinct embeddings (one representative per
+    // duplicate class) are eligible.
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (i.toLong, Seq(1.0, 0.0, 0.0))) ++
+      (0 until 8).map(i => (100L + i, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.5 * i)))
+    val dup = rows.toDF("vec_id", "emb")
+      .withColumn("nrm", sqrt(dotNative(col("emb"), col("emb"))))
+    val m = IvfIndex.build(dup, nLists = 8, iters = 1)
+    // Seeds are distinct embeddings, so the 8 starting centers are the 8
+    // distinct vectors (9 distinct classes exist, incl. the dup class).
+    val seeded = m.lists.select("lid").distinct().count()
+    assert(seeded >= 4, s"expected several distinct lists, got $seeded")
+    assert(m.centers.count() <= 8)
   }
 
   test("persisted lists prune to the probed partition (PartitionFilters, not post-scan filter)") {
@@ -68,5 +90,59 @@ class IvfIndexSpec extends AnyFunSuite {
     val onDisk = rows(IvfIndex.loadLists(spark, path)
       .select("vec_id", "lid", "emb", "nrm"))
     assert(inMem.nonEmpty && inMem === onDisk)
+  }
+
+  test("bulk (shuffled) probe path: same rows as the broadcast path, no probe broadcast in the plan") {
+    // A probe set comparable to the corpus (every 4th vector) — the shape
+    // where broadcasting the probe side would OOM at scale.
+    val probes = corpus.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm"))
+    def rows(broadcastProbes: Boolean) =
+      IvfIndex.scoredCandidates(model.lists, model.centers, probes,
+          nprobe = 1, broadcastProbes = broadcastProbes)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force the planner to honor the non-broadcast shape
+    try {
+      val shuffled = IvfIndex.scoredCandidates(model.lists, model.centers, probes,
+        nprobe = 1, broadcastProbes = false)
+      val plan = shuffled.queryExecution.explainString(FormattedMode)
+      // The lid join must be a shuffle join (both sides exchanged on the
+      // list id), not a broadcast of the probe side.
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "bulk path must shuffle on the list id:\n" + plan.take(3000))
+      assert(rows(broadcastProbes = false) === rows(broadcastProbes = true))
+      assert(rows(broadcastProbes = false).nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("a second Lloyd's round does not degrade recall@5 (nprobe=1)") {
+    val probes = corpus.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm"))
+      .localCheckpoint()
+    val nProbes = probes.count()
+    assert(nProbes >= 2, s"fixture too small: $nProbes probes")
+    // Brute-force ground truth (same rounded-cosine, id-tiebreak ordering).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val brute5 = broadcast(probes)
+      .join(corpus, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dotNative(col("qe"), col("emb")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "vec_id").localCheckpoint()
+
+    def recall(m: IvfIndex.Model): Double = {
+      val ivf5 = IvfIndex.search(m.lists, m.centers, probes, k = 5, nprobe = 1)
+        .select("qid", "vec_id")
+      brute5.join(ivf5, Seq("qid", "vec_id"), "left_semi").count().toDouble /
+        (5.0 * nProbes)
+    }
+    val r1 = recall(IvfIndex.build(corpus, nLists = 8, iters = 1))
+    val r2 = recall(model) // iters = 2
+    assert(r2 >= r1, s"recall degraded: iters=2 gives $r2 < iters=1's $r1")
   }
 }
