@@ -17,6 +17,13 @@ object GraftSession {
   def local(cores: String, appName: String): SparkSession =
     local(cores.toInt, appName)
 
+  /** Per-JVM warehouse for ArtifactStore's bucketed tables: a temp dir, so
+    * repeated Verify/Bench runs never read a stale `spark-warehouse` from a
+    * previous process's cwd. Static conf — must be set at session build.
+    */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
+
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -24,6 +31,7 @@ object GraftSession {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import java.nio.ByteBuffer
+import java.util.zip.CRC32
+
+/** Parsed container header: image dimensions plus how many leading bytes
+  * the container occupies (the payload fingerprint starts there).
+  */
+case class ImageHeader(width: Int, height: Int, headerLen: Int)
+
+/** PNG / JPEG container-header arithmetic — pure byte work against the
+  * PUBLIC format specs (PNG: ISO/IEC 15948 §5.2/§11.2.2 signature + IHDR;
+  * JPEG: ITU-T T.81 §B.2 marker segments, JFIF APP0), no codec
+  * dependencies. Builders emit spec-valid headers (PNG IHDR carries its
+  * real CRC-32); parsers do what a production header sniffer does — verify
+  * magic, walk segments big-endian, extract dimensions — so the
+  * oracle-gated mm queries exercise genuine binary decode arithmetic even
+  * though nothing here decompresses pixel data.
+  */
+object MediaCodec {
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** 33-byte PNG prefix: 8-byte signature + IHDR chunk (len, type, 13-byte
+    * data: width/height 4BE, bit depth 8, color type 6 RGBA, compression/
+    * filter/interlace 0, CRC-32 over type+data).
+    */
+  def pngHeader(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val typeAndData = ByteBuffer.allocate(17)
+    typeAndData.put("IHDR".getBytes("US-ASCII"))
+    typeAndData.putInt(w).putInt(h)
+    typeAndData.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new CRC32()
+    crc.update(typeAndData.array())
+    ByteBuffer.allocate(33)
+      .put(PngSig).putInt(13).put(typeAndData.array()).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  /** 39-byte JPEG prefix: SOI + JFIF APP0 (16-byte segment) + baseline
+    * SOF0 (8-bit precision, 3 components, height THEN width per T.81).
+    */
+  def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    val b = ByteBuffer.allocate(39)
+    b.put(0xff.toByte).put(0xd8.toByte)                       // SOI
+    b.put(0xff.toByte).put(0xe0.toByte).putShort(16)          // APP0, len 16
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)          // identifier
+    b.put(1.toByte).put(2.toByte)                             // version 1.02
+    b.put(0.toByte)                                           // density units
+    b.putShort(1).putShort(1)                                 // x/y density
+    b.put(0.toByte).put(0.toByte)                             // no thumbnail
+    b.put(0xff.toByte).put(0xc0.toByte).putShort(17)          // SOF0, len 17
+    b.put(8.toByte)                                           // precision
+    b.putShort(h.toShort).putShort(w.toShort)                 // lines, samples
+    b.put(3.toByte)                                           // 3 components
+    b.put(1.toByte).put(0x22.toByte).put(0.toByte)            // Y  2x2 q0
+    b.put(2.toByte).put(0x11.toByte).put(1.toByte)            // Cb 1x1 q1
+    b.put(3.toByte).put(0x11.toByte).put(1.toByte)            // Cr 1x1 q1
+    b.array()
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Sniff + parse: PNG first (unambiguous 8-byte magic), then JPEG. */
+  def parseImageHeader(b: Array[Byte]): Option[ImageHeader] =
+    parsePng(b).orElse(parseJpeg(b))
+
+  /** PNG: verify signature, require the spec-mandated first chunk (IHDR,
+    * length 13), check its CRC, read width/height as 4-byte big-endian.
+    */
+  def parsePng(b: Array[Byte]): Option[ImageHeader] = {
+    if (b.length < 33) return None
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+    if (be32(b, 8) != 13) return None
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+    val crc = new CRC32()
+    crc.update(b, 12, 17)
+    if (crc.getValue.toInt != be32(b, 29)) return None
+    val (w, h) = (be32(b, 16), be32(b, 20))
+    if (w <= 0 || h <= 0) None else Some(ImageHeader(w, h, 33))
+  }
+
+  /** JPEG: verify SOI, walk marker segments (each FF xx + 2-byte length
+    * covering itself) until a frame header SOFn; dimensions are lines @+5,
+    * samples-per-line @+7, both 2-byte big-endian. DHT/JPG/DAC markers
+    * share the SOF range but aren't frame headers — skipped like any other
+    * segment.
+    */
+  def parseJpeg(b: Array[Byte]): Option[ImageHeader] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var p = 2
+    while (p + 9 <= b.length && (b(p) & 0xff) == 0xff) {
+      val marker = b(p + 1) & 0xff
+      val len = be16(b, p + 2)
+      if (len < 2 || p + 2 + len > b.length) return None
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        val (h, w) = (be16(b, p + 5), be16(b, p + 7))
+        return if (w <= 0 || h <= 0) None else Some(ImageHeader(w, h, p + 2 + len))
+      }
+      p += 2 + len
+    }
+    None
+  }
+}

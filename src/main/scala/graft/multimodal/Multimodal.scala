@@ -9,16 +9,24 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` content columns with typed metadata, processed by
   * per-partition batch decoders.
   *
-  * The REAL part (tested, oracle-checked): schema, partitioning, the
+  * The REAL parts (tested, oracle-checked): schema, partitioning, the
   * `mapPartitions` batching shape — one decoder instance per partition
   * (where a real pipeline amortizes codec/model initialization), rows
-  * streamed through it without materializing the partition.
+  * streamed through it without materializing the partition — and, since
+  * round 6, the CONTAINER HEADER DECODE: image rows carry genuine PNG
+  * (IHDR, CRC-valid) or JPEG (JFIF APP0 + SOF0) headers and
+  * [[MediaCodec.parseImageHeader]] reads dimensions out of the actual
+  * bytes — big-endian field extraction, segment walking, CRC check — the
+  * same arithmetic a production header sniffer does. The oracle predicts
+  * the dimensions from the fixture formula, so a broken parser (or a
+  * broken builder) goes red at the hash gate.
   *
-  * The STUB part (clearly marked): [[StubDecoder.decode]] — this container
-  * has no image/audio codecs, so "decoding" derives deterministic fake
-  * dimensions from the byte length and fingerprints via md5. A production
-  * build swaps `StubDecoder` for a real codec (javax.imageio / ffmpeg
-  * bindings) without touching the surrounding plumbing.
+  * The STUB part (clearly marked): pixel/sample decode. This container has
+  * no image/audio codecs, so nothing decompresses the payload past the
+  * header; audio/video "dimensions" remain deterministic arithmetic over
+  * the byte length. A production build swaps the payload branch for a real
+  * codec (javax.imageio / ffmpeg bindings) without touching the
+  * surrounding plumbing.
   *
   * At 100 TB: binary payloads dominate I/O, so the media table would be
   * stored with content in its own parquet column (column pruning skips it
@@ -30,7 +38,9 @@ object Multimodal {
   /** One media row: opaque bytes + minimal typed metadata. */
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
 
-  /** Decoded features — fake values, real schema. */
+  /** Decoded features: header-parsed dimensions for images, stub
+    * arithmetic for the codec-less media types.
+    */
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
       fingerprint: String, width: Int, height: Int, duration_ms: Long)
 
@@ -41,27 +51,46 @@ object Multimodal {
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
 
-  /** STUB decoder: deterministic fake decode. A real decoder parses the
-    * container format here; everything it returns except `fingerprint`
-    * is fabricated arithmetic over `n_bytes` (kept SQL-expressible so the
-    * pipeline stays oracle-checkable).
+  /** Media decoder: REAL container-header parse (PNG/JPEG dimensions from
+    * the bytes, payload fingerprinted past the header), stub arithmetic
+    * for payloads with no recognized container (no codecs here).
+    * Fingerprints always cover the payload, not the container — two
+    * containers wrapping identical payloads dedup together, the semantics
+    * an LLM-data pipeline wants from media dedup.
     */
-  final class StubDecoder {
+  final class MediaDecoder {
     def decode(m: MediaRow): MediaFeatures = {
       val n = m.content.length.toLong
-      MediaFeatures(
-        doc_id = m.doc_id,
-        media_type = m.media_type,
-        n_bytes = n,
-        fingerprint = md5Hex(m.content),
-        width = (64 + n % 1024).toInt,
-        height = (64 + (n * 7) % 1024).toInt,
-        duration_ms = if (m.media_type == "image") 0L else n * 3)
+      MediaCodec.parseImageHeader(m.content) match {
+        case Some(h) =>
+          MediaFeatures(
+            doc_id = m.doc_id,
+            media_type = m.media_type,
+            n_bytes = n,
+            fingerprint = md5Hex(
+              java.util.Arrays.copyOfRange(m.content, h.headerLen, m.content.length)),
+            width = h.width,
+            height = h.height,
+            duration_ms = 0L)
+        case None =>
+          MediaFeatures(
+            doc_id = m.doc_id,
+            media_type = m.media_type,
+            n_bytes = n,
+            fingerprint = md5Hex(m.content),
+            width = (64 + n % 1024).toInt,
+            height = (64 + (n * 7) % 1024).toInt,
+            duration_ms = if (m.media_type == "image") 0L else n * 3)
+      }
     }
   }
 
   /** Synthetic media table derived from `documents`: UTF-8 text bytes stand
-    * in for encoded media; type cycles by doc_id.
+    * in for the encoded payload; type cycles by doc_id. Image rows are
+    * wrapped in a REAL container header — PNG for doc_id ≡ 0 (mod 6), JPEG
+    * for doc_id ≡ 3 (mod 6) — whose dimensions follow a deterministic
+    * formula (width 100 + id%900, height 100 + 7·id%900) so the oracle can
+    * predict what a CORRECT header parse must return.
     */
   def mediaTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import s.implicits._
@@ -72,6 +101,17 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       encode(col("text"), "utf-8").as("content"))
       .as[MediaRow]
+      .map { m =>
+        if (m.media_type != "image") m
+        else {
+          val w = (100 + m.doc_id % 900).toInt
+          val h = (100 + (m.doc_id * 7) % 900).toInt
+          val header =
+            if (m.doc_id % 6 == 0) MediaCodec.pngHeader(w, h)
+            else MediaCodec.jpegHeader(w, h)
+          m.copy(content = header ++ m.content)
+        }
+      }
   }
 
   /** Batched feature extraction: ONE decoder per partition, rows streamed
@@ -80,7 +120,7 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new StubDecoder // per-partition init (codec/model load)
+      val decoder = new MediaDecoder // per-partition init (codec/model load)
       rows.map(decoder.decode)
     }
   }

@@ -304,9 +304,16 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * engine-portable — with the per-round delta read from the materialized
     * round result (one cheap agg, no extra shuffle), mirroring
     * [[connectedComponents]]' convergence machinery.
+    *
+    * Returns (ranks, roundsRun). Unlike component labels, ranks are NOT
+    * idempotent past the stopping round, so an oracle mirroring this must
+    * unroll EXACTLY roundsRun rounds — callers gate that with a hard
+    * `require` (see g6_pagerank_converged). `onRound` observes each round's
+    * max delta (diagnostics / tolerance calibration).
     */
   def pageRankConverged(tol: Double, maxIters: Int = 50,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) = {
     require(tol > 0 && maxIters > 0)
     val nodes = nodeIds.localCheckpoint()
     val e = edges
@@ -336,8 +343,9 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       delta = if (deltaRow.isNullAt(0)) 0L else deltaRow.getLong(0)
       ranks = next.select(col("id"), col("new_rank").as("rank"))
       i += 1
+      onRound(i, delta)
     }
-    ranks
+    (ranks, i)
   }
 
   /** `iters` rounds of minimum-label propagation (connected-components

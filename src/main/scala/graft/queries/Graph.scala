@@ -29,36 +29,51 @@ import graft.operators.LinkGraph
   */
 object Graph extends QueryPack {
 
-  /** Distinct order→part edges. */
-  private def edges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-
-  /** Symmetrized graph with PACKED LONG node ids (order → 2k,
-    * part → 2k+1): numeric keys shuffle/compare far cheaper than strings
-    * at any scale; ids translate back to o<key>/p<key> only at output.
+  /** MAINTAINED raw link table — one row per lineitem occurrence,
+    * `(o, p)` = order→part — bucketed AND sorted by `p`
+    * ([[graft.sources.ArtifactStore.bucketedTable]], built once per JVM
+    * per sf dir): per-part degree aggregation and part-keyed grouping read
+    * it with NO Exchange and NO Sort, the physical property the reference
+    * got from its B-tree link indexes. At 100 TB this is the warehouse's
+    * standing edge table that every graph workload reads.
     */
-  private val graphCache = new graft.operators.BoundedCache[LinkGraph]()
-
-  /** One materialized edge table per (application, sf dir), shared by
-    * every graph query — the local analogue of a persisted bucketed edge
-    * table that all graph workloads read. Eviction policy lives in
-    * [[graft.operators.BoundedCache]] (shared with Embeddings' IVF-model
-    * cache). Caches only the INPUT edge table: the iterative algorithms
-    * still execute per call, so partition-invariance tests stay
-    * meaningful.
-    */
-  private def symGraph(s: SparkSession, d: String): LinkGraph = {
-    // Shuffle-partition conf in the key for the same reason as the IVF and
-    // LSH caches: the build itself shuffles (symmetrize + distinct), so
-    // DeterminismSpec's 3-vs-16 partition runs must rebuild it.
-    val key = s.sparkContext.applicationId + "|" +
-      s.conf.get("spark.sql.shuffle.partitions") + "|" + d
-    graphCache.getOrBuild(key) {
-      val e = edges(s, d).select(
-        (col("o") * 2).as("src"),
-        (col("p") * 2 + 1).as("dst"))
-      new LinkGraph(e).symmetrized.materialized
+  private def rawLinks(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.bucketedTable(s, d, "links", 16, "p") {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     }
+
+  /** Distinct order→part edges, derived from the maintained bucketed table.
+    * The distinct groups by `(o, p)`; the p-bucketed scan's partitioning is
+    * on a subset of those keys, so the dedup itself is Exchange-free.
+    */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    rawLinks(s, d).distinct()
+
+  /** MAINTAINED symmetrized edge table with PACKED LONG node ids
+    * (order → 2k, part → 2k+1; numeric keys shuffle/compare far cheaper
+    * than strings, ids translate back to o<key>/p<key> only at output),
+    * bucketed+sorted by `src` so the iterative algorithms' per-src degree
+    * aggs and src-keyed edge joins start from a pre-partitioned, pre-sorted
+    * scan. Replaces the former per-session localCheckpoint cache: the
+    * artifact is the table a 1000-executor deployment would maintain, and
+    * every g6 query here reads it.
+    */
+  private def symGraph(s: SparkSession, d: String): LinkGraph =
+    new LinkGraph(symEdgesTable(s, d))
+
+  /** The maintained symmetrized edge table itself (spec access: the
+    * Exchange-free plan shapes it buys are pinned in PersistedLayoutSpec).
+    */
+  private[graft] def symEdgesTable(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.ArtifactStore.bucketedTable(s, d, "links_sym", 16, "src") {
+      val fwd = edges(s, d)
+        .select((col("o") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+      // Reverse edges land in the disjoint odd-src id space and the forward
+      // set is already distinct, so the union needs no dedup pass.
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    t
   }
 
   /** Display form of a packed node id. */
@@ -179,11 +194,16 @@ object Graph extends QueryPack {
     },
 
     // G3/A1: degree computation — the reference's incoming/outgoing
-    // maintenance as one hash agg over raw edge occurrences.
+    // maintenance as one hash agg over raw edge occurrences, reading the
+    // MAINTAINED p-bucketed link table: both aggregation phases (the
+    // count-distinct expands to a (p, o) pre-aggregate) are satisfied by
+    // the scan's bucket partitioning, so the whole query plans with zero
+    // Exchange (pinned in PersistedLayoutSpec).
     "g3_degrees" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("indeg"), countDistinct(col("l_orderkey")).as("n_orders"))
+      rawLinks(s, d)
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("indeg"), countDistinct(col("o")).as("n_orders"))
+        .withColumnRenamed("p", "l_partkey")
         .orderBy(col("indeg").desc, col("l_partkey").asc)
         .limit(100)
     },
@@ -253,6 +273,33 @@ object Graph extends QueryPack {
         .select(nodeName.as("node"), col("rank"))
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
+    },
+
+    // G6g: tolerance-terminated PageRank over the DIRECTED order→part
+    // graph (the faithful analogue of the reference's directed pages→links
+    // adjacency, where rank flows from linkers to linked). The tolerance is
+    // ONE FIXED-POINT ULP (tol·scale = 1): the loop runs until ranks are
+    // exactly stable round over round — a true convergence check, not a
+    // fixed iteration count (that's g6_pagerank). On this bipartite DAG the
+    // integer iteration settles structurally in 3 rounds at ANY data scale:
+    // orders (no in-edges) pin to 0.15·scale after round 1, parts stabilize
+    // once their sources have pinned (round 2), and round 3 measures
+    // delta = 0. The oracle unrolls exactly 3 rounds and gates rounds_run
+    // as an output column; the require documents the structural invariant
+    // (ranks are NOT idempotent past the stopping round, so an unrolled
+    // oracle needs the exact count — see pageRankConverged's scaladoc).
+    "g6_pagerank_converged" -> { (s, d) =>
+      val directed = edges(s, d)
+        .select((col("o") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+      val (ranks, roundsRun) = new LinkGraph(directed).pageRankConverged(tol = 1e-12)
+      require(roundsRun == 3,
+        s"pageRankConverged ran $roundsRun rounds; a bipartite DAG settles in exactly 3 " +
+          "(oracle unrolls 3) — investigate the edge derivation if this fires")
+      ranks
+        .select(nodeName.as("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+        .withColumn("rounds_run", lit(roundsRun))
     },
 
     // G6c: 3 rounds of min-label propagation (connected-components step),
@@ -437,6 +484,32 @@ object Graph extends QueryPack {
          |${iter("r1", "r2")},
          |${iter("r2", "r3")}
          |SELECT $nodeNameSql AS node, rank FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+    },
+
+    // Directed-graph variant: deg counts only true out-edges (parts are
+    // sinks), nodes span BOTH endpoints, and exactly 3 unrolled rounds —
+    // the round count the Spark side asserts structurally.
+    "g6_pagerank_converged" -> {
+      val scale = "1000000000000"
+      def iter(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT n.id, CAST((15 * $scale + 85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM($prev.rank // deg.d) AS c
+           |    FROM edges e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.id = e.src
+           |    GROUP BY e.dst
+           |  ) s ON s.id = n.id
+           |)""".stripMargin
+      s"""WITH e AS ($edgesSql),
+         |edges AS MATERIALIZED (SELECT o * 2 AS src, p * 2 + 1 AS dst FROM e),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT $nodeNameSql AS node, rank, 3 AS rounds_run FROM r3
+         |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
     },
 
     "g6_components_converged" -> componentsOracleSql,

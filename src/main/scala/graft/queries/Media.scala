@@ -56,13 +56,22 @@ object Media extends QueryPack {
     }
   )
 
+  // Image rows carry a REAL container header (33-byte PNG for doc_id≡0 mod
+  // 6, 39-byte JPEG for ≡3) built with width 100+id%900 / height
+  // 100+7·id%900 — the oracle predicts those dimensions from the formula,
+  // so the green row proves the engine PARSED them out of the bytes.
+  // Fingerprints cover the payload past the header (= the text for every
+  // type), n_bytes the full content including it.
   private val featuresSql =
     """SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(octet_length(encode(text))
+      |      + CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 33 WHEN 3 THEN 39 ELSE 0 END AS BIGINT) AS n_bytes,
       |    md5(text) AS fingerprint,
-      |    CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
-      |    CAST(64 + (octet_length(encode(text)) * 7) % 1024 AS INT) AS height,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 900
+      |              ELSE 64 + octet_length(encode(text)) % 1024 END AS INT) AS width,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + (doc_id * 7) % 900
+      |              ELSE 64 + (octet_length(encode(text)) * 7) % 1024 END AS INT) AS height,
       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE octet_length(encode(text)) * 3 END AS BIGINT) AS duration_ms
       |  FROM documents""".stripMargin
 

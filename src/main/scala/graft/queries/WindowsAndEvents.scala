@@ -197,6 +197,59 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("event_type")
     },
 
+    // ST2 as a REAL streaming run (the st7 recipe applied to session
+    // windows): file-stream source → watermarked session_window agg →
+    // foreachBatch parquet append (AvailableNow) → SnapshotSink publish →
+    // read the landed snapshot back. What lands is exactly the sessions
+    // the engine FINALIZED: append-mode session aggregation emits a
+    // session once the event-time watermark passes its end, where the
+    // watermark is the max event time TRUNCATED TO MILLISECONDS (the
+    // engine tracks event times in epoch-ms) minus the 10-minute delay,
+    // and the comparison is NON-STRICT (session_end == watermark emits —
+    // pinned in StreamingSpec's boundary test). Sessions newer than that
+    // stay in the state store and do not land. The oracle mirrors the
+    // batch session render plus that exact finalization predicate.
+    "st2_stream_roundtrip" -> { (s, d) =>
+      val base = scratchDir(s, d, "st2_sink")
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        graft.streaming.StreamOps.sessionStats(
+          graft.streaming.StreamOps.eventsStream(s, d),
+          gap = "30 minutes", watermark = "10 minutes"),
+        s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot")
+        .orderBy("user_id", "session_start")
+    },
+
+    // ST4 as a REAL streaming run: the flatMapGroupsWithState
+    // sessionization (EventTimeTimeout, 45-minute gap) executed as an
+    // actual stream over the events source, landed via foreachBatch and
+    // published. A session lands iff its timeout FIRED before end of
+    // input: timeoutTimestamp (= session_end + gap, in epoch-ms — the
+    // state machine clocks in milliseconds) STRICTLY below the final
+    // watermark (max event-ms − 10-minute delay). The oracle replays the
+    // same state machine over ms-truncated event times — gap splits,
+    // session bounds, and the firing predicate all in the millisecond
+    // domain the engine actually sees.
+    "st4_stream_roundtrip" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val base = scratchDir(s, d, "st4_sink")
+      val events = StreamOps.eventsStream(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "10 minutes")
+        .as[StreamOps.Event](org.apache.spark.sql.Encoders.product[StreamOps.Event])
+      val q = StreamOps.parquetAppendSink(
+        StreamOps.userSessionsTimeout(events, gapMs = 45 * 60 * 1000L).toDF(),
+        s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot")
+        .orderBy("user_id", "session_start")
+    },
+
     // ST6 (batch shape): stream-static enrichment — events joined to the
     // customer dimension (broadcast), aggregated per segment.
     "st6_stream_static" -> { (s, d) =>
@@ -434,6 +487,66 @@ object WindowsAndEvents extends QueryPack {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Batch session render + the engine's append-mode finalization
+    // predicate: a session lands iff session_end <= final watermark, where
+    // the watermark is the ms-truncated max event time minus the 10-minute
+    // delay (the engine tracks event-time stats in epoch-ms and converts
+    // back to µs for the state-eviction compare — hence the //1000 *1000).
+    "st2_stream_roundtrip" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), grouped AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |), sessions AS (
+        |  SELECT user_id, MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM grouped GROUP BY user_id, sid
+        |), wm AS (
+        |  SELECT make_timestamp(((MAX(epoch_us(ts)) // 1000) - 600000) * 1000) AS wm_ts
+        |  FROM events
+        |)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM sessions, wm WHERE session_end <= wm_ts
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // The flatMapGroupsWithState machine replayed in the MILLISECOND domain
+    // it actually clocks in (Timestamp.getTime): gap splits on ms deltas,
+    // session bounds as ms-truncated timestamps. A session lands iff it was
+    // closed by a later event's arrival (every session but the user's last
+    // — emitted in the data batch regardless of watermark) OR its timeout
+    // fired: end_ms + gap STRICTLY below the final watermark (max event-ms
+    // − 10-minute delay), evaluated in the trailing no-data batch.
+    "st4_stream_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS tms FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, tms,
+        |    CASE WHEN LAG(tms) OVER w IS NULL
+        |           OR tms - LAG(tms) OVER w >= 2700000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tms ASC, event_id ASC)
+        |), grouped AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |), sessions AS (
+        |  SELECT user_id, sid, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+        |    COUNT(*) AS n_events
+        |  FROM grouped GROUP BY user_id, sid
+        |), wm AS (
+        |  SELECT (MAX(epoch_us(ts)) // 1000) - 600000 AS wm_ms FROM events
+        |)
+        |SELECT user_id, make_timestamp(start_ms * 1000) AS session_start,
+        |  make_timestamp(end_ms * 1000) AS session_end, n_events
+        |FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM sessions), wm
+        |WHERE sid < max_sid OR end_ms + 2700000 < wm_ms
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "st6_stream_static" ->
       """SELECT COALESCE(c_mktsegment, '<none>') AS segment, COUNT(*) AS n,

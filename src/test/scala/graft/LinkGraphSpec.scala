@@ -65,7 +65,7 @@ class LinkGraphSpec extends AnyFunSuite {
   test("pageRankConverged reaches the fixed-iteration fixpoint") {
     val g = tiny
     val tol = 1e-6
-    val conv  = g.pageRankConverged(tol).orderBy("id").as[(String, Long)].collect().toSeq
+    val conv  = g.pageRankConverged(tol)._1.orderBy("id").as[(String, Long)].collect().toSeq
     val fixed = g.pageRankFixed(30).orderBy("id").as[(String, Long)].collect().toSeq
     assert(conv.map(_._1) === fixed.map(_._1))
     val maxDiff = conv.zip(fixed).map { case ((_, a), (_, b)) => math.abs(a - b) }.max

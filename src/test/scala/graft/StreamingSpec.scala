@@ -135,6 +135,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST2 boundary: session ending exactly AT the watermark emits (non-strict predicate)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sessionStats(ms.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("session_boundary_test").outputMode("append").start()
+    try {
+      // User 1's session is [10:00, 10:30); user 2's 10:40 event sets the
+      // watermark to exactly 10:30 after the batch. The no-data batch must
+      // then emit user 1's session — session_end == watermark finalizes
+      // (the <= the st2_stream_roundtrip oracle encodes) — while user 2's
+      // own session [10:40, 11:10) stays in state.
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"),
+        ev(2, "2024-01-01T10:40:00Z", uid = 2))
+      q.processAllAvailable()
+      val got = spark.table("session_boundary_test")
+        .select(col("user_id"), col("session_end").cast("string"))
+        .as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "2024-01-01 10:30:00")),
+        "session_end == watermark must emit; later sessions must not")
+    } finally q.stop()
+  }
+
+  test("ST4b boundary: timeout exactly AT the watermark does NOT fire (strict predicate)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val watermarked = ms.toDF().withWatermark("ts", "10 minutes").as[Event]
+    val q = StreamOps.userSessionsTimeout(watermarked, gapMs = 45 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fmgws_boundary_test").outputMode("append").start()
+    try {
+      // User 1's session ends 10:00 → timeout at 10:45. User 2's 10:55
+      // event puts the watermark at exactly 10:45: strictly-less-than means
+      // the timeout must NOT fire yet.
+      ms.addData(ev(1, "2024-01-01T10:00:00Z"),
+        ev(2, "2024-01-01T10:55:00Z", uid = 2))
+      q.processAllAvailable()
+      assert(spark.table("fmgws_boundary_test").isEmpty,
+        "timeoutTimestamp == watermark must not fire (strict <)")
+      // One more millisecond of watermark does fire it.
+      ms.addData(ev(3, "2024-01-01T10:55:00.001Z", uid = 2))
+      q.processAllAvailable()
+      val got = spark.table("fmgws_boundary_test")
+        .select(col("user_id"), col("session_end").cast("string"))
+        .as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
   test("ST4b: flatMapGroupsWithState emits sessions when the event-time timeout fires") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
