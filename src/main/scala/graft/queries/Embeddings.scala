@@ -69,30 +69,29 @@ object Embeddings extends QueryPack {
     * deterministic Lloyd's iterations via [[graft.operators.IvfIndex]]
     * (see its scaladoc for the seed/assign/update/re-assign steps and
     * their scale shapes).
-    * Returns (lists: vec_id/lid/emb/nrm, centers: csid/cemb). At 100 TB
-    * the lists table is persisted partitioned by `lid`
-    * (`IvfIndex.persist`, pruning pinned in IvfIndexSpec), so a probe
-    * scans nprobe partitions.
+    * Returns (lists: vec_id/lid/emb/nrm, centers: csid/cemb).
     *
-    * One MATERIALIZED model per (application, shuffle-partition conf, sf
-    * dir), shared by v5/v7/v8 — the in-memory analogue of the persisted
-    * index all searches read ([[graft.operators.BoundedCache]] carries the
-    * eviction policy, shared with Graph's edge cache). The shuffle
-    *-partition conf is part of the key so DeterminismSpec's 3-vs-16
-    * partition runs REBUILD the model rather than trivially reusing one
-    * build — the cache must never make the invariance tests vacuous.
-    * Content is deterministic, so caching cannot change results — only
-    * skip recomputing the Lloyd's iteration per query.
+    * The model is a MAINTAINED PERSISTED INDEX, not a session cache: the
+    * inverted file is SnapshotSink-published PARTITIONED BY `lid` and the
+    * K-row center table alongside it ([[graft.sources.ArtifactStore]],
+    * built once per JVM per (sf dir, shuffle conf) — the conf in the key
+    * keeps DeterminismSpec's 3-vs-16 partition runs building their own).
+    * Every v5/v7/v8/v9 query plan therefore reads a FileSourceScanExec
+    * over the published index — the exact production shape, where a probe
+    * assigned to list L reads partition L and search cost is
+    * nprobe/nlists of the corpus regardless of corpus size (static-prune
+    * plan pinned in IvfIndexSpec; artifact read-path pinned in
+    * PersistedLayoutSpec). Content is deterministic, so persistence cannot
+    * change results — only skip recomputing the Lloyd's iterations.
     */
-  private val ivfCache = new graft.operators.BoundedCache[(DataFrame, DataFrame)]()
-
   private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val key = s.sparkContext.applicationId + "|" +
-      s.conf.get("spark.sql.shuffle.partitions") + "|" + d
-    ivfCache.getOrBuild(key) {
-      val m = graft.operators.IvfIndex.build(corpus(s, d), nLists, ivfIters)
-      (m.lists.localCheckpoint(), m.centers.localCheckpoint())
-    }
+    import graft.sources.ArtifactStore
+    // Lazy: if both artifacts are already published, Lloyd's never runs;
+    // on first publish the two writes share one model build.
+    lazy val m = graft.operators.IvfIndex.build(corpus(s, d), nLists, ivfIters)
+    val lists = ArtifactStore.snapshot(s, d, "ivf_lists", Seq("lid"))(m.lists)
+    val cents = ArtifactStore.snapshot(s, d, "ivf_centers")(m.centers)
+    (lists, cents)
   }
 
   /** One assign round: v rows labeled with their nearest `$cent` center. */

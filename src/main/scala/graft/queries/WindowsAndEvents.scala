@@ -250,6 +250,28 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id", "session_start")
     },
 
+    // ST8: stream-STREAM join as a REAL streaming run — two watermarked
+    // streams over the events source (errors / purchases) joined on user
+    // within a 1-day event-time range, landed via foreachBatch and
+    // published. Inner matches emit in the batch where they form; the
+    // watermark + range predicate bound the join STATE, not the output —
+    // so with AvailableNow draining the source, exactly the batch interval
+    // join's rows land, and the oracle is the same SQL as j6_interval_join
+    // (the strongest possible cross-check: a stateful streaming operator
+    // hash-equal to its batch semantics).
+    "st8_stream_stream_join" -> { (s, d) =>
+      val base = scratchDir(s, d, "st8_sink")
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        graft.streaming.StreamOps.errorsAfterPurchases(
+          graft.streaming.StreamOps.eventsStream(s, d)),
+        s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot")
+        .orderBy("event_id", "purchase_id")
+    },
+
     // ST6 (batch shape): stream-static enrichment — events joined to the
     // customer dimension (broadcast), aggregated per segment.
     "st6_stream_static" -> { (s, d) =>
@@ -603,6 +625,16 @@ object WindowsAndEvents extends QueryPack {
         |ORDER BY event_id""".stripMargin,
 
     "j6_interval_join" ->
+      """SELECT e.event_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        |  AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+        |ORDER BY e.event_id, purchase_id""".stripMargin,
+
+    // Identical semantics to j6_interval_join by design: the streaming
+    // inner join must land exactly the batch join's rows.
+    "st8_stream_stream_join" ->
       """SELECT e.event_id, p.event_id AS purchase_id
         |FROM events e JOIN events p
         |  ON e.user_id = p.user_id

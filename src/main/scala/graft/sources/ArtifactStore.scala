@@ -65,15 +65,18 @@ object ArtifactStore {
     * (atomic [[SnapshotSink]] swap) if this JVM hasn't yet. Returns a plain
     * file-source DataFrame — consuming plans show a FileSourceScanExec over
     * the published snapshot, not the derivation that built it.
+    * `partitionBy` lays the snapshot out as a partitioned table (e.g. the
+    * IVF inverted file by list id) so readers prune to the keys they probe.
     */
-  def snapshot(s: SparkSession, d: String, name: String)
+  def snapshot(s: SparkSession, d: String, name: String,
+      partitionBy: Seq[String] = Nil)
       (build: => DataFrame): DataFrame = synchronized {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_artifacts_" +
       s"${s.sparkContext.applicationId}_${keyHash(s, d)}"
     val path = s"$dir/$name"
     if (!published.contains(path)) {
       Files.createDirectories(Paths.get(dir))
-      SnapshotSink.overwrite(build, path)
+      SnapshotSink.overwrite(build, path, partitionBy)
       if (cleanupRegistered.add(dir)) sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))

@@ -24,8 +24,12 @@ import org.apache.spark.sql.DataFrame
   */
 object SnapshotSink {
 
-  /** Publish `df` at `path` (a symlink managed by this sink). */
-  def overwrite(df: DataFrame, path: String): Unit = {
+  /** Publish `df` at `path` (a symlink managed by this sink).
+    * `partitionBy` keys the snapshot's directory layout (e.g. an IVF
+    * inverted file partitioned by list id) — readers prune partitions
+    * exactly as with any partitioned parquet table.
+    */
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val target  = Paths.get(path)
     require(!Files.exists(target) || Files.isSymbolicLink(target),
       s"snapshot target $path exists but is not a sink-managed symlink")
@@ -33,7 +37,7 @@ object SnapshotSink {
     val prior: Option[Path] =
       if (Files.isSymbolicLink(target)) Some(Files.readSymbolicLink(target)) else None
 
-    try df.write.parquet(version.toString)
+    try df.write.partitionBy(partitionBy: _*).parquet(version.toString)
     catch { case e: Throwable => deleteRecursively(version); throw e }
 
     // Atomic publish: rename a fresh symlink over the target.

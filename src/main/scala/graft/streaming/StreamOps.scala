@@ -82,6 +82,32 @@ object StreamOps {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment"))
 
+  /** ST8: stream-STREAM interval join — error events matched to the same
+    * user's purchases within 1 day after the purchase, both sides unbounded.
+    * Both inputs are watermarked and the join carries the time-range
+    * predicate, which is what lets the engine BOUND JOIN STATE: a buffered
+    * purchase can be dropped once the error-side watermark passes
+    * `p_ts + 1 day` (and vice versa) — without the range the state store
+    * grows with the full history. Inner-join matches emit in the batch
+    * where the match forms; the watermark governs state retention, not
+    * emission.
+    */
+  def errorsAfterPurchases(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("ts") >= col("p_ts") &&
+        col("ts") <= col("p_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("event_id"), col("purchase_id"))
+  }
+
   // ---- ST4: stateful per-key logic (the crawl-state analogue) ----
 
   /** Typed event row (matches the events table minus props). */

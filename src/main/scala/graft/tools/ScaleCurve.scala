@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry, Tables}
+
+/** BENCH-ONLY scale-curve probe (VERDICT r5 ask #8): synthesize a ~sf0.5
+  * dataset as a 5-way union of sf0.1 with shifted keys, run the most
+  * expensive queries at both scales, and report the 5× cost ratios — the
+  * sub-quadratic check on the g4/g6/t5-class operators whose worst cases
+  * are super-linear. Writes `audits/bench_scale_curve.md`. Not part of the
+  * engine; the synthesized dir lives in /tmp and mimics the driver layout.
+  *
+  * Shift design: key columns move into disjoint ranges per copy (offset =
+  * copy × (max key + 1)), so the graph gains 5 disjoint replicas (volume
+  * scales, diameter doesn't — the honest shape for "same data, more of
+  * it"). Document copies get a one-token suffix so the near-dup pipeline
+  * sees 5× volume of mutually-near documents (harder than disjoint text:
+  * cross-copy candidates are real and must be cap-bounded). Embeddings
+  * keep their vectors (cross-copy ties broken by vec_id).
+  */
+object ScaleCurve {
+
+  private val Queries = Seq(
+    "g4_common_neighbors", "t5_ngram_jaccard", "e3_corpus_pipeline",
+    "g6_pagerank_converged", "t11_contamination", "g6_pagerank",
+    "g6_labelprop", "g6_components_converged", "t13_neardup_clusters",
+    "g6_components_star", "v3_nn_graph")
+
+  private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
+    new java.io.File(dst).mkdirs()
+
+    def shifted(df: DataFrame, keys: Seq[String], textCol: Option[String]): DataFrame = {
+      val maxes = keys.map(k => k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+      (0 until 5).map { i =>
+        val keyed = keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i) * maxes(k)))
+        textCol.fold(keyed)(t =>
+          if (i == 0) keyed
+          else keyed.withColumn(t, concat(col(t), lit(s" copy$i"))))
+      }.reduce(_ union _)
+    }
+
+    shifted(Tables.lineitem(s, src), Seq("l_orderkey", "l_partkey"), None)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    shifted(Tables.documents(s, src), Seq("doc_id"), Some("text"))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    shifted(Tables.embeddings(s, src).withColumn("vec_id", col("vec_id")),
+      Seq("vec_id"), None)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
+  private def time(s: SparkSession, name: String, dir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(s, dir).write.mode("overwrite")
+        .format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once()) // best of 2: steady-state, JIT/artifacts warm
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32, "graft-scale-curve")
+    val base = "/root/testdata/sf0.1"
+    val big = s"${System.getProperty("java.io.tmpdir")}/graft_sf05"
+    println("[scale] synthesizing 5x dataset...")
+    synthesize(spark, base, big)
+
+    val rows = Queries.flatMap { q =>
+      try {
+        val t1 = time(spark, q, base)
+        val t5 = time(spark, q, big)
+        println(f"[scale] $q%-26s sf0.1=$t1%7.2fs 5x=$t5%7.2fs ratio=${t5 / t1}%5.2f")
+        Some((q, t1, t5, t5 / t1))
+      } catch {
+        case e: Throwable =>
+          // Margin requires may legitimately fire on the synthesized data
+          // (e.g. 5 near-identical copies per doc grow near-dup clusters
+          // past a fixture-calibrated bound) — report, don't die.
+          println(s"[scale] $q FAILED on synthesized data: ${e.getMessage.linesIterator.next()}")
+          None
+      }
+    }
+
+    val md = new StringBuilder
+    md.append("# Bench scale curve — 5× synthesized data (round 6)\n\n")
+    md.append("5× dataset: union of sf0.1 with per-copy shifted keys ")
+    md.append("(disjoint graph replicas; document copies carry a one-token\n")
+    md.append("suffix so near-dup candidates cross copies; see ")
+    md.append("`tools/ScaleCurve.scala`). Times are best-of-2 noop writes at ")
+    md.append("local[32].\n\nA ratio ≤ ~6 on 5× data means the operator's ")
+    md.append("cost curve is bending\nsub-quadratically — caps/bucketing are ")
+    md.append("doing their job.\n\n")
+    md.append("| query | sf0.1 (s) | 5× (s) | ratio |\n|---|---|---|---|\n")
+    rows.foreach { case (q, t1, t5, r) =>
+      md.append(f"| $q | $t1%.2f | $t5%.2f | $r%.2f |\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("audits/bench_scale_curve.md"), md.toString)
+    println(s"[scale] wrote audits/bench_scale_curve.md")
+    spark.stop()
+  }
+}

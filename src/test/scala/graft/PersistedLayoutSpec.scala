@@ -64,6 +64,25 @@ class PersistedLayoutSpec extends AnyFunSuite {
       "corpus side must read snapshots, not rescan documents: " + p.take(3000))
   }
 
+  test("v5 reads the persisted lid-partitioned inverted file, not the Lloyd's derivation") {
+    val p = plan("v5_ivf_topk")
+    assert(p.contains("ivf_lists"), "lists must come from the published index")
+    assert(p.contains("ivf_centers"), "centers must come from the published index")
+    // The quantizer must NOT re-run inside the query: in the MAIN plan the
+    // raw embeddings table appears only as the probe side. (The formatted
+    // output may repeat the probe subtree under "Subqueries" — that's the
+    // DPP subquery, asserted below, not a rederivation.)
+    val main = p.split("===== Subqueries =====")(0)
+    assert("embeddings\\.parquet".r.findAllIn(main).size <= 1,
+      "corpus side must read the index, not rescan embeddings: " + main.take(3000))
+    // The payoff of partitioning the inverted file by lid: Spark DYNAMIC
+    // PARTITION PRUNING drives the index scan from the probe assignment —
+    // only the probed lists' directories are read, which is exactly the
+    // "probe reads nprobe/nlists of the corpus" contract at scale.
+    assert(p.contains("dynamicpruning"),
+      "lid-partitioned index scan must be dynamically pruned by the probe assignment")
+  }
+
   test("incoming-vs-capped-corpus banding equals full-union banding where the cap binds") {
     import spark.implicits._
     // One hot bucket; cap = 3. Corpus docs 5,7,9 and 11,13; batch 1,2,3,4.

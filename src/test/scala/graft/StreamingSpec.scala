@@ -269,6 +269,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST8: stream-stream join matches across micro-batches via buffered state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.errorsAfterPurchases(ms.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("ss_join_test").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01T10:00:00Z", typ = "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("ss_join_test").isEmpty)
+      // The matching error arrives a batch LATER: only buffered join state
+      // can produce the match.
+      ms.addData(ev(2, "2024-01-01T12:00:00Z", typ = "error"))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_test")
+        .select("event_id", "purchase_id").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((2L, 1L)))
+      // An error outside the 1-day window after the purchase must not match.
+      ms.addData(ev(3, "2024-01-03T10:00:00Z", typ = "error"))
+      q.processAllAvailable()
+      assert(spark.table("ss_join_test").count() === 1)
+    } finally q.stop()
+  }
+
   test("ST7+S8: file-stream source through foreachBatch parquet sink lands every row") {
     val dir = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("graft_sink_").toString
