@@ -83,6 +83,14 @@ class PersistedLayoutSpec extends AnyFunSuite {
       "lid-partitioned index scan must be dynamically pruned by the probe assignment")
   }
 
+  test("mm2 reads the persisted media lake with the binary column PRUNED from the scan") {
+    val p = plan("mm2_type_summary")
+    assert(p.contains("media_lake"), "must scan the published media lake")
+    // Column pruning must drop the fat payload column at the parquet scan:
+    // no plan node (ReadSchema, Output, aggregate) may reference it.
+    assert(!p.contains("content"), p.take(3000))
+  }
+
   test("incoming-vs-capped-corpus banding equals full-union banding where the cap binds") {
     import spark.implicits._
     // One hot bucket; cap = 3. Corpus docs 5,7,9 and 11,13; batch 1,2,3,4.
