@@ -36,7 +36,17 @@ class DeterminismSpec extends AnyFunSuite {
     "v8_ann_recall",        // recall join of two deterministic top-5 sets
     "t13_neardup_clusters", // LSH pairs → star components → census
     "t14_mixture_balance",  // integer-hash keep decision per doc
-    "w6_cohort_retention")  // week bucketing + cohort-keyed joins
+    "w6_cohort_retention",  // week bucketing + cohort-keyed joins
+    // Round-6 persisted-artifact paths: ArtifactStore keys include the
+    // shuffle conf, so the 3- and 16-partition runs BUILD separate
+    // bucketed tables / snapshots — the invariance below proves the
+    // artifact content itself is partition-independent.
+    "g4_common_neighbors",    // p-bucketed links + capped pair emission
+    "g6_pagerank_converged",  // directed-graph artifact + 3-round settle under both confs
+    "v5_ivf_topk",            // lid-partitioned IVF snapshot + DPP read
+    "t15_incremental_dedup",  // standing-corpus snapshots (fp/bands/shingles)
+    "mm2_type_summary",       // media lake with pruned binary scan
+    "st2_stream_roundtrip")   // real-stream rerun: checkpoint idempotence → identical landed data
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
