@@ -272,6 +272,28 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("event_id", "purchase_id")
     },
 
+    // ST9: stream-stream LEFT OUTER interval join as a REAL streaming run.
+    // Inner matches land as they form (= the batch join); an UNMATCHED
+    // error lands with a NULL purchase id only when the engine can PROVE
+    // no matching purchase can still arrive — its match window requires
+    // p_ts <= ts, so the null row emits once the final watermark (max
+    // event-ms − 10 min) passes the error's ts. Unmatched errors younger
+    // than the watermark stay in state and do NOT land: the oracle's
+    // null-row branch carries exactly that ts < watermark cut.
+    "st9_stream_outer_join" -> { (s, d) =>
+      val base = scratchDir(s, d, "st9_sink")
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        graft.streaming.StreamOps.errorsAfterPurchasesJoin(
+          graft.streaming.StreamOps.eventsStream(s, d), "10 minutes", "left_outer")
+          .select(col("event_id"), col("purchase_id")),
+        s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot")
+        .orderBy(col("event_id").asc, col("purchase_id").asc_nulls_first)
+    },
+
     // ST6 (batch shape): stream-static enrichment — events joined to the
     // customer dimension (broadcast), aggregated per segment.
     "st6_stream_static" -> { (s, d) =>
@@ -641,6 +663,32 @@ object WindowsAndEvents extends QueryPack {
         |  AND e.event_type = 'error' AND p.event_type = 'purchase'
         |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
         |ORDER BY e.event_id, purchase_id""".stripMargin,
+
+    // Inner rows = the batch join. Null rows = unmatched errors whose
+    // match window the engine PROVED closed: the query watermark is the
+    // MIN across both streams' watermark nodes (multipleWatermarkPolicy =
+    // min, each node tracking its own filtered stream's max event-ms),
+    // and a buffered error is null-evicted once its ts is STRICTLY below
+    // that watermark (boundary pinned in StreamingSpec). The newest
+    // errors therefore stay in state and do not land.
+    "st9_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |inner_rows AS (
+        |  SELECT e.event_id, p.purchase_id
+        |  FROM e JOIN p ON e.user_id = pu AND e.ts >= pts AND e.ts <= pts + INTERVAL 1 DAY
+        |),
+        |wm AS (SELECT LEAST(
+        |    (SELECT MAX(epoch_us(ts)) // 1000 FROM e),
+        |    (SELECT MAX(epoch_us(pts)) // 1000 FROM p)) - 600000 AS wm_ms),
+        |null_rows AS (
+        |  SELECT e.event_id, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM e, wm
+        |  WHERE e.event_id NOT IN (SELECT event_id FROM inner_rows)
+        |    AND epoch_us(e.ts) // 1000 < wm.wm_ms
+        |)
+        |SELECT * FROM (SELECT * FROM inner_rows UNION ALL SELECT * FROM null_rows)
+        |ORDER BY event_id ASC, purchase_id ASC NULLS FIRST""".stripMargin,
 
     "j6_asof_join" ->
       """WITH r AS (

@@ -93,7 +93,20 @@ object StreamOps {
     * emission.
     */
   def errorsAfterPurchases(events: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    errorsAfterPurchasesJoin(events, watermark, "inner")
+      .select(col("event_id"), col("purchase_id"))
+
+  /** ST8b: the LEFT OUTER form — unmatched errors surface with a null
+    * purchase id, but only once the purchase-side watermark proves no
+    * matching purchase can still arrive (a purchase must satisfy
+    * `p_ts ∈ [ts − 1 day, ts]`, so the row's match window closes when the
+    * watermark passes `ts`). Inner matches still emit as they form; the
+    * null rows trail by the watermark delay — the st9 oracle encodes
+    * exactly that split.
+    */
+  def errorsAfterPurchasesJoin(events: DataFrame, watermark: String,
+      joinType: String): DataFrame = {
     val errors = events.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts"))
       .withWatermark("ts", watermark)
@@ -104,8 +117,8 @@ object StreamOps {
     errors.join(purchases,
       col("user_id") === col("p_user") &&
         col("ts") >= col("p_ts") &&
-        col("ts") <= col("p_ts") + expr("INTERVAL 1 DAY"))
-      .select(col("event_id"), col("purchase_id"))
+        col("ts") <= col("p_ts") + expr("INTERVAL 1 DAY"),
+      joinType)
   }
 
   // ---- ST4: stateful per-key logic (the crawl-state analogue) ----

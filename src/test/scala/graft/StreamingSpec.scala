@@ -293,6 +293,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST9 boundary: outer-join null emits only when the MIN watermark strictly passes the row") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps.errorsAfterPurchasesJoin(ms.toDF(), "10 minutes", "left_outer")
+      .select(col("event_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("ss_outer_test").outputMode("append").start()
+    try {
+      // Unmatched error for user 1; an unmatchable purchase (newer than the
+      // error) keeps the purchase-side watermark node fed.
+      ms.addData(ev(1, "2024-01-01T10:00:00Z", typ = "error"),
+        ev(2, "2024-01-01T10:30:00Z", uid = 9, typ = "purchase"))
+      q.processAllAvailable()
+      // Error-side max 10:00 → min-watermark 09:50 < row: nothing lands.
+      assert(spark.table("ss_outer_test").isEmpty)
+      // Error-side max 10:10 → min(10:10, 10:30) − 10m = 10:00 == row ts:
+      // STRICT eviction must still hold it back.
+      ms.addData(ev(3, "2024-01-01T10:10:00Z", uid = 9, typ = "error"))
+      q.processAllAvailable()
+      assert(spark.table("ss_outer_test").isEmpty,
+        "ts == min-watermark must not null-evict (strict <)")
+      // One more millisecond: the null row for the unmatched error lands.
+      ms.addData(ev(4, "2024-01-01T10:10:00.001Z", uid = 9, typ = "error"))
+      q.processAllAvailable()
+      val got = spark.table("ss_outer_test")
+        .select(col("event_id"), col("purchase_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((1L, None)),
+        s"unmatched error must null-emit once strictly behind the min watermark: $got")
+    } finally q.stop()
+  }
+
   test("ST7+S8: file-stream source through foreachBatch parquet sink lands every row") {
     val dir = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("graft_sink_").toString
