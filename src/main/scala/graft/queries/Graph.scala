@@ -224,6 +224,29 @@ object Graph extends QueryPack {
         .limit(20)
     },
 
+    // G7 (beyond survey): triangle enumeration over the co-occurrence
+    // PROJECTION — orders sharing ≥2 parts form an edge (a<b), and a
+    // triangle is three mutually-linked orders. The a<b orientation makes
+    // the node-iterator join emit each triangle exactly once (the standard
+    // degree-ordered trick), and the projection inherits g4's LIVE hub cap,
+    // so both the projection size and the wedge count are structurally
+    // bounded at any scale. One localCheckpoint: the projection feeds all
+    // three join legs without re-deriving the pair pipeline.
+    "g7_triangles" -> { (s, d) =>
+      val proj = new LinkGraph(edges(s, d).select(col("o").as("src"), col("p").as("dst")))
+        .coSourcePairs(HubCap)
+        .filter(col("n_common") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      proj.as("e1")
+        .join(proj.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        .join(proj.as("e3"),
+          col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+        .orderBy("x", "y", "z")
+        .limit(100)
+    },
+
     // G5: deterministic "random" node pick — md5-ordered instead of an
     // unseeded rand() (portable; same shape as ORDER BY random() LIMIT 1).
     "g5_random_pick" -> { (s, d) =>
@@ -437,6 +460,25 @@ object Graph extends QueryPack {
 
     "g5_random_pick" ->
       "SELECT p_partkey, p_name FROM part ORDER BY md5(CAST(p_partkey AS VARCHAR)) LIMIT 1",
+
+    // Same capped projection as g4's oracle, then the oriented wedge join
+    // with an EXISTS closing edge.
+    "g7_triangles" ->
+      s"""WITH e AS ($edgesSql),
+         |capped AS (
+         |  SELECT o, p FROM (
+         |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
+         |  ) WHERE rn <= $HubCap
+         |),
+         |proj AS (
+         |  SELECT a.o AS a, b.o AS b
+         |  FROM capped a JOIN capped b ON a.p = b.p AND a.o < b.o
+         |  GROUP BY a.o, b.o HAVING COUNT(*) >= 2
+         |)
+         |SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |FROM proj e1 JOIN proj e2 ON e1.b = e2.a
+         |WHERE EXISTS (SELECT 1 FROM proj e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+         |ORDER BY x, y, z LIMIT 100""".stripMargin,
 
     "g6_khop" ->
       s"""WITH e AS ($edgesSql),

@@ -44,4 +44,36 @@ class NetworkApiSpec extends AnyFunSuite {
     val (hub, nNodes, nEdges) = df.as[(String, Int, Int)].head()
     assert(hub.startsWith("o") && nNodes === 10 && nEdges === 10)
   }
+
+  test("TropologyApi facade: links-for-article, common-links, node-info agree with first principles") {
+    import org.apache.spark.sql.functions._
+    import graft.api.TropologyApi
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+
+    // Pick two orders that provably share at least one part.
+    val (a, b) = e.as("x").join(e.as("y"),
+        col("x.p") === col("y.p") && col("x.o") < col("y.o"))
+      .select(col("x.o"), col("y.o")).as[(Long, Long)].head()
+
+    val linksA = TropologyApi.linksForArticle(spark, dir, a)
+    val expectParts = e.filter(col("o") === a).select("p").as[Long].collect().toSet
+    assert(linksA.select("p_partkey").as[Long].collect().toSet === expectParts)
+    // Ranked by global in-degree, descending.
+    val degs = linksA.select("in_degree").as[Long].collect().toSeq
+    assert(degs === degs.sortBy(-_))
+
+    val common = TropologyApi.commonLinksBetween(spark, dir, a, b)
+      .select("p_partkey").as[Long].collect().toSet
+    val expectCommon = e.filter(col("o") === a).select("p").as[Long].collect().toSet
+      .intersect(e.filter(col("o") === b).select("p").as[Long].collect().toSet)
+    assert(common === expectCommon && common.nonEmpty)
+
+    val info = TropologyApi.nodeInfo(spark, dir, a)
+    val row = info.select("o_orderkey", "outgoing").as[(Long, Long)].head()
+    assert(row === ((a, expectParts.size.toLong)))
+  }
 }

@@ -17,6 +17,33 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(FormattedMode)
 
+  test("runtime bloom filter prunes the fact side of a shuffled join with a selective build side") {
+    import org.apache.spark.sql.functions._
+    // At warehouse scale a selective dim filter should cut the fact
+    // shuffle BEFORE the join via Spark's runtime bloom filter
+    // (InjectRuntimeFilter). Local fixture sizes sit below the production
+    // thresholds, so lower them — the PLAN SHAPE is what must hold.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_totalprice"))
+      val p = j.queryExecution.explainString(FormattedMode)
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        "selective shuffled join must inject a runtime bloom filter: " + p.take(3000))
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("star join broadcasts every dimension side") {
     val p = plan("j2_multiway_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
