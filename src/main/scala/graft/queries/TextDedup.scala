@@ -154,6 +154,45 @@ object TextDedup extends QueryPack {
       isIncoming: org.apache.spark.sql.Column): DataFrame =
     capBuckets(inBands.union(corpusCapped), cap).filter(isIncoming)
 
+  /** The t15/t17 admission decision for one incoming batch of documents
+    * (doc_id, text, …) against the MAINTAINED standing-corpus artifacts:
+    * exact-duplicate via fingerprint semi-join, near-duplicate via capped
+    * cross-set LSH banding plus exact-Jaccard verify, everything else
+    * kept. One definition so the batch query (t15) and the streaming
+    * foreachBatch run (t17) can never diverge — and cost scales with the
+    * batch, not the corpus, because the corpus side is read back as
+    * published parquet. Batch rows must satisfy `doc_id % 5 === 0` (the
+    * fixture's incoming-set identity, used to split the capped band union
+    * back out).
+    */
+  private[graft] def admitBatch(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val incoming = col("doc_id") % 5 === 0
+    val (exFp, exBands, exSh) = standingCorpus(s, d)
+    // Batch shingles feed both banding and the Jaccard verify — one scan.
+    val inSh = shingles(batch, 3).localCheckpoint()
+    val inBands = capIncomingAgainst(
+      bandKeys(inSh, nHashes = 8, bandSize = 2), exBands, BucketCap, incoming)
+    val exactDups = batch
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .join(exFp, Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val cand = inBands.toDF("doc_a", "band_a", "key_a")
+      .join(exBands.toDF("doc_b", "band_b", "key_b"),
+        col("band_a") === col("band_b") && col("key_a") === col("key_b"))
+      .select("doc_a", "doc_b").distinct()
+    val nearDups = jaccard(cand, inSh.union(exSh), 0.5)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    batch.select(col("doc_id"))
+      .join(exactDups, Seq("doc_id"), "left_outer")
+      .join(nearDups, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("kept").as("status"))
+  }
+
   /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands.
     * The capped band table feeds BOTH sides of the self-join; without the
     * eager materialization the whole signature pipeline (shingle scan →
@@ -474,32 +513,33 @@ object TextDedup extends QueryPack {
     // joins against the persisted artifacts — it scales with the batch,
     // not the corpus. Output: per-incoming-doc admission status.
     "t15_incremental_dedup" -> { (s, d) =>
-      val incoming = col("doc_id") % 5 === 0
-      val (exFp, exBands, exSh) = standingCorpus(s, d)
-      val batch = Tables.documents(s, d).filter(incoming)
-      // Batch shingles feed both banding and the Jaccard verify — one scan.
-      val inSh = shingles(batch, 3).localCheckpoint()
-      val inBands = capIncomingAgainst(
-        bandKeys(inSh, nHashes = 8, bandSize = 2), exBands, BucketCap, incoming)
-      val exactDups = batch
-        .withColumn("fp", TextFunctions.fingerprint(col("text")))
-        .join(exFp, Seq("fp"), "left_semi")
-        .select(col("doc_id")).withColumn("is_exact", lit(true))
-      val cand = inBands.toDF("doc_a", "band_a", "key_a")
-        .join(exBands.toDF("doc_b", "band_b", "key_b"),
-          col("band_a") === col("band_b") && col("key_a") === col("key_b"))
-        .select("doc_a", "doc_b").distinct()
-      val nearDups = jaccard(cand, inSh.union(exSh), 0.5)
-        .select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("is_near", lit(true))
-      batch.select(col("doc_id"))
-        .join(exactDups, Seq("doc_id"), "left_outer")
-        .join(nearDups, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          when(col("is_exact"), "exact_dup")
-            .when(col("is_near"), "near_dup")
-            .otherwise("kept").as("status"))
+      admitBatch(s, d, Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
         .orderBy("doc_id")
+    },
+
+    // T17: the SAME admission logic run as a REAL STREAM — the
+    // continuously-ingesting corpus shape: a file-stream source over the
+    // documents table feeds foreachBatch (the standard pattern for complex
+    // batch logic per micro-batch), each micro-batch is admitted against
+    // the PERSISTED standing-corpus artifacts via [[admitBatch]], and
+    // decisions land in an append sink published by SnapshotSink. One
+    // admission implementation serves t15 and t17, and both share one
+    // oracle — the streaming run must land exactly the batch decision.
+    "t17_stream_incremental_dedup" -> { (s, d) =>
+      val base = scratchDir(s, d, "t17_sink")
+      val q = graft.streaming.StreamOps.documentsStream(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          admitBatch(s, d, batch).write.mode("append").parquet(s"$base/staging")
+        }
+        .start()
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot").orderBy("doc_id")
     },
 
     // T11: benchmark-contamination check — the decontamination pass a
@@ -663,6 +703,47 @@ object TextDedup extends QueryPack {
       |    0.4 * least(sw * 5.0, 1.0) + 0.4 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
       |    + 0.2 * (1.0 - least(pr * 10.0, 1.0)))), 6)""".stripMargin
 
+  /** Shared by t15 (batch) and t17 (streaming foreachBatch) — one oracle
+    * for one admission semantics. Reuses the full near-dup CTE prefix;
+    * `cand`/`jac` inside it are plain (non-materialized) CTEs DuckDB never
+    * evaluates unreferenced — only the cross-set xcand/xjac below run.
+    */
+  private lazy val incrementalDedupOracle: String = {
+      val fpSql =        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+      s"""${neardupCtes(3, 8, 2)},
+         |exfp AS (SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id % 5 != 0),
+         |infp AS (SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id % 5 = 0),
+         |exact_dups AS (
+         |  SELECT DISTINCT doc_id FROM infp WHERE fp IN (SELECT fp FROM exfp)
+         |),
+         |xcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+         |),
+         |xjac AS (
+         |  SELECT c.doc_a, count(*) AS inter, sa.n AS na, sb.n AS nb
+         |  FROM xcand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+         |),
+         |near_dups AS (
+         |  SELECT DISTINCT doc_a AS doc_id FROM xjac
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS status
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN exact_dups e ON e.doc_id = d.doc_id
+         |LEFT JOIN near_dups n ON n.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t1_token_stats" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
@@ -795,42 +876,10 @@ object TextDedup extends QueryPack {
     // Reuses the full near-dup CTE prefix; `cand`/`jac` inside it are
     // plain (non-materialized) CTEs DuckDB never evaluates unreferenced —
     // only the cross-set xcand/xjac below run.
-    "t15_incremental_dedup" -> {
-      val fpSql =
-        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
-      s"""${neardupCtes(3, 8, 2)},
-         |exfp AS (SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id % 5 != 0),
-         |infp AS (SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id % 5 = 0),
-         |exact_dups AS (
-         |  SELECT DISTINCT doc_id FROM infp WHERE fp IN (SELECT fp FROM exfp)
-         |),
-         |xcand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
-         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
-         |),
-         |xjac AS (
-         |  SELECT c.doc_a, count(*) AS inter, sa.n AS na, sb.n AS nb
-         |  FROM xcand c
-         |  JOIN sh x ON x.doc_id = c.doc_a
-         |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b
-         |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
-         |),
-         |near_dups AS (
-         |  SELECT DISTINCT doc_a AS doc_id FROM xjac
-         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
-         |)
-         |SELECT d.doc_id,
-         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
-         |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
-         |       ELSE 'kept' END AS status
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-         |LEFT JOIN exact_dups e ON e.doc_id = d.doc_id
-         |LEFT JOIN near_dups n ON n.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "t15_incremental_dedup" -> incrementalDedupOracle,
+
+    // The stream must land exactly the batch admission decision.
+    "t17_stream_incremental_dedup" -> incrementalDedupOracle,
 
     "t14_mixture_balance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),

@@ -227,6 +227,15 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming source over the documents parquet — the continuously-
+    * ingesting corpus feed that the streaming dedup (t17) consumes.
+    */
+  def documentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(graft.Tables.documents(s, dir).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** Streaming source over the events parquet (ST8-of-sorts: file stream
     * source with the same schema as the batch accessor).
     */
