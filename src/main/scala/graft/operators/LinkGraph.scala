@@ -70,22 +70,37 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * already-collected array); callers mirroring results in SQL must apply
     * the same cap (row_number per dst ≤ cap).
     */
-  def coSourcePairs(cap: Int): DataFrame = {
-    require(cap >= 2, s"coSourcePairs: cap must be >= 2, got $cap")
+  /** Per-dst adjacency arrays `(dst, ss)` truncated to the `cap` smallest
+    * sources — the shared hub-guard derivation behind [[coSourcePairs]]
+    * and [[cappedEdges]], so pair counts and capped degrees can never
+    * disagree on which edges survived the cap. Callers combining BOTH
+    * derived forms (e.g. Jaccard link prediction) should materialize this
+    * once (`localCheckpoint`) and use the [[LinkGraph.pairsFromAdjacency]]/
+    * [[LinkGraph.edgesFromAdjacency]] statics, instead of paying one
+    * adjacency build per derived form.
+    */
+  def cappedAdjacency(cap: Int): DataFrame = {
+    require(cap >= 1, s"cappedAdjacency: cap must be >= 1, got $cap")
     // Requires DISTINCT (src, dst) edges — duplicates would inflate the
     // co-occurrence counts. collect_list over pre-distinct input measured
     // faster than fusing the dedup into collect_set here (set maintenance
     // per row costs more than the distinct pass it saves).
-    val byDst = edges
+    edges
       .groupBy(col("dst"))
       .agg(slice(sort_array(collect_list(col("src"))), 1, cap).as("ss"))
-    byDst.select(explode(flatten(
-      transform(col("ss"), (x, i) =>
-        transform(slice(col("ss"), i + 2, size(col("ss"))),
-          y => struct(x.as("a"), y.as("b")))))).as("pr"))
-      .select(col("pr.a").as("a"), col("pr.b").as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_common"))
+  }
+
+  /** The edge set AFTER the hub cap: each dst keeps its `cap` smallest
+    * sources. SQL mirror: `row_number() OVER (PARTITION BY dst ORDER BY
+    * src) <= cap`. Degree counts over this set are the denominators that
+    * pair with [[coSourcePairs]] numerators (e.g. Jaccard link prediction).
+    */
+  def cappedEdges(cap: Int): DataFrame =
+    LinkGraph.edgesFromAdjacency(cappedAdjacency(cap))
+
+  def coSourcePairs(cap: Int): DataFrame = {
+    require(cap >= 2, s"coSourcePairs: cap must be >= 2, got $cap")
+    LinkGraph.pairsFromAdjacency(cappedAdjacency(cap))
   }
 
   def inDegrees: DataFrame =
@@ -377,4 +392,28 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     }
     labels
   }
+}
+
+object LinkGraph {
+
+  /** `(a, b, n_common)` pairs (a < b) from a `(dst, ss)` adjacency table —
+    * the pair-emission half of [[LinkGraph.coSourcePairs]], split out so a
+    * single materialized adjacency can feed both this and
+    * [[edgesFromAdjacency]] without rebuilding the arrays per consumer.
+    * Pairs are emitted locally from each array (nested transform, i+2
+    * offset keeps a<b within the sorted array) — the only shuffle is the
+    * final (a, b) count, which the cap bounds at C(cap,2) rows per dst.
+    */
+  def pairsFromAdjacency(adj: DataFrame): DataFrame =
+    adj.select(explode(flatten(
+      transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+
+  /** Flat `(src, dst)` capped edges from a `(dst, ss)` adjacency table. */
+  def edgesFromAdjacency(adj: DataFrame): DataFrame =
+    adj.select(explode(col("ss")).as("src"), col("dst"))
 }

@@ -247,6 +247,33 @@ object Graph extends QueryPack {
         .limit(100)
     },
 
+    // G8 (beyond survey): Jaccard link prediction over the co-occurrence
+    // graph — for each candidate order pair, |common parts| over
+    // |union of their capped part sets|. Numerator (pair counts) and
+    // denominator (degrees) both derive from ONE per-dst capped adjacency,
+    // materialized once (localCheckpoint, the g7 pattern) so the
+    // three consumers don't each rebuild it — and the build itself is
+    // Exchange-free because the maintained links table is bucketed by p
+    // (dst), the groupBy key. The Jaccard is one IEEE division of two
+    // integers, rounded to 6dp on both engines before the ORDER BY/LIMIT
+    // so the cut line is deterministic.
+    "g8_link_predict" -> { (s, d) =>
+      val lg = new LinkGraph(edges(s, d).select(col("o").as("src"), col("p").as("dst")))
+      val adj = lg.cappedAdjacency(HubCap).localCheckpoint()
+      val pairs = LinkGraph.pairsFromAdjacency(adj).filter(col("n_common") >= 2)
+      val deg = LinkGraph.edgesFromAdjacency(adj)
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      pairs
+        .join(deg.select(col("id").as("ida"), col("deg").as("deg_a")), col("a") === col("ida"))
+        .join(deg.select(col("id").as("idb"), col("deg").as("deg_b")), col("b") === col("idb"))
+        .select(col("a").as("o1"), col("b").as("o2"), col("n_common"),
+          col("deg_a"), col("deg_b"),
+          round(col("n_common").cast("double") /
+            (col("deg_a") + col("deg_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("o1").asc, col("o2").asc)
+        .limit(20)
+    },
+
     // G5: deterministic "random" node pick — md5-ordered instead of an
     // unseeded rand() (portable; same shape as ORDER BY random() LIMIT 1).
     "g5_random_pick" -> { (s, d) =>
@@ -479,6 +506,26 @@ object Graph extends QueryPack {
          |FROM proj e1 JOIN proj e2 ON e1.b = e2.a
          |WHERE EXISTS (SELECT 1 FROM proj e3 WHERE e3.a = e1.a AND e3.b = e2.b)
          |ORDER BY x, y, z LIMIT 100""".stripMargin,
+
+    // Same capped projection and degree base as g4/g7; Jaccard is one
+    // int/int division rounded to 6dp on both engines.
+    "g8_link_predict" ->
+      s"""WITH e AS ($edgesSql),
+         |capped AS (
+         |  SELECT o, p FROM (
+         |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
+         |  ) WHERE rn <= $HubCap
+         |),
+         |deg AS (SELECT o, COUNT(*) AS deg FROM capped GROUP BY o),
+         |pairs AS (
+         |  SELECT a.o AS o1, b.o AS o2, COUNT(*) AS n_common
+         |  FROM capped a JOIN capped b ON a.p = b.p AND a.o < b.o
+         |  GROUP BY a.o, b.o HAVING COUNT(*) >= 2
+         |)
+         |SELECT p.o1, p.o2, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+         |  round(CAST(p.n_common AS DOUBLE) / (da.deg + db.deg - p.n_common), 6) AS jaccard
+         |FROM pairs p JOIN deg da ON p.o1 = da.o JOIN deg db ON p.o2 = db.o
+         |ORDER BY jaccard DESC, o1 ASC, o2 ASC LIMIT 20""".stripMargin,
 
     "g6_khop" ->
       s"""WITH e AS ($edgesSql),

@@ -226,6 +226,45 @@ object Relational extends QueryPack {
         .orderBy("status", "priority")
     },
 
+    // A5c: explicit GROUPING SETS (Spark 4 Dataset.groupingSets) — the
+    // third multi-granularity shape next to rollup/cube: (region, nation),
+    // nation-only, and grand total, but NOT region-only (which rollup would
+    // force). One shuffle; Catalyst expands to a single Expand + hash agg.
+    "a5_grouping_sets" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+        .select(coalesce(col("r_name"), lit("<all>")).as("region"),
+                coalesce(col("n_name"), lit("<all>")).as("nation"),
+                col("n_suppliers"), col("total_bal"))
+        .orderBy("region", "nation")
+    },
+
+    // A8: pivot — orders per customer nation, spread by order status into
+    // (count, exact-decimal total) column pairs. Spark's two-stage pivot
+    // (partial agg on (nation, status), then PivotFirst) keeps the wide row
+    // construction map-side after one narrow shuffle; a missing
+    // nation×status combo surfaces as NULL from PivotFirst, so the count
+    // columns are coalesced to 0 to match conditional-aggregation SQL.
+    "a8_pivot" -> { (s, d) =>
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      joined
+        .groupBy(col("n_name"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("n_name"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_total").as("f_total"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_total").as("o_total"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_total").as("p_total"))
+        .orderBy("n_name")
+    },
+
     // F5: conditional aggregation (CASE WHEN inside SUM).
     "f5_conditional" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -416,6 +455,27 @@ object Relational extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "a5_grouping_sets" ->
+      """SELECT COALESCE(r_name, '<all>') AS region, COALESCE(n_name, '<all>') AS nation,
+        |  COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+        |ORDER BY region, nation""".stripMargin,
+
+    "a8_pivot" ->
+      """SELECT n_name,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS f_total,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS o_total,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS p_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "f5_conditional" ->
       """SELECT l_returnflag,

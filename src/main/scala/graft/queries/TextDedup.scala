@@ -324,6 +324,46 @@ object TextDedup extends QueryPack {
         .limit(50)
     },
 
+    // T18: BM25 retrieval scoring of every document against a fixed query
+    // term set — the classic lexical ranking a training-data pipeline uses
+    // for quality/topicality filtering. Corpus stats (N, avgdl, per-term
+    // df) are ONE global aggregate broadcast back over the docs, so the
+    // whole query is scan → 1-row agg → map-side scalar math → top-k:
+    // nothing shuffles with the corpus. Uses the rational idf
+    // (N−df+0.5)/(df+0.5) WITHOUT the usual log: ln() is libm-dependent
+    // and can differ by 1 ulp across engines, while +,−,×,÷ are IEEE
+    // correctly-rounded, so this variant (same ranking monotonicity) is
+    // bit-identical on both engines given the identical expression tree.
+    "t18_bm25" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"), size(toks).as("dl"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        count(when(array_contains(col("t"), "hash"), 1)).as("df_hash"),
+        count(when(array_contains(col("t"), "stream"), 1)).as("df_stream"),
+        count(when(array_contains(col("t"), "vector"), 1)).as("df_vector"))
+      // One term's score; the expression shape (parenthesization and
+      // operand order) is mirrored token-for-token in the oracle SQL —
+      // IEEE determinism only holds for the SAME tree.
+      def sc(tfc: Column, dfc: Column): Column =
+        ((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+          ((tfc * lit(2.2)) /
+            (tfc + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))))
+      docs.crossJoin(broadcast(stats))
+        .withColumn("tf_hash", size(filter(col("t"), x => x === lit("hash"))))
+        .withColumn("tf_stream", size(filter(col("t"), x => x === lit("stream"))))
+        .withColumn("tf_vector", size(filter(col("t"), x => x === lit("vector"))))
+        .withColumn("bm25", round(
+          sc(col("tf_hash"), col("df_hash")) +
+            sc(col("tf_stream"), col("df_stream")) +
+            sc(col("tf_vector"), col("df_vector")), 6))
+        .select("doc_id", "dl", "tf_hash", "tf_stream", "tf_vector", "bm25")
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // T3: exact dedup by normalized-text fingerprint. The input is the
     // documents table unioned with a shifted-id copy of itself, so the
     // dedup provably halves the input (keeper = min doc_id per fingerprint).
@@ -757,6 +797,37 @@ object TextDedup extends QueryPack {
       """SELECT term, count(*) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term FROM documents
         |) GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+
+    // Expression tree mirrors the Spark side token-for-token (see the
+    // t18 comment there: IEEE determinism needs the identical tree).
+    "t18_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t,
+        |    len(string_split(text,' ')) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    COUNT(CASE WHEN list_contains(t,'hash') THEN 1 END) AS df_hash,
+        |    COUNT(CASE WHEN list_contains(t,'stream') THEN 1 END) AS df_stream,
+        |    COUNT(CASE WHEN list_contains(t,'vector') THEN 1 END) AS df_vector
+        |  FROM toks
+        |), scored AS (
+        |  SELECT doc_id, dl,
+        |    len(list_filter(t, x -> x = 'hash')) AS tf_hash,
+        |    len(list_filter(t, x -> x = 'stream')) AS tf_stream,
+        |    len(list_filter(t, x -> x = 'vector')) AS tf_vector,
+        |    n_docs, avgdl, df_hash, df_stream, df_vector
+        |  FROM toks CROSS JOIN stats
+        |)
+        |SELECT doc_id, dl, tf_hash, tf_stream, tf_vector,
+        |  round(
+        |    ((n_docs - df_hash + 0.5) / (df_hash + 0.5)) * ((tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+        |    + ((n_docs - df_stream + 0.5) / (df_stream + 0.5)) * ((tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+        |    + ((n_docs - df_vector + 0.5) / (df_vector + 0.5)) * ((tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+        |  , 6) AS bm25
+        |FROM scored
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 25""".stripMargin,
 
     "t3_exact_dedup" ->
       """WITH all_docs AS (

@@ -83,6 +83,21 @@ object WindowsAndEvents extends QueryPack {
         .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey").asc)
     },
 
+    // W5 (distribution family): percent_rank / cume_dist of supplier
+    // account balances within each nation. Both are rank-count ratios —
+    // one IEEE division of two small integers per row, so the doubles are
+    // bit-identical across engines with no decimal framing needed. Ties on
+    // the raw balance are left in the ordering on purpose (the tie
+    // semantics of rank vs row count are the point of the family).
+    "w7_distribution" -> { (s, d) =>
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").asc)
+      Tables.supplier(s, d)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("s_nationkey", "s_suppkey")
+    },
+
     // ST1 (batch shape): tumbling 1-hour event-time windows per event type.
     "st1_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -464,6 +479,12 @@ object WindowsAndEvents extends QueryPack {
         |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         |  FROM part
         |) WHERE rn <= 3 ORDER BY p_brand, p_retailprice DESC, p_partkey ASC""".stripMargin,
+
+    "w7_distribution" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC) AS pr,
+        |  cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC) AS cd
+        |FROM supplier ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "st1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,

@@ -132,6 +132,29 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("cappedEdges agrees with coSourcePairs: n_common never exceeds capped degrees") {
+    // 70 sources all pointing at dst "hub" (over the cap) plus a 2-dst
+    // overlap pair: the cap must bound BOTH the pair counts and the degree
+    // denominators, or Jaccard scores could exceed 1.
+    val cap = 8
+    val hub = (0 until 70).map(i => (f"s$i%02d", "hub"))
+    val extra = Seq(("s00", "d2"), ("s01", "d2"))
+    val g = new LinkGraph((hub ++ extra).toDF("src", "dst"))
+    val capped = g.cappedEdges(cap)
+    // Per-dst counts respect the cap; surviving sources are the smallest.
+    val perDst = capped.groupBy("dst").count().as[(String, Long)].collect().toMap
+    assert(perDst("hub") === cap.toLong && perDst("d2") === 2L)
+    assert(capped.filter(col("dst") === "hub")
+      .agg(max("src")).as[String].head() === "s07")
+    val deg = capped.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val viol = g.coSourcePairs(cap)
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .filter(col("n_common") > least(col("da"), col("db")))
+      .count()
+    assert(viol === 0L)
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),
