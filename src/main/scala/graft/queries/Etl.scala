@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.etl.Ingest
 import graft.operators.{Merge, Salting}
+import graft.sql.Stable.dsum
 
 /** Ingest/ETL operators (SURVEY.md §3.1 S2/S4/S5, §3.8 F8, §3.4 A6) — the
   * reference's crawl pipeline shapes (`src/tropology/parsing.clj` link
@@ -56,6 +57,37 @@ object Etl extends QueryPack {
       s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("note"))
         .orderBy("n_nationkey")
+    },
+
+    // S10: scan over the MAINTAINED Z-ORDERED events layout — events
+    // clustered by the Morton interleave of (user rank, time rank)
+    // ([[graft.functions.ZOrder]]), range-partitioned and sorted by the
+    // key, published once per sf dir. A (user, time) box predicate then
+    // prunes files/row groups on BOTH dimensions via parquet min/max
+    // stats (ZOrderSpec proves the file-skipping vs a time-sorted layout
+    // of the same file count); a time-sorted table prunes only time. The
+    // result is layout-invariant (the oracle runs on the raw table) —
+    // the LAYOUT is what's under test here.
+    "s10_zorder_scan" -> { (s, d) =>
+      val z = graft.sources.ArtifactStore.snapshot(s, d, "events_zorder") {
+        val e = Tables.events(s, d)
+        val st = e.agg(
+          min(col("user_id")), max(col("user_id")),
+          min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val (uLo, uHi, tLo, tHi) =
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+        e.withColumn("zkey", graft.functions.ZOrder.interleave2(
+            graft.functions.ZOrder.rank16(col("user_id"), lit(uLo), lit(uHi)),
+            graft.functions.ZOrder.rank16(unix_micros(col("ts")), lit(tLo), lit(tHi))))
+          .repartitionByRange(16, col("zkey"))
+          .sortWithinPartitions("zkey")
+      }
+      z.filter(col("user_id").between(10, 99) &&
+          col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
     },
 
     // S4: upsert — 50 balance updates + 3 brand-new rows merged into
@@ -258,6 +290,17 @@ object Etl extends QueryPack {
       """SELECT n_nationkey, n_name, n_regionkey,
         |  n_name || ', region ' || CAST(n_regionkey AS VARCHAR) AS note
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Layout-invariance is the contract: the oracle runs the same box
+    // predicate over the RAW events table; the z-ordered snapshot must
+    // produce identical results.
+    "s10_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 99
+        |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s4_merge_upsert" ->
       """WITH updates AS (
