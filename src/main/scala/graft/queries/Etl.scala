@@ -90,6 +90,61 @@ object Etl extends QueryPack {
         .orderBy("event_type")
     },
 
+    // S11: SCD Type-2 history build — version each customer's "latest
+    // order total" attribute into [effective_from, effective_to) ranges
+    // with a NULL open end marking the current version: the lakehouse
+    // pattern for tracking dimension changes over time. Per (customer,
+    // day) the highest orderkey wins (deterministic last-write-per-day
+    // collapse), then ONE window per customer chains versions with
+    // lead(). One shuffle on the customer key; both windows run inside
+    // that partition — the SCD2 build costs a single exchange at any
+    // scale, and composes with Merge.upsert for incremental loads.
+    "s11_scd2" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val day = date_trunc("day", col("o_orderdate"))
+      val perDay = Window.partitionBy(col("o_custkey"), col("day"))
+        .orderBy(col("o_orderkey").desc)
+      val chain = Window.partitionBy(col("o_custkey")).orderBy(col("day").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), day.as("day"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(perDay)).filter(col("rn") === 1)
+        .select(
+          col("o_custkey"),
+          col("day").as("effective_from"),
+          lead(col("day"), 1).over(chain).as("effective_to"),
+          row_number().over(chain).as("version"),
+          col("o_totalprice").as("price"))
+        .withColumn("is_current", col("effective_to").isNull.cast("int"))
+        .orderBy("o_custkey", "version")
+    },
+
+    // S13: incremental aggregate maintenance — the standing daily-revenue
+    // aggregate (ship-days before 2001) is a PERSISTED artifact of
+    // MERGEABLE partial states (count + exact decimal sum: a commutative
+    // monoid), and the refresh unions the incoming delta's partials (2001
+    // onward — only ITS rows are scanned) with the artifact and re-aggs by
+    // day. Refresh cost is O(|delta| + |aggregate|), independent of
+    // history size — incremental view maintenance replacing full
+    // recompute at 100 TB. The oracle IS the full recompute over all of
+    // lineitem, so the merge is proven equivalent to starting from
+    // scratch; decimal partials make the merge exact (double partials
+    // would drift by re-association).
+    "s13_incr_agg" -> { (s, d) =>
+      val cutoff = lit("2001-01-01").cast("timestamp_ntz")
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(28, 4))).as("rev_partial"))
+      val standing = graft.sources.ArtifactStore.snapshot(s, d, "daily_rev_base") {
+        partials(Tables.lineitem(s, d).filter(col("l_shipdate") < cutoff))
+      }
+      val delta = partials(Tables.lineitem(s, d).filter(col("l_shipdate") >= cutoff))
+      standing.unionByName(delta)
+        .groupBy(col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("rev_partial")).cast("double").as("revenue"))
+        .orderBy("day")
+    },
+
     // S4: upsert — 50 balance updates + 3 brand-new rows merged into
     // customer via full-outer + coalesce (Merge operator).
     "s4_merge_upsert" -> { (s, d) =>
@@ -301,6 +356,31 @@ object Etl extends QueryPack {
         |WHERE user_id BETWEEN 10 AND 99
         |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s11_scd2" ->
+      """WITH upd AS (
+        |  SELECT o_custkey, day, o_totalprice FROM (
+        |    SELECT o_custkey, date_trunc('day', o_orderdate) AS day, o_orderkey, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, date_trunc('day', o_orderdate)
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders
+        |  ) WHERE rn = 1
+        |)
+        |SELECT o_custkey, day AS effective_from,
+        |  LEAD(day) OVER w AS effective_to,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  o_totalprice AS price,
+        |  CAST(LEAD(day) OVER w IS NULL AS INTEGER) AS is_current
+        |FROM upd
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day ASC)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    // The oracle is the FULL RECOMPUTE — equivalence with it is exactly
+    // the incremental-maintenance correctness claim.
+    "s13_incr_agg" ->
+      """SELECT date_trunc('day', l_shipdate) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY day""".stripMargin,
 
     "s4_merge_upsert" ->
       """WITH updates AS (

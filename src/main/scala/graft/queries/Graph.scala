@@ -317,6 +317,26 @@ object Graph extends QueryPack {
         .orderBy("dist")
     },
 
+    // G9: WEIGHTED shortest paths from the smallest order node — 4
+    // fixed Bellman-Ford rounds ([[graft.operators.ShortestPaths]]) over
+    // the symmetric graph with w = min(l_quantity) per edge: "cheapest
+    // path" where BFS hop count (g6_khop) is the unweighted special case.
+    // Integer dist sums folded with min are order-independent, so the
+    // fixed round count is oracle-exact (unrolled CTEs mirror the rounds).
+    // 50 nearest nodes by (dist, node).
+    "g9_sssp" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val w = li.groupBy((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      val wedges = w.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val src = li.agg(min(col("l_orderkey")).as("k")).select((col("k") * 2).as("id"))
+      graft.operators.ShortestPaths.fixedRounds(wedges, src, rounds = 4)
+        .select(nodeName.as("node"), col("dist"))
+        .orderBy(col("dist").asc, col("node").asc)
+        .limit(50)
+    },
+
     // G6b: fixed-point PageRank, 3 iterations, top 20 nodes.
     "g6_pagerank" -> { (s, d) =>
       symGraph(s, d).pageRankFixed(3)
@@ -550,6 +570,35 @@ object Graph extends QueryPack {
          |  UNION ALL SELECT 2, COUNT(*) FROM d2
          |  UNION ALL SELECT 3, COUNT(*) FROM d3
          |) ORDER BY dist""".stripMargin,
+
+    // Unrolled Bellman-Ford: each round CTE is MATERIALIZED (referenced
+    // twice — carry + relax — so a plain CTE chain would re-evaluate the
+    // prefix 2^rounds times).
+    "g9_sssp" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT id, MIN(dist) AS dist FROM (
+           |    SELECT id, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS id, $prev.dist + e.w AS dist
+           |    FROM edges e JOIN $prev ON $prev.id = e.src
+           |  ) GROUP BY id
+           |)""".stripMargin
+      val rounds = (0 until 4).map(i => round(s"d$i", s"d${i + 1}")).mkString(",\n")
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b,
+         |    CAST(MIN(l_quantity) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2
+         |),
+         |edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM w
+         |  UNION ALL SELECT b, a, w FROM w
+         |),
+         |d0 AS (SELECT MIN(l_orderkey) * 2 AS id, CAST(0 AS BIGINT) AS dist FROM lineitem),
+         |$rounds
+         |SELECT $nodeNameSql AS node, dist FROM d4
+         |ORDER BY dist ASC, node ASC LIMIT 50""".stripMargin
+    },
 
     "g6_pagerank" -> {
       val scale = "1000000000000"

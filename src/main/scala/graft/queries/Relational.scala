@@ -265,6 +265,47 @@ object Relational extends QueryPack {
         .orderBy("n_name")
     },
 
+    // A9: deterministic per-group sample — 3 customers per nation chosen
+    // by md5(custkey) order. The hash IS the sampling mechanism: a
+    // data-independent pseudo-random permutation both engines compute
+    // identically, so the "random" sample is reproducible, partition-count
+    // invariant, and oracle-exact (the seeded-RNG samples Spark offers are
+    // neither). Uses the TopKPerKey operator — bounded per-key state, no
+    // sort or window over whole groups, which is what per-group sampling
+    // must avoid when a group holds a billion rows.
+    "a9_group_sample" -> { (s, d) =>
+      val hashed = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+          md5(col("c_custkey").cast("string")).as("h"))
+      graft.plans.TopKPerKey(hashed, Seq("c_nationkey"), Seq("h" -> true), k = 3)
+        .select("c_nationkey", "c_custkey", "c_name")
+        .orderBy("c_nationkey", "c_custkey")
+    },
+
+    // DQ4: equi-width histogram of order totals — 10 fixed-width bins over
+    // the observed [min, max]. The bounds are ONE 1-row global aggregate
+    // crossJoin-broadcast back over the scan (the fact side never
+    // shuffles for it), bin assignment is scalar arithmetic with an
+    // identical expression tree on both engines (+,−,×,÷,floor are IEEE
+    // correctly-rounded, so bins are bit-deterministic), then one hash
+    // agg: scan → 1-row agg → map → agg, every step the 100 TB shape.
+    "dq4_histogram" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      val raw = least(floor((col("o_totalprice") - col("lo")) * lit(10.0) /
+        (col("hi") - col("lo"))), lit(9.0)).cast("int")
+      val bin = when(col("hi") > col("lo"), raw).otherwise(lit(0))
+      o.crossJoin(broadcast(bounds))
+        .select(bin.as("bin"), col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("bin_min"),
+          max(col("o_totalprice")).as("bin_max"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("bin")
+    },
+
     // F5: conditional aggregation (CASE WHEN inside SUM).
     "f5_conditional" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -476,6 +517,25 @@ object Relational extends QueryPack {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a9_group_sample" ->
+      """SELECT c_nationkey, c_custkey, c_name FROM (
+        |  SELECT c_nationkey, c_custkey, c_name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)) ASC) AS rn
+        |  FROM customer
+        |) WHERE rn <= 3 ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "dq4_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT
+        |  CASE WHEN hi > lo
+        |    THEN CAST(least(floor((o_totalprice - lo) * 10.0 / (hi - lo)), 9) AS INTEGER)
+        |    ELSE 0 END AS bin,
+        |  COUNT(*) AS n, min(o_totalprice) AS bin_min, max(o_totalprice) AS bin_max,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders, b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "f5_conditional" ->
       """SELECT l_returnflag,

@@ -46,6 +46,24 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // W8: path analysis — the event-type transition matrix (the Markov
+    // bigram model behind funnel mining and next-action prediction). Each
+    // user's stream, totally ordered by (ts, event_id) like w2/w3, emits
+    // (event_type → next_type) bigrams via lead(); one shuffle on
+    // user_id, the window runs inside that partition, and the final hash
+    // agg collapses to ~|types|² cells with map-side combine — the heavy
+    // stage stays the single user-keyed exchange at any scale.
+    "w8_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type").asc, col("next_type").asc)
+    },
+
     // W3: frames — running sum + 3-row moving average per user.
     "w3_frames" -> { (s, d) =>
       val ordered = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -455,6 +473,15 @@ object WindowsAndEvents extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "w8_transitions" ->
+      """SELECT event_type, next_type, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM events
+        |) WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY n DESC, event_type ASC, next_type ASC""".stripMargin,
 
     "w3_frames" ->
       """SELECT user_id, event_id,
