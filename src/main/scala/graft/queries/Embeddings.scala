@@ -302,6 +302,33 @@ object Embeddings extends QueryPack {
         .orderBy("qid", "rn")
     },
 
+    // V10: SemDeDup-style semantic dedup — pairwise cosine ONLY within
+    // each IVF cluster of the persisted coarse quantizer (the SemDeDup
+    // recipe: k-means first, dedup inside clusters), pairs at ≥ 0.4 mark
+    // their higher-id member removed, keeping the lowest id as the
+    // representative. Per-cluster census (size, removed, kept) per list.
+    // Scale: the all-pairs step is quadratic only WITHIN a cluster — in a
+    // real deployment nLists grows with the corpus so cluster size stays
+    // bounded (the paper's regime), the lists table is lid-partitioned so
+    // each cluster's self-join reads one partition, and the pair join
+    // keys on lid (never a global cross product).
+    "v10_semantic_dedup" -> { (s, d) =>
+      val (lists, _) = ivfModel(s, d)
+      val a = lists.select(col("lid").as("qlid"), col("vec_id").as("qid"),
+        col("emb").as("qe"), col("nrm").as("qnrm"))
+      val removed = a
+        .join(lists, col("qlid") === col("lid") && col("qid") < col("vec_id"))
+        .filter(pairCos >= 0.4)
+        .select(col("lid"), col("vec_id")).distinct()
+      lists.groupBy(col("lid")).agg(count(lit(1)).as("n_vectors"))
+        .join(removed.groupBy(col("lid")).agg(count(lit(1)).as("n_removed")),
+          Seq("lid"), "left_outer")
+        .select(col("lid"), col("n_vectors"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          (col("n_vectors") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+        .orderBy("lid")
+    },
+
     // V8: ANN index quality made measurable — recall@5 of the IVF search
     // (nprobe=1) against the brute-force ground truth, per probe. THE
     // metric a pipeline watches when tuning nlists/nprobe: both top-5 sets
@@ -413,6 +440,21 @@ object Embeddings extends QueryPack {
          |SELECT qid, vec_id, cos_sim, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
          |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "v10_semantic_dedup" ->
+      s"""WITH $ivfSql,
+         |pairs AS (
+         |  SELECT a.lid, b.vec_id
+         |  FROM lists a JOIN lists b ON a.lid = b.lid AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.emb", "b.emb")}, 6) >= 0.4
+         |),
+         |rem AS (SELECT lid, COUNT(DISTINCT vec_id) AS n_removed FROM pairs GROUP BY lid),
+         |sz AS (SELECT lid, COUNT(*) AS n_vectors FROM lists GROUP BY lid)
+         |SELECT sz.lid, n_vectors,
+         |  COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+         |  n_vectors - COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_kept
+         |FROM sz LEFT JOIN rem ON rem.lid = sz.lid
+         |ORDER BY sz.lid""".stripMargin,
 
     "v8_ann_recall" ->
       s"""WITH $ivfSql,

@@ -386,6 +386,29 @@ object TextDedup extends QueryPack {
       jaccard(candidatePairs(capped), sh, 0.5)
     },
 
+    // T19: EDIT-DISTANCE verification of the LSH candidates — the
+    // character-level verify tier under t4's set-based Jaccard: full
+    // Levenshtein between the two documents' texts, plus the normalized
+    // similarity 1 − dist/max(len). O(len_a · len_b) per pair is
+    // affordable ONLY because pairs come from the capped banded buckets
+    // (cost scales with candidates, never corpus²); the distance is
+    // integer DP — identical on any engine — and runs inside codegen
+    // (built-in levenshtein, no UDF). The text join is two hash joins on
+    // doc id against the candidate set (the small side at any scale).
+    "t19_fuzzy_verify" -> { (s, d) =>
+      val (_, capped) = lsh3(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dist = levenshtein(col("text_a"), col("text_b"))
+      candidatePairs(capped)
+        .join(docs.toDF("doc_a", "text_a"), "doc_a")
+        .join(docs.toDF("doc_b", "text_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), dist.as("edit_dist"),
+          round(lit(1.0) - dist.cast("double") /
+            greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
+            6).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
     // (4 minhashes, 2 bands), higher threshold 0.6.
     "t5_ngram_jaccard" -> { (s, d) =>
@@ -872,6 +895,19 @@ object TextDedup extends QueryPack {
          |SELECT lbl AS cluster_rep, COUNT(*) AS n_members, MAX(id) AS max_member
          |FROM l16 GROUP BY lbl ORDER BY cluster_rep""".stripMargin
     },
+
+    // Reuses the t4 banding CTEs through `cand`; the trailing `jac` CTE is
+    // plain (not MATERIALIZED), so DuckDB never evaluates it here.
+    "t19_fuzzy_verify" ->
+      s"""${neardupCtes(n = 3, nHashes = 8, bandSize = 2)}
+         |SELECT c.doc_a, c.doc_b,
+         |  levenshtein(da.text, db.text) AS edit_dist,
+         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    greatest(length(da.text), length(db.text)), 6) AS sim
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.doc_a
+         |JOIN documents db ON db.doc_id = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
     "t5_ngram_jaccard" -> neardupSql(n = 2, nHashes = 4, bandSize = 2, threshold = "0.6"),
 
