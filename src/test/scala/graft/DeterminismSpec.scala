@@ -46,7 +46,13 @@ class DeterminismSpec extends AnyFunSuite {
     "v5_ivf_topk",            // lid-partitioned IVF snapshot + DPP read
     "t15_incremental_dedup",  // standing-corpus snapshots (fp/bands/shingles)
     "mm2_type_summary",       // media lake with pruned binary scan
-    "st2_stream_roundtrip")   // real-stream rerun: checkpoint idempotence → identical landed data
+    "st2_stream_roundtrip",   // real-stream rerun: checkpoint idempotence → identical landed data
+    "s10_zorder_scan",        // z-ordered snapshot scan (result must be layout-invariant)
+    "g9_sssp",                // iterative Bellman-Ford relaxation loop
+    "v10_semantic_dedup",     // persisted-IVF cluster self-join census
+    "s13_incr_agg",           // persisted partial-state merge (decimal monoid)
+    "s11_scd2",               // double window chain (per-day collapse + lead)
+    "a9_group_sample")        // TopKPerKey hash-ordered per-group pick
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ShortestPaths
+
+/** Structural invariants of the round-6 pipeline operators — properties
+  * the DuckDB hash gate can't see (it proves value parity, not that the
+  * values mean what they claim): SCD2 ranges must tile each customer's
+  * timeline, histogram bins must partition the table, the incremental
+  * merge must equal the direct aggregate, transition counts must conserve
+  * events, and Bellman-Ford must prefer a cheap 2-hop path over an
+  * expensive direct edge.
+  */
+class PipelineInvariantsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- ShortestPaths operator ---
+
+  test("weighted relaxation takes the cheap 2-hop path over the expensive direct edge") {
+    // 1→4 directly costs 100; 1→2→3→4 costs 3. Needs 3 rounds to find;
+    // round 1 must report the direct edge's 100.
+    val wedges = Seq((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("id")
+    def distTo4(rounds: Int): Long =
+      ShortestPaths.fixedRounds(wedges, src, rounds)
+        .filter(col("id") === 4L).select("dist").as[Long].head()
+    assert(distTo4(1) === 100L)
+    assert(distTo4(3) === 3L)
+    assert(distTo4(5) === 3L) // converged: extra rounds change nothing
+  }
+
+  test("unit-weight SSSP equals BFS hop distance on the real graph") {
+    val li = Tables.lineitem(spark, dir)
+    val e = li.select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val src = li.agg(min(col("l_orderkey")).as("k")).select((col("k") * 2).as("id"))
+    val bfs = new graft.operators.LinkGraph(sym).kHop(src, 3)
+      .withColumnRenamed("dist", "hops")
+    val sssp = ShortestPaths.fixedRounds(sym.withColumn("w", lit(1L)), src, 3)
+      .withColumnRenamed("dist", "cost")
+    // Every BFS node at hop h must have unit-weight cost h (sources' cost-0
+    // rows are extra in sssp and drop out of the inner join).
+    val joined = bfs.join(sssp, "id")
+    assert(joined.count() === bfs.count())
+    assert(joined.filter(col("hops").cast("long") =!= col("cost")).count() === 0)
+  }
+
+  // --- SCD2 (s11) ---
+
+  test("SCD2 versions tile each customer's timeline: no gaps, no overlaps, one current") {
+    val h = SparkEntry.queries("s11_scd2")(spark, dir).cache()
+    try {
+      // Exactly one open-ended current version per customer.
+      val perCust = h.groupBy("o_custkey").agg(
+        sum(col("is_current")).as("n_current"),
+        count(lit(1)).as("n_versions"),
+        max(col("version")).as("max_version"))
+      assert(perCust.filter(col("n_current") =!= 1).count() === 0)
+      // Versions are 1..n contiguous.
+      assert(perCust.filter(col("max_version") =!= col("n_versions")).count() === 0)
+      // Each version's effective_to equals the NEXT version's effective_from
+      // (closed-open tiling), and ranges are non-empty.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("version")
+      val chained = h.withColumn("next_from", lead(col("effective_from"), 1).over(w))
+      assert(chained.filter(col("next_from").isNotNull &&
+        col("effective_to") =!= col("next_from")).count() === 0)
+      assert(chained.filter(col("effective_to").isNotNull &&
+        !(col("effective_from") < col("effective_to"))).count() === 0)
+    } finally h.unpersist()
+  }
+
+  // --- Histogram (dq4) ---
+
+  test("equi-width bins partition the orders table and stay ordered") {
+    val bins = SparkEntry.queries("dq4_histogram")(spark, dir).collect()
+    val total = Tables.orders(spark, dir).count()
+    assert(bins.map(_.getAs[Long]("n")).sum === total)
+    assert(bins.forall(r => r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 9))
+    // Bin content ranges must not overlap across ascending bins.
+    val sorted = bins.sortBy(_.getAs[Int]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("bin_max") <= b.getAs[Double]("bin_min"))
+      case _ =>
+    }
+  }
+
+  // --- Incremental aggregate maintenance (s13) ---
+
+  test("incremental merge equals the direct full aggregate") {
+    val merged = SparkEntry.queries("s13_incr_agg")(spark, dir)
+    val direct = Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast("double").as("revenue"))
+      .orderBy("day")
+    assert(merged.collect() === direct.collect())
+  }
+
+  // --- Transitions (w8) ---
+
+  test("transition counts conserve events: sum = n_events - n_users") {
+    val t = SparkEntry.queries("w8_transitions")(spark, dir)
+    val events = Tables.events(spark, dir)
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(t.agg(sum("n")).as[Long].head() === expected)
+  }
+
+  // --- Per-group sample (a9) ---
+
+  test("group sample picks at most 3 real customers per nation, deterministically") {
+    val s1 = SparkEntry.queries("a9_group_sample")(spark, dir).collect()
+    val s2 = SparkEntry.queries("a9_group_sample")(spark, dir).collect()
+    assert(s1 === s2)
+    val perNation = s1.groupBy(_.getAs[Int]("c_nationkey")).view.mapValues(_.length)
+    assert(perNation.values.forall(_ <= 3))
+    val custkeys = Tables.customer(spark, dir)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(s1.forall(r => custkeys.contains(r.getAs[Long]("c_custkey"))))
+  }
+
+  // --- Semantic dedup (v10) ---
+
+  test("semantic dedup census is conservation-consistent with the corpus") {
+    val census = SparkEntry.queries("v10_semantic_dedup")(spark, dir).collect()
+    assert(census.forall(r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") === r.getAs[Long]("n_vectors")))
+    val nVec = Tables.embeddings(spark, dir).count()
+    assert(census.map(_.getAs[Long]("n_vectors")).sum === nVec)
+  }
+
+  // --- Fuzzy verify (t19) ---
+
+  test("edit-distance similarity is bounded and zero-distance means equal text") {
+    val rows = SparkEntry.queries("t19_fuzzy_verify")(spark, dir).cache()
+    try {
+      assert(rows.filter(col("sim") < 0.0 || col("sim") > 1.0).count() === 0)
+      assert(rows.filter(col("edit_dist") < 0).count() === 0)
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val zero = rows.filter(col("edit_dist") === 0)
+        .join(docs.toDF("doc_a", "ta"), "doc_a")
+        .join(docs.toDF("doc_b", "tb"), "doc_b")
+      assert(zero.filter(col("ta") =!= col("tb")).count() === 0)
+    } finally rows.unpersist()
+  }
+}
