@@ -96,18 +96,22 @@ object Etl extends QueryPack {
     // pattern for tracking dimension changes over time. Per (customer,
     // day) the highest orderkey wins (deterministic last-write-per-day
     // collapse), then ONE window per customer chains versions with
-    // lead(). One shuffle on the customer key; both windows run inside
-    // that partition — the SCD2 build costs a single exchange at any
-    // scale, and composes with Merge.upsert for incremental loads.
+    // lead(). ONE shuffle on the customer key: the per-day collapse is a
+    // lag() over (day ASC, orderkey DESC) — the first row of each day run
+    // IS the day's max-orderkey row — and the chaining window's (day ASC)
+    // sort is a prefix of that order, so both windows share one Exchange
+    // and one Sort (a window keyed on (custkey, day) would force a second
+    // shuffle). Composes with Merge.upsert for incremental loads.
     "s11_scd2" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val day = date_trunc("day", col("o_orderdate"))
-      val perDay = Window.partitionBy(col("o_custkey"), col("day"))
-        .orderBy(col("o_orderkey").desc)
+      val perDay = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day").asc, col("o_orderkey").desc)
       val chain = Window.partitionBy(col("o_custkey")).orderBy(col("day").asc)
       Tables.orders(s, d)
         .select(col("o_custkey"), day.as("day"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(perDay)).filter(col("rn") === 1)
+        .withColumn("prev_day", lag(col("day"), 1).over(perDay))
+        .filter(col("prev_day").isNull || col("prev_day") =!= col("day"))
         .select(
           col("o_custkey"),
           col("day").as("effective_from"),
