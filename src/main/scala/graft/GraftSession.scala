@@ -21,8 +21,20 @@ object GraftSession {
     * repeated Verify/Bench runs never read a stale `spark-warehouse` from a
     * previous process's cwd. Static conf — must be set at session build.
     */
-  private lazy val warehouseDir: String =
-    java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
+  private lazy val warehouseDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
+    // Same exit-time cleanup as ArtifactStore's snapshot dirs: without it
+    // every Bench/Verify JVM would leave its bucketed edge tables behind
+    // and repeated runs would accumulate until tmp fills.
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession

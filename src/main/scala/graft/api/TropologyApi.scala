@@ -19,10 +19,15 @@ import graft.Tables
   */
 object TropologyApi {
 
-  /** Distinct order→part edges (the reference's `links` table). */
+  /** Distinct order→part edges — read from the MAINTAINED p-bucketed
+    * links table ([[graft.queries.Graph.rawLinks]]), the same standing
+    * artifact the graph queries consume, so the serving facade neither
+    * re-derives the edge list from raw lineitem per call nor can drift
+    * from the layout (the p-bucketed scan also makes the dedup and every
+    * p-keyed agg/join below Exchange-free on the p side).
+    */
   private def links(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    graft.queries.Graph.rawLinks(s, dir).distinct()
 
   /** `network-for-node`: the Sigma.js neighborhood payload (E2). */
   def networkForNode(s: SparkSession, dir: String, k: Int = 10): DataFrame =

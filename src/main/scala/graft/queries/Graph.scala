@@ -37,7 +37,7 @@ object Graph extends QueryPack {
     * got from its B-tree link indexes. At 100 TB this is the warehouse's
     * standing edge table that every graph workload reads.
     */
-  private def rawLinks(s: SparkSession, d: String): DataFrame =
+  private[graft] def rawLinks(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.bucketedTable(s, d, "links", 16, "p") {
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -326,8 +326,11 @@ object Graph extends QueryPack {
     // 50 nearest nodes by (dist, node).
     "g9_sssp" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
+      // floor() on BOTH engines: a bare long cast truncates in Spark but
+      // ROUNDS in DuckDB's CAST AS BIGINT, so fractional quantities would
+      // silently diverge; floor pins one semantics.
       val w = li.groupBy((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
-        .agg(min(col("l_quantity")).cast("long").as("w"))
+        .agg(floor(min(col("l_quantity"))).cast("long").as("w"))
       val wedges = w.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
       val src = li.agg(min(col("l_orderkey")).as("k")).select((col("k") * 2).as("id"))
@@ -587,7 +590,7 @@ object Graph extends QueryPack {
       val rounds = (0 until 4).map(i => round(s"d$i", s"d${i + 1}")).mkString(",\n")
       s"""WITH w AS MATERIALIZED (
          |  SELECT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b,
-         |    CAST(MIN(l_quantity) AS BIGINT) AS w
+         |    CAST(floor(MIN(l_quantity)) AS BIGINT) AS w
          |  FROM lineitem GROUP BY 1, 2
          |),
          |edges AS MATERIALIZED (

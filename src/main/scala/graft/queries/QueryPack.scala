@@ -21,15 +21,21 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
 
-  /** Per-(application, sfDir) scratch directory under java.io.tmpdir for
-    * round-trip queries that write real files (s7 CSV, st7 sink):
-    * application-scoped so concurrent processes never race on the same
-    * path, and registered for recursive delete on JVM exit so repeated
-    * runs don't litter tmpdir.
+  /** Per-(application, sfDir, shuffle-conf) scratch directory under
+    * java.io.tmpdir for round-trip queries that write real files (s7 CSV,
+    * st7 sink): application-scoped so concurrent processes never race on
+    * the same path, and registered for recursive delete on JVM exit so
+    * repeated runs don't litter tmpdir. The shuffle-partition conf is part
+    * of the key for the same reason as ArtifactStore's: the streaming
+    * round-trips checkpoint here, and DeterminismSpec's 3-vs-16 partition
+    * runs must REPLAY the stream under each conf — a shared checkpoint
+    * would make the second run a no-op read of the first run's snapshot
+    * and the invariance test vacuous.
     */
   protected def scratchDir(s: SparkSession, d: String, tag: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}"
+      s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}_" +
+      s.conf.get("spark.sql.shuffle.partitions")
     if (QueryPack.tmpCleanupRegistered.add(dir)) sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))

@@ -582,12 +582,17 @@ object TextDedup extends QueryPack {
 
     // T17: the SAME admission logic run as a REAL STREAM — the
     // continuously-ingesting corpus shape: a file-stream source over the
-    // documents table feeds foreachBatch (the standard pattern for complex
-    // batch logic per micro-batch), each micro-batch is admitted against
-    // the PERSISTED standing-corpus artifacts via [[admitBatch]], and
-    // decisions land in an append sink published by SnapshotSink. One
-    // admission implementation serves t15 and t17, and both share one
-    // oracle — the streaming run must land exactly the batch decision.
+    // documents table feeds foreachBatch, micro-batches STAGE their raw
+    // rows (append sink, checkpointed), and when the ingestion window
+    // closes [[admitBatch]] runs ONCE over the staged set against the
+    // PERSISTED standing-corpus artifacts before SnapshotSink publishes
+    // the decisions. Admission at window close — not per micro-batch — is
+    // deliberate: the LSH bucket cap makes incoming docs COMPETE for cap
+    // slots, and a per-batch admission would let a hot-bucket doc evade
+    // the cap whenever its competitors arrive in a different micro-batch
+    // (the decision would depend on file/batch boundaries). This way one
+    // admission implementation serves t15 and t17, both share one oracle,
+    // and the landed decision is provably batch-count invariant.
     "t17_stream_incremental_dedup" -> { (s, d) =>
       val base = scratchDir(s, d, "t17_sink")
       val q = graft.streaming.StreamOps.documentsStream(s, d)
@@ -596,12 +601,12 @@ object TextDedup extends QueryPack {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          admitBatch(s, d, batch).write.mode("append").parquet(s"$base/staging")
+          batch.write.mode("append").parquet(s"$base/staging")
         }
         .start()
       q.awaitTermination()
       graft.sources.SnapshotSink.overwrite(
-        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+        admitBatch(s, d, s.read.parquet(s"$base/staging")), s"$base/snapshot")
       s.read.parquet(s"$base/snapshot").orderBy("doc_id")
     },
 

@@ -35,7 +35,14 @@ import org.apache.spark.sql.functions.col
 object ArtifactStore {
 
   private def keyHash(s: SparkSession, d: String): String = {
-    val key = d + "|" + s.conf.get("spark.sql.shuffle.partitions")
+    // applicationId in the key: the warehouse dir is per-JVM while the
+    // catalog is per-SESSION, so a second session in the same JVM would
+    // otherwise see tableExists=false and crash into the first session's
+    // still-on-disk table location. A fresh session gets fresh table
+    // names instead (the per-JVM warehouse is temp-dir scoped and cleaned
+    // on exit, so the extra copies don't outlive the process).
+    val key = d + "|" + s.conf.get("spark.sql.shuffle.partitions") + "|" +
+      s.sparkContext.applicationId
     MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(10)
   }

@@ -45,7 +45,7 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
     shifted(Tables.documents(s, src), Seq("doc_id"), Some("text"))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    shifted(Tables.embeddings(s, src).withColumn("vec_id", col("vec_id")),
+    shifted(Tables.embeddings(s, src),
       Seq("vec_id"), None)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
