@@ -173,6 +173,46 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     ranks
   }
 
+  /** PERSONALIZED PageRank, fixed rounds: identical recurrence to
+    * [[pageRankFixed]] except the teleport mass lands only on `sources`
+    * (the random walk restarts at the seed instead of a uniform jump) —
+    * rank becomes proximity-to-seed, the recommendation/related-items
+    * score, rather than global importance. Same integer fixed-point
+    * arithmetic (order-independent, oracle-exact), same one-shuffle-per-
+    * round shape; the per-node teleport indicator rides along in the
+    * union rows, so no extra join per round.
+    */
+  def personalizedPageRankFixed(sources: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val nodes = nodeIds.localCheckpoint()
+    val e = edges
+      .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint()
+    // Teleport indicator per node (1 on a seed, 0 elsewhere), materialized
+    // once: it is both the r0 mass and every round's restart term.
+    val tele = nodes
+      .join(sources.select(col("id")).distinct().withColumn("__s", lit(1L)),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("t"))
+      .localCheckpoint()
+    var ranks = tele.select(col("id"), (col("t") * scale).as("rank"))
+    var ranksFresh = true
+    for (i <- 1 to iters) {
+      if (!ranksFresh) ranks = ranks.localCheckpoint()
+      val contribs = e
+        .join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("nid"), expr("rank DIV out_deg").as("c"), lit(0L).as("t"))
+        .union(tele.select(col("id").as("nid"), lit(0L).as("c"), col("t")))
+      ranks = contribs
+        .groupBy(col("nid").as("id"))
+        .agg(expr(s"(15 * ${scale}L * max(t) + 85 * sum(c)) DIV 100").as("rank"))
+      ranksFresh = i % checkpointEvery == 0 && i < iters
+      if (ranksFresh) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Connected components: minimum-label propagation iterated to FIXPOINT —
     * rounds run until no node's label changes (or `maxIters`, a runaway
     * guard), so the result is the true per-component minimum id, not a

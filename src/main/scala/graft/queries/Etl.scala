@@ -149,6 +149,29 @@ object Etl extends QueryPack {
         .orderBy("day")
     },
 
+    // S14: COMPACTION — the small-files maintenance pass every lakehouse
+    // runs: the documents table republished as a BOUNDED number of files
+    // (range-partitioned on (source, doc_id), sorted within), so a
+    // continuously-appended table's file count stops growing with ingest
+    // batch count and source-predicate scans prune whole files via
+    // min/max stats (source runs are contiguous across the range split).
+    // The query is a source-sliced census over the compacted snapshot;
+    // its oracle runs on the RAW table — compaction must be
+    // result-invariant, only the layout changes (same contract as s10).
+    // PipelineInvariantsSpec pins the file-count bound and the pruning.
+    "s14_compacted_scan" -> { (s, d) =>
+      val compacted = graft.sources.ArtifactStore.snapshot(s, d, "documents_compacted") {
+        Tables.documents(s, d)
+          .repartitionByRange(4, col("source"), col("doc_id"))
+          .sortWithinPartitions("source", "doc_id")
+      }
+      compacted
+        .filter(col("source").isin("src3", "src7", "src12"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source", "lang")
+    },
+
     // S4: upsert — 50 balance updates + 3 brand-new rows merged into
     // customer via full-outer + coalesce (Merge operator).
     "s4_merge_upsert" -> { (s, d) =>
@@ -385,6 +408,14 @@ object Etl extends QueryPack {
       """SELECT date_trunc('day', l_shipdate) AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Layout invariance: the oracle sees only the raw table.
+    "s14_compacted_scan" ->
+      """SELECT source, lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE source IN ('src3', 'src7', 'src12')
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "s4_merge_upsert" ->
       """WITH updates AS (

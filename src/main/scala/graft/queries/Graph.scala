@@ -340,6 +340,22 @@ object Graph extends QueryPack {
         .limit(50)
     },
 
+    // G10: PERSONALIZED PageRank — random walk restarting at the smallest
+    // order node ([[graft.operators.LinkGraph.personalizedPageRankFixed]]):
+    // rank = proximity to the seed, the "related works" score the
+    // reference's common-links endpoint approximates with one hop. 3
+    // fixed integer rounds, top 20 nonzero nodes (zero rank = not within
+    // 3 hops; excluding them keeps the output the reachable ranking).
+    "g10_personalized_pagerank" -> { (s, d) =>
+      val src = Tables.lineitem(s, d)
+        .agg(min(col("l_orderkey")).as("k")).select((col("k") * 2).as("id"))
+      symGraph(s, d).personalizedPageRankFixed(src, 3)
+        .filter(col("rank") > 0)
+        .select(nodeName.as("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    },
+
     // G6b: fixed-point PageRank, 3 iterations, top 20 nodes.
     "g6_pagerank" -> { (s, d) =>
       symGraph(s, d).pageRankFixed(3)
@@ -601,6 +617,39 @@ object Graph extends QueryPack {
          |$rounds
          |SELECT $nodeNameSql AS node, dist FROM d4
          |ORDER BY dist ASC, node ASC LIMIT 50""".stripMargin
+    },
+
+    // Same unrolled shape as g6_pagerank with the teleport term gated on
+    // the seed node instead of uniform.
+    "g10_personalized_pagerank" -> {
+      val scale = "1000000000000"
+      def iter(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT n.id,
+           |    CAST((15 * $scale * (CASE WHEN n.id = (SELECT id FROM s0) THEN 1 ELSE 0 END)
+           |      + 85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM($prev.rank // deg.d) AS c
+           |    FROM edges e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.id = e.src
+           |    GROUP BY e.dst
+           |  ) c ON c.id = n.id
+           |)""".stripMargin
+      s"""WITH e AS ($edgesSql),
+         |edges AS MATERIALIZED (
+         |  $symEdgesSql
+         |),
+         |s0 AS (SELECT MIN(l_orderkey) * 2 AS id FROM lineitem),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST(CASE WHEN id = (SELECT id FROM s0) THEN $scale ELSE 0 END AS BIGINT) AS rank
+         |  FROM nodes
+         |),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT $nodeNameSql AS node, rank FROM r3 WHERE rank > 0
+         |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
     },
 
     "g6_pagerank" -> {

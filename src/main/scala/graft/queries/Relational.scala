@@ -306,6 +306,35 @@ object Relational extends QueryPack {
         .orderBy("bin")
     },
 
+    // DQ5: referential-integrity audit — the constraint checks a lake
+    // without enforced foreign keys runs as a scheduled job: orphan
+    // facts (child rows whose parent key is missing) via LEFT ANTI joins,
+    // childless/inactive parents via the reverse anti join. Five
+    // independent 1-row counts unioned into one report; each anti join
+    // hashes on its key with AQE picking broadcast for the smaller side,
+    // and a zero row is as meaningful as a nonzero one (the gate a
+    // pipeline alerts on).
+    "dq5_ref_integrity" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val p = Tables.part(s, d)
+      def check(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      check("lineitem_orphan_order",
+          li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(check("lineitem_orphan_part",
+          li.join(p, col("l_partkey") === col("p_partkey"), "left_anti")))
+        .unionByName(check("orders_orphan_customer",
+          o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(check("orders_childless",
+          o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")))
+        .unionByName(check("customer_inactive",
+          c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")))
+        .orderBy("check_name")
+    },
+
     // F5: conditional aggregation (CASE WHEN inside SUM).
     "f5_conditional" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -536,6 +565,24 @@ object Relational extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
         |FROM orders, b
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "dq5_ref_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_orphan_order' AS check_name, COUNT(*) AS n_violations
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_part', COUNT(*)
+        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', COUNT(*)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'orders_childless', COUNT(*)
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'customer_inactive', COUNT(*)
+        |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |) ORDER BY check_name""".stripMargin,
 
     "f5_conditional" ->
       """SELECT l_returnflag,

@@ -52,7 +52,9 @@ class DeterminismSpec extends AnyFunSuite {
     "v10_semantic_dedup",     // persisted-IVF cluster self-join census
     "s13_incr_agg",           // persisted partial-state merge (decimal monoid)
     "s11_scd2",               // double window chain (per-day collapse + lead)
-    "a9_group_sample")        // TopKPerKey hash-ordered per-group pick
+    "a9_group_sample",        // TopKPerKey hash-ordered per-group pick
+    "g10_personalized_pagerank", // seeded iterative fixed-point
+    "s14_compacted_scan")     // compacted-snapshot scan (layout-invariant result)
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {

@@ -138,6 +138,71 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     assert(census.map(_.getAs[Long]("n_vectors")).sum === nVec)
   }
 
+  // --- Referential integrity (dq5) ---
+
+  test("integrity counts agree with direct set arithmetic") {
+    val r = SparkEntry.queries("dq5_ref_integrity")(spark, dir).collect()
+      .map(x => x.getAs[String]("check_name") -> x.getAs[Long]("n_violations")).toMap
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    assert(r("customer_inactive") ===
+      c.count() - o.select("o_custkey").distinct()
+        .join(c, col("o_custkey") === col("c_custkey"), "left_semi").count())
+    assert(r("orders_childless") ===
+      o.count() - li.select("l_orderkey").distinct()
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi").count())
+    // The fixture's fact FKs are consistent — the orphan checks must say so.
+    assert(r("lineitem_orphan_order") === 0L)
+    assert(r("lineitem_orphan_part") === 0L)
+    assert(r("orders_orphan_customer") === 0L)
+  }
+
+  // --- Personalized PageRank (g10) ---
+
+  test("personalized ranks are seed-proximity: teleport floor at the seed, support within 3 hops") {
+    val ppr = SparkEntry.queries("g10_personalized_pagerank")(spark, dir).collect()
+    val li = Tables.lineitem(spark, dir)
+    val seedKey = li.agg(min(col("l_orderkey"))).as[Long].head()
+    // The seed keeps its teleport floor: rank >= 15% of scale (its walk
+    // mass flows OUT — with a low-degree seed a hub neighbor may out-rank
+    // it, so seed-on-top is NOT an invariant; the floor is).
+    val seedRank = ppr.find(_.getAs[String]("node") === s"o$seedKey")
+      .map(_.getAs[Long]("rank"))
+    assert(seedRank.exists(_ >= 15L * 1000000000000L / 100L))
+    // Every ranked node is within 3 hops of the seed on the same graph.
+    val e = li.select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val src = li.agg((min(col("l_orderkey")) * 2).as("id"))
+    val reach = new graft.operators.LinkGraph(sym).kHop(src, 3)
+      .select(col("id")).as[Long].collect().toSet + (seedKey * 2)
+    def unpack(n: String): Long =
+      n.drop(1).toLong * 2 + (if (n.startsWith("p")) 1 else 0)
+    assert(ppr.forall(row => reach.contains(unpack(row.getAs[String]("node")))))
+  }
+
+  // --- Compaction (s14) ---
+
+  test("compacted snapshot is exactly 4 files and prunes on source ranges") {
+    SparkEntry.queries("s14_compacted_scan")(spark, dir).collect() // ensure published
+    // The build block must NOT run — the query above already published the
+    // snapshot, and snapshot() only evaluates its by-name build on a miss.
+    val compacted = graft.sources.ArtifactStore.snapshot(spark, dir, "documents_compacted") {
+      fail("snapshot must already be published")
+    }
+    val byFile = compacted.groupBy(input_file_name().as("f"))
+      .agg(min("source").as("lo"), max("source").as("hi"))
+      .collect()
+    assert(byFile.length === 4)
+    // Range partitioning on (source, doc_id): one source's rows span at
+    // most 2 adjacent files, so a single-source predicate prunes >= half
+    // the files by min/max stats.
+    val touched = byFile.count(r =>
+      r.getAs[String]("lo") <= "src3" && "src3" <= r.getAs[String]("hi"))
+    assert(touched <= 2, s"source slice touched $touched of 4 files")
+  }
+
   // --- Fuzzy verify (t19) ---
 
   test("edit-distance similarity is bounded and zero-distance means equal text") {
