@@ -90,6 +90,13 @@ object TextDedup extends QueryPack {
     */
   private[queries] val BucketCap = 64
 
+  /** t19's edit-distance bound: candidates farther than this are not
+    * near-dups and are dropped BEFORE the full DP cost is paid (Spark's
+    * threshold levenshtein early-abandons at O(len·MaxEdit)). Mirrored in
+    * the oracle SQL.
+    */
+  private[queries] val MaxEdit = 64
+
   /** One materialized (3-gram shingles, capped 8×2 band keys) pair per
     * (application, shuffle-partition conf, sf dir) — t4/t13/t15 all run
     * the same signature pipeline over the same documents, so it builds
@@ -387,23 +394,30 @@ object TextDedup extends QueryPack {
     },
 
     // T19: EDIT-DISTANCE verification of the LSH candidates — the
-    // character-level verify tier under t4's set-based Jaccard: full
-    // Levenshtein between the two documents' texts, plus the normalized
-    // similarity 1 − dist/max(len). O(len_a · len_b) per pair is
-    // affordable ONLY because pairs come from the capped banded buckets
-    // (cost scales with candidates, never corpus²); the distance is
-    // integer DP — identical on any engine — and runs inside codegen
-    // (built-in levenshtein, no UDF). The text join is two hash joins on
-    // doc id against the candidate set (the small side at any scale).
+    // character-level verify tier under t4's set-based Jaccard: BOUNDED
+    // Levenshtein between the two documents' texts (pairs farther than
+    // MaxEdit are not near-dups and are dropped), plus the normalized
+    // similarity 1 − dist/max(len). Affordable at scale for two reasons,
+    // both load-bearing: pairs come ONLY from the capped banded buckets
+    // (cost scales with candidates, never corpus²), and the distance uses
+    // Spark's THRESHOLD variant — early-abandon banded DP, O(len·MaxEdit)
+    // per pair instead of O(len²), which is the difference between
+    // verifying a near-dup-dense corpus and melting on it (the 5×
+    // scale-curve run was 84× with the full DP; the far pairs that cost
+    // the most are exactly the ones the bound discards). Integer DP —
+    // identical on any engine — inside codegen, no UDF; the text join is
+    // two id-keyed hash joins against the small candidate set.
     "t19_fuzzy_verify" -> { (s, d) =>
       val (_, capped) = lsh3(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val dist = levenshtein(col("text_a"), col("text_b"))
       candidatePairs(capped)
         .join(docs.toDF("doc_a", "text_a"), "doc_a")
         .join(docs.toDF("doc_b", "text_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"), dist.as("edit_dist"),
-          round(lit(1.0) - dist.cast("double") /
+        // threshold form returns -1 past MaxEdit: banded DP, then filter.
+        .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b"), MaxEdit))
+        .filter(col("edit_dist") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          round(lit(1.0) - col("edit_dist").cast("double") /
             greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
             6).as("sim"))
         .orderBy("doc_a", "doc_b")
@@ -902,17 +916,22 @@ object TextDedup extends QueryPack {
     },
 
     // Reuses the t4 banding CTEs through `cand`; the trailing `jac` CTE is
-    // plain (not MATERIALIZED), so DuckDB never evaluates it here.
+    // plain (not MATERIALIZED), so DuckDB never evaluates it here. DuckDB
+    // computes the full DP (it has no threshold variant — fine at oracle
+    // scale) and the MaxEdit bound is applied as a filter, matching the
+    // engine's early-abandoned -1 rows exactly.
     "t19_fuzzy_verify" ->
       s"""${neardupCtes(n = 3, nHashes = 8, bandSize = 2)}
-         |SELECT c.doc_a, c.doc_b,
-         |  levenshtein(da.text, db.text) AS edit_dist,
-         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
-         |    greatest(length(da.text), length(db.text)), 6) AS sim
-         |FROM cand c
-         |JOIN documents da ON da.doc_id = c.doc_a
-         |JOIN documents db ON db.doc_id = c.doc_b
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+         |SELECT doc_a, doc_b, edit_dist,
+         |  round(1.0 - CAST(edit_dist AS DOUBLE) / greatest(la, lb), 6) AS sim
+         |FROM (
+         |  SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS edit_dist,
+         |    length(da.text) AS la, length(db.text) AS lb
+         |  FROM cand c
+         |  JOIN documents da ON da.doc_id = c.doc_a
+         |  JOIN documents db ON db.doc_id = c.doc_b
+         |) WHERE edit_dist <= $MaxEdit
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "t5_ngram_jaccard" -> neardupSql(n = 2, nHashes = 4, bandSize = 2, threshold = "0.6"),
 

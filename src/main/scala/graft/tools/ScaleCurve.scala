@@ -26,7 +26,10 @@ object ScaleCurve {
     "g4_common_neighbors", "t5_ngram_jaccard", "e3_corpus_pipeline",
     "g6_pagerank_converged", "t11_contamination", "g6_pagerank",
     "g6_labelprop", "g6_components_converged", "t13_neardup_clusters",
-    "g6_components_star", "v3_nn_graph")
+    "g6_components_star", "v3_nn_graph",
+    // round-6 additions with super-linear worst cases: iterative
+    // relaxation (g9/g10) and the LSH-candidate edit-distance verify (t19)
+    "g9_sssp", "g10_personalized_pagerank", "t19_fuzzy_verify")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()
