@@ -371,6 +371,30 @@ object TextDedup extends QueryPack {
         .limit(25)
     },
 
+    // T20: rare-term density scoring — mean inverse document frequency
+    // over each doc's distinct terms, the novelty/specificity signal a
+    // quality pipeline pairs with t7's surface stats (jargon-dense docs
+    // rank high, boilerplate near zero). The per-term rarity is computed
+    // in INTEGER space (SCALE DIV df — exact, order-independent, the
+    // PageRank trick) so the cross-row per-doc sum needs no decimal
+    // framing; only the final mean is one double division, mirrored
+    // token-for-token in the oracle. Shape is the classic TF-IDF join
+    // pipeline: distinct-term explode → df hash agg → term-keyed join
+    // back → doc-keyed agg (three shuffles; at scale the df table is
+    // Zipf-compact and AQE broadcasts it for the join back).
+    "t20_rarity" -> { (s, d) =>
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      val dfTab = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      terms.join(dfTab, "term")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(expr("1000000000000L DIV df")).cast("double") / count(lit(1))
+            / lit(1000000000000.0), 6).as("rarity"))
+        .orderBy(col("rarity").desc, col("doc_id").asc)
+        .limit(50)
+    },
+
     // T3: exact dedup by normalized-text fingerprint. The input is the
     // documents table unioned with a shifted-id copy of itself, so the
     // dedup provably halves the input (keeper = min doc_id per fingerprint).
@@ -839,6 +863,20 @@ object TextDedup extends QueryPack {
       """SELECT term, count(*) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term FROM documents
         |) GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+
+    // Integer rarity sum (SCALE // df) exactly as the Spark side; the one
+    // double division at the end mirrors the same tree.
+    "t20_rarity" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM documents
+        |), dft AS (
+        |  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+        |)
+        |SELECT t.doc_id, COUNT(*) AS n_terms,
+        |  round(CAST(SUM(1000000000000 // df) AS DOUBLE) / COUNT(*) / 1000000000000.0, 6) AS rarity
+        |FROM terms t JOIN dft USING (term)
+        |GROUP BY t.doc_id
+        |ORDER BY rarity DESC, t.doc_id ASC LIMIT 50""".stripMargin,
 
     // Expression tree mirrors the Spark side token-for-token (see the
     // t18 comment there: IEEE determinism needs the identical tree).

@@ -256,6 +256,34 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id", "session_start")
     },
 
+    // ST10: streaming windowed TRENDING as a REAL stream — tumbling
+    // 1-day counts per event type in append mode (only watermark-
+    // finalized windows land: end ≤ wm, the same non-strict rule st2's
+    // oracle pins), then top-3 types per landed window ranked at publish
+    // time. The production "what's trending" feed: the stream maintains
+    // only |types| counters per open window (bounded state), finalized
+    // windows append once (exactly-once via checkpoint + the hash gate),
+    // and the ranking runs over the landed aggregate — tiny — never the
+    // event stream.
+    "st10_stream_topk" -> { (s, d) =>
+      val base = scratchDir(s, d, "st10_sink")
+      val windowed = graft.streaming.StreamOps.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        windowed, s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      val rankW = Window.partitionBy(col("window_start"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging")
+          .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 3),
+        s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot").orderBy("window_start", "rn")
+    },
+
     // ST4 as a REAL streaming run: the flatMapGroupsWithState
     // sessionization (EventTimeTimeout, 45-minute gap) executed as an
     // actual stream over the events source, landed via foreachBatch and
@@ -585,6 +613,25 @@ object WindowsAndEvents extends QueryPack {
     // the watermark is the ms-truncated max event time minus the 10-minute
     // delay (the engine tracks event-time stats in epoch-ms and converts
     // back to µs for the state-eviction compare — hence the //1000 *1000).
+    // Finalization mirrors st2's non-strict rule: a day window lands iff
+    // window_end <= watermark (max event-ms minus the 10-minute delay).
+    "st10_stream_topk" ->
+      """WITH wm AS (
+        |  SELECT make_timestamp(((MAX(epoch_us(ts)) // 1000) - 600000) * 1000) AS wm_ts
+        |  FROM events
+        |), counts AS (
+        |  SELECT date_trunc('day', ts) AS window_start, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), final AS (
+        |  SELECT c.* FROM counts c, wm WHERE c.window_start + INTERVAL 1 DAY <= wm.wm_ts
+        |)
+        |SELECT window_start, event_type, n, rn FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+        |    ORDER BY n DESC, event_type ASC) AS INTEGER) AS rn
+        |  FROM final
+        |) WHERE rn <= 3
+        |ORDER BY window_start, rn""".stripMargin,
+
     "st2_stream_roundtrip" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,

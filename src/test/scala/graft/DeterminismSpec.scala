@@ -54,7 +54,9 @@ class DeterminismSpec extends AnyFunSuite {
     "s11_scd2",               // double window chain (per-day collapse + lead)
     "a9_group_sample",        // TopKPerKey hash-ordered per-group pick
     "g10_personalized_pagerank", // seeded iterative fixed-point
-    "s14_compacted_scan")     // compacted-snapshot scan (layout-invariant result)
+    "s14_compacted_scan",     // compacted-snapshot scan (layout-invariant result)
+    "st10_stream_topk",       // real-stream windowed agg + publish-time ranking
+    "t20_rarity")             // integer-idf mean, rarity-ranked cut
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
