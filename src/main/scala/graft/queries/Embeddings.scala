@@ -147,6 +147,18 @@ object Embeddings extends QueryPack {
        |)""".stripMargin
   }
 
+  /** SemDeDup removal set shared by v10 and e4: within each IVF list,
+    * members of a ≥0.4-cosine pair that are NOT the pair's smallest id.
+    * Returns distinct `(lid, vec_id)` rows.
+    */
+  private def semanticRemoved(lists: DataFrame): DataFrame = {
+    val a = lists.select(col("lid").as("qlid"), col("vec_id").as("qid"),
+      col("emb").as("qe"), col("nrm").as("qnrm"))
+    a.join(lists, col("qlid") === col("lid") && col("qid") < col("vec_id"))
+      .filter(pairCos >= 0.4)
+      .select(col("lid"), col("vec_id")).distinct()
+  }
+
   /** Scored IVF candidates shared by v5/v7/v8 — delegates to the single
     * pipeline in [[graft.operators.IvfIndex.scoredCandidates]] (also
     * behind the public `search` API), over the session-cached model.
@@ -314,18 +326,35 @@ object Embeddings extends QueryPack {
     // keys on lid (never a global cross product).
     "v10_semantic_dedup" -> { (s, d) =>
       val (lists, _) = ivfModel(s, d)
-      val a = lists.select(col("lid").as("qlid"), col("vec_id").as("qid"),
-        col("emb").as("qe"), col("nrm").as("qnrm"))
-      val removed = a
-        .join(lists, col("qlid") === col("lid") && col("qid") < col("vec_id"))
-        .filter(pairCos >= 0.4)
-        .select(col("lid"), col("vec_id")).distinct()
+      val removed = semanticRemoved(lists)
       lists.groupBy(col("lid")).agg(count(lit(1)).as("n_vectors"))
         .join(removed.groupBy(col("lid")).agg(count(lit(1)).as("n_removed")),
           Seq("lid"), "left_outer")
         .select(col("lid"), col("n_vectors"),
           coalesce(col("n_removed"), lit(0L)).as("n_removed"),
           (col("n_vectors") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+        .orderBy("lid")
+    },
+
+    // E4: the embedding-side curation pipeline end to end, one
+    // declarative plan (the vector sibling of e3's text pipeline):
+    // persisted IVF cluster assignment → SemDeDup removal within each
+    // cluster ([[semanticRemoved]], shared with v10) → census of the KEPT
+    // representatives per cluster with a decimal-exact mean L2 norm (the
+    // post-dedup distribution check a pipeline alerts on). The anti-join
+    // against the removal set is lid-local; the stats agg reuses the
+    // persisted `nrm` column — no norm recompute, and the oracle's
+    // sqrt(dot) recompute matching it bit-for-bit re-proves the persisted
+    // value faithful.
+    "e4_embedding_pipeline" -> { (s, d) =>
+      val (lists, _) = ivfModel(s, d)
+      val kept = lists.join(
+        semanticRemoved(lists).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      kept.groupBy(col("lid"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("nrm").cast(DecimalType(28, 10))).cast("double") /
+            count(lit(1)), 6).as("mean_norm"))
         .orderBy("lid")
     },
 
@@ -455,6 +484,22 @@ object Embeddings extends QueryPack {
          |  n_vectors - COALESCE(n_removed, CAST(0 AS BIGINT)) AS n_kept
          |FROM sz LEFT JOIN rem ON rem.lid = sz.lid
          |ORDER BY sz.lid""".stripMargin,
+
+    "e4_embedding_pipeline" ->
+      s"""WITH $ivfSql,
+         |pairs AS (
+         |  SELECT a.lid, b.vec_id
+         |  FROM lists a JOIN lists b ON a.lid = b.lid AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.emb", "b.emb")}, 6) >= 0.4
+         |),
+         |rem AS (SELECT DISTINCT vec_id FROM pairs),
+         |kept AS (
+         |  SELECT l.* FROM lists l WHERE l.vec_id NOT IN (SELECT vec_id FROM rem)
+         |)
+         |SELECT lid, COUNT(*) AS n_kept,
+         |  round(CAST(SUM(CAST(sqrt(list_dot_product(emb,emb)) AS DECIMAL(28,10))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_norm
+         |FROM kept GROUP BY lid ORDER BY lid""".stripMargin,
 
     "v8_ann_recall" ->
       s"""WITH $ivfSql,

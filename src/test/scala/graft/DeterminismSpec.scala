@@ -56,7 +56,8 @@ class DeterminismSpec extends AnyFunSuite {
     "g10_personalized_pagerank", // seeded iterative fixed-point
     "s14_compacted_scan",     // compacted-snapshot scan (layout-invariant result)
     "st10_stream_topk",       // real-stream windowed agg + publish-time ranking
-    "t20_rarity")             // integer-idf mean, rarity-ranked cut
+    "t20_rarity",             // integer-idf mean, rarity-ranked cut
+    "e4_embedding_pipeline")  // IVF assign → dedup → decimal-exact census
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
