@@ -26,13 +26,7 @@ object GraftSession {
     // Same exit-time cleanup as ArtifactStore's snapshot dirs: without it
     // every Bench/Verify JVM would leave its bucketed edge tables behind
     // and repeated runs would accumulate until tmp fills.
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
-    }
+    graft.sources.ArtifactStore.registerExitCleanup(dir)
     dir
   }
 

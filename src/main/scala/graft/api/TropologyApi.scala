@@ -27,7 +27,7 @@ object TropologyApi {
     * p-keyed agg/join below Exchange-free on the p side).
     */
   private def links(s: SparkSession, dir: String): DataFrame =
-    graft.queries.Graph.rawLinks(s, dir).distinct()
+    graft.queries.Graph.edges(s, dir)
 
   /** `network-for-node`: the Sigma.js neighborhood payload (E2). */
   def networkForNode(s: SparkSession, dir: String, k: Int = 10): DataFrame =

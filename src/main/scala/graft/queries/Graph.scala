@@ -47,7 +47,7 @@ object Graph extends QueryPack {
     * The distinct groups by `(o, p)`; the p-bucketed scan's partitioning is
     * on a subset of those keys, so the dedup itself is Exchange-free.
     */
-  private def edges(s: SparkSession, d: String): DataFrame =
+  private[graft] def edges(s: SparkSession, d: String): DataFrame =
     rawLinks(s, d).distinct()
 
   /** MAINTAINED symmetrized edge table with PACKED LONG node ids

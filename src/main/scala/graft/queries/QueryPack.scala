@@ -36,18 +36,7 @@ trait QueryPack {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}_${d.hashCode.toHexString}_" +
       s.conf.get("spark.sql.shuffle.partitions")
-    if (QueryPack.tmpCleanupRegistered.add(dir)) sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
-    }
+    graft.sources.ArtifactStore.registerExitCleanup(dir)
     dir
   }
-}
-
-private object QueryPack {
-  private val tmpCleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

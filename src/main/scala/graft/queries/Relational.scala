@@ -566,22 +566,26 @@ object Relational extends QueryPack {
         |FROM orders, b
         |GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: a NULL in the subquery would turn NOT IN
+    // into UNKNOWN-for-every-row (violations silently report 0), while
+    // NOT EXISTS mirrors the engine's LEFT ANTI join semantics exactly —
+    // for an integrity audit the difference IS the product.
     "dq5_ref_integrity" ->
       """SELECT * FROM (
         |  SELECT 'lineitem_orphan_order' AS check_name, COUNT(*) AS n_violations
-        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |  UNION ALL
         |  SELECT 'lineitem_orphan_part', COUNT(*)
-        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
         |  UNION ALL
         |  SELECT 'orders_orphan_customer', COUNT(*)
-        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         |  UNION ALL
         |  SELECT 'orders_childless', COUNT(*)
-        |  FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |  UNION ALL
         |  SELECT 'customer_inactive', COUNT(*)
-        |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |) ORDER BY check_name""".stripMargin,
 
     "f5_conditional" ->

@@ -383,8 +383,12 @@ object TextDedup extends QueryPack {
     // back → doc-keyed agg (three shuffles; at scale the df table is
     // Zipf-compact and AQE broadcasts it for the join back).
     "t20_rarity" -> { (s, d) =>
+      // Materialized once — it feeds BOTH the df aggregation and the
+      // join-back side; without this the scan+tokenize+explode runs twice
+      // (same rule as the shingle/band materializations above).
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+        .localCheckpoint()
       val dfTab = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
       terms.join(dfTab, "term")
         .groupBy(col("doc_id"))

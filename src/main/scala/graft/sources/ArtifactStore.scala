@@ -84,17 +84,29 @@ object ArtifactStore {
     if (!published.contains(path)) {
       Files.createDirectories(Paths.get(dir))
       SnapshotSink.overwrite(build, path, partitionBy)
-      if (cleanupRegistered.add(dir)) sys.addShutdownHook {
+      registerExitCleanup(dir)
+      published.add(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Register `dir` for recursive delete on JVM exit (idempotent per
+    * path). THE one cleanup helper — the bucketed-table warehouse
+    * (GraftSession) and the query scratch dirs (QueryPack) register
+    * through here too, so deletion-order/symlink hardening has a single
+    * home.
+    */
+  def registerExitCleanup(dir: String): Unit =
+    if (cleanupRegistered.add(dir)) {
+      sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(): Unit
         }
         rm(new java.io.File(dir))
       }
-      published.add(path)
+      ()
     }
-    s.read.parquet(path)
-  }
 
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
