@@ -46,6 +46,29 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // W9: last-touch revenue attribution — every purchase credits the
+    // user's most recent PRECEDING non-purchase event type ('direct' when
+    // none), the marketing-analytics staple. One user-keyed window with a
+    // [unbounded, 1 preceding) frame does the touch lookup (last_value
+    // ignoreNulls over a purchase-masked column — no self-join against
+    // the history), then a |types|-cell decimal-exact rollup. Same
+    // single-exchange shape as w8; the frame never buffers more than the
+    // partition it already sorted.
+    "w9_attribution" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(dec2(col("value"))).cast("double").as("attributed_value"))
+        .orderBy("touch")
+    },
+
     // W8: path analysis — the event-type transition matrix (the Markov
     // bigram model behind funnel mining and next-action prediction). Each
     // user's stream, totally ordered by (ts, event_id) like w2/w3, emits
@@ -501,6 +524,18 @@ object WindowsAndEvents extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "w9_attribution" ->
+      """SELECT COALESCE(touch, 'direct') AS touch, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events
+        |) WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin,
 
     "w8_transitions" ->
       """SELECT event_type, next_type, COUNT(*) AS n FROM (

@@ -57,7 +57,8 @@ class DeterminismSpec extends AnyFunSuite {
     "s14_compacted_scan",     // compacted-snapshot scan (layout-invariant result)
     "st10_stream_topk",       // real-stream windowed agg + publish-time ranking
     "t20_rarity",             // integer-idf mean, rarity-ranked cut
-    "e4_embedding_pipeline")  // IVF assign → dedup → decimal-exact census
+    "e4_embedding_pipeline",  // IVF assign → dedup → decimal-exact census
+    "w9_attribution")         // ignoreNulls last_value frame + decimal rollup
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
