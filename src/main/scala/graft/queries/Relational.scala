@@ -402,6 +402,40 @@ object Relational extends QueryPack {
       y95.except(y96).orderBy("o_custkey")
     },
 
+    // U4: BAG-semantics set ops — EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicity (distinct-based u1/u3 lose it): for a dedup ledger
+    // "how many copies remain / are shared" is the multiset question.
+    // Both plan as a single hash aggregation computing per-key count
+    // deltas — no join, one shuffle each — then the census agg collapses
+    // the bags.
+    "u4_bag_ops" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_quantity") >= 25).select(col("l_partkey"))
+      val b = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      def census(tag: String, bag: DataFrame): DataFrame =
+        bag.groupBy(col("l_partkey")).agg(count(lit(1)).as("multiplicity"))
+          .select(lit(tag).as("op"), col("l_partkey"), col("multiplicity"))
+      census("except_all", a.exceptAll(b))
+        .unionByName(census("intersect_all", a.intersectAll(b)))
+        .orderBy(col("op"), col("multiplicity").desc, col("l_partkey").asc)
+        .limit(40)
+    },
+
+    // J9: NULL-safe equi join (<=>) — the join a lake needs when the key
+    // is legitimately nullable and NULL must match NULL (IS NOT DISTINCT
+    // FROM), e.g. joining on an optional dimension. Nullable key derived
+    // deterministically via nullif; plans as a normal hash join with a
+    // null-safe comparator, same shuffle shape as J1.
+    "j9_nullsafe_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("k"))
+      val dim = o.select(col("k").as("dk")).distinct()
+      o.join(dim, col("k") <=> col("dk"))
+        .groupBy(coalesce(col("dk"), lit("<null>")).as("status_key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status_key")
+    },
+
     // S6: crawl-queue shape — filter + order + limit (scheduling scan).
     "s6_queue_scan" -> { (s, d) =>
       Tables.orders(s, d)
@@ -626,6 +660,26 @@ object Relational extends QueryPack {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin,
+
+    "u4_bag_ops" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ea AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b),
+        |ia AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b),
+        |census AS (
+        |  SELECT 'except_all' AS op, l_partkey, COUNT(*) AS multiplicity FROM ea GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'intersect_all', l_partkey, COUNT(*) FROM ia GROUP BY 2
+        |)
+        |SELECT op, l_partkey, multiplicity FROM census
+        |ORDER BY op, multiplicity DESC, l_partkey ASC LIMIT 40""".stripMargin,
+
+    "j9_nullsafe_join" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
+        |dim AS (SELECT DISTINCT k AS dk FROM o)
+        |SELECT COALESCE(dk, '<null>') AS status_key, COUNT(*) AS n
+        |FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.dk
+        |GROUP BY 1 ORDER BY status_key""".stripMargin,
 
     "s6_queue_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
