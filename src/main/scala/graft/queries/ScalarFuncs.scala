@@ -113,6 +113,22 @@ object ScalarFuncs extends QueryPack {
         .groupBy(substring(col("h"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("n"), countDistinct(col("h")).as("n_distinct"))
         .orderBy("bucket")
+    },
+
+    // F10: bitwise family — AND/OR/XOR, shifts, popcount: integer-exact on
+    // any engine (the primitives behind the Z-order keys, bitmap indexes,
+    // and feature flags). All codegen'd column arithmetic.
+    "f10_bitwise" -> { (s, d) =>
+      val k = col("o_orderkey")
+      Tables.orders(s, d)
+        .select(k,
+          k.bitwiseAND(lit(255L)).as("low_byte"),
+          k.bitwiseOR(lit(4096L)).as("with_flag"),
+          k.bitwiseXOR(shiftright(k, 3)).as("mixed"),
+          shiftleft(k.bitwiseAND(lit(0xFFFFL)), 2).as("shifted"),
+          bit_count(k).as("popcount"))
+        .orderBy("o_orderkey")
+        .limit(200)
     }
   )
 
@@ -170,6 +186,17 @@ object ScalarFuncs extends QueryPack {
     "f9_hash" ->
       """SELECT substr(md5(c_name), 1, 1) AS bucket, COUNT(*) AS n,
         |  COUNT(DISTINCT md5(c_name)) AS n_distinct
-        |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Spark bit_count returns INT; DuckDB bit_count(BIGINT) is BIGINT —
+    // cast to match. Shifts/AND/OR/XOR are BIGINT on both.
+    "f10_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 4096 AS with_flag,
+        |  xor(o_orderkey, o_orderkey >> 3) AS mixed,
+        |  (o_orderkey & 65535) << 2 AS shifted,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin
   )
 }

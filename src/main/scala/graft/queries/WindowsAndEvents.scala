@@ -19,6 +19,23 @@ object WindowsAndEvents extends QueryPack {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Per-type (mean, sd) profile from exact-decimal moments, shared by
+    * dq3 (batch outliers) and st11 (the published streaming-alert
+    * profile). greatest(...,0): E[x²]−mean² can cancel to ~-1e-18 in
+    * doubles for a constant-valued type — DuckDB's sqrt THROWS on
+    * negatives and Spark yields NaN. sd=0 types have no outliers by
+    * definition and are filtered rather than divided by zero (IEEE
+    * Inf/NaN vs DuckDB NULL).
+    */
+  private def typeProfile(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type").as("t"))
+      .agg(
+        (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("mean"),
+        (sum(dec2(col("value")) * dec2(col("value"))).cast("double") /
+          count(lit(1))).as("msq"))
+      .withColumn("sd", sqrt(greatest(col("msq") - col("mean") * col("mean"), lit(0.0))))
+      .filter(col("sd") > 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W1: ranking family over a partition.
     "w1_rank" -> { (s, d) =>
@@ -454,23 +471,39 @@ object WindowsAndEvents extends QueryPack {
     // full table, no second shuffle at scale.
     "dq3_outliers" -> { (s, d) =>
       val e = Tables.events(s, d)
-      val stats = e.groupBy(col("event_type").as("t"))
-        .agg(
-          (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("mean"),
-          (sum(dec2(col("value")) * dec2(col("value"))).cast("double") /
-            count(lit(1))).as("msq"))
-        // greatest(...,0): E[x²]−mean² can cancel to ~-1e-18 in doubles for
-        // a constant-valued type — DuckDB's sqrt THROWS on negatives and
-        // Spark yields NaN (which compares greatest, flagging every row).
-        .withColumn("sd", sqrt(greatest(col("msq") - col("mean") * col("mean"), lit(0.0))))
-      // sd=0 (constant-valued type) has no outliers by definition; filter
-      // it out rather than dividing by zero (IEEE Inf/NaN vs DuckDB NULL).
-      e.join(broadcast(stats.filter(col("sd") > 0)), col("event_type") === col("t"))
+      e.join(broadcast(typeProfile(e)), col("event_type") === col("t"))
         .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
         .filter(abs(col("z")) > 3.0)
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("mean"), 6).as("type_mean"), col("z"))
         .orderBy("event_id")
+    },
+
+    // ST11: streaming anomaly ALERTING as a REAL stream — the monitoring
+    // deployment shape: the per-type (mean, sd) profile is precomputed
+    // from the corpus and PUBLISHED (ArtifactStore snapshot, the
+    // "trained" profile a monitor serves), the events stream joins it
+    // broadcast (stream-static, STATELESS — no watermark state to
+    // bound), |z| > 3 rows land via foreachBatch and publish. Shares
+    // dq3's oracle verbatim: a stateless stream must land exactly the
+    // batch decision, row for row.
+    "st11_stream_alerts" -> { (s, d) =>
+      val base = scratchDir(s, d, "st11_sink")
+      val profile = graft.sources.ArtifactStore.snapshot(s, d, "type_profile") {
+        typeProfile(Tables.events(s, d))
+      }
+      val alerts = graft.streaming.StreamOps.eventsStream(s, d)
+        .join(broadcast(profile), col("event_type") === col("t"))
+        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("mean"), 6).as("type_mean"), col("z"))
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        alerts, s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot").orderBy("event_id")
     },
 
     // J6b: interval join — error events landing within 1 day AFTER a
@@ -506,6 +539,19 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("event_id")
     }
   )
+
+  private val outliersOracleSql: String =
+    """WITH stats AS (
+      |  SELECT event_type AS t,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS msq
+      |  FROM events GROUP BY event_type
+      |), st AS (SELECT t, mean, sqrt(greatest(msq - mean * mean, 0)) AS sd FROM stats)
+      |SELECT event_id, event_type, value, round(mean, 6) AS type_mean,
+      |  round((value - mean) / sd, 6) AS z
+      |FROM events JOIN st ON event_type = t
+      |WHERE sd > 0 AND abs(round((value - mean) / sd, 6)) > 3.0
+      |ORDER BY event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "w1_rank" ->
@@ -763,18 +809,11 @@ object WindowsAndEvents extends QueryPack {
         |GROUP BY f.cohort, a.week - f.cohort, s.n_users
         |ORDER BY f.cohort, week_offset""".stripMargin,
 
-    "dq3_outliers" ->
-      """WITH stats AS (
-        |  SELECT event_type AS t,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS msq
-        |  FROM events GROUP BY event_type
-        |), st AS (SELECT t, mean, sqrt(greatest(msq - mean * mean, 0)) AS sd FROM stats)
-        |SELECT event_id, event_type, value, round(mean, 6) AS type_mean,
-        |  round((value - mean) / sd, 6) AS z
-        |FROM events JOIN st ON event_type = t
-        |WHERE sd > 0 AND abs(round((value - mean) / sd, 6)) > 3.0
-        |ORDER BY event_id""".stripMargin,
+    "dq3_outliers" -> outliersOracleSql,
+
+    // One oracle, two execution modes: the stateless alert stream must
+    // land exactly the batch outlier decision.
+    "st11_stream_alerts" -> outliersOracleSql,
 
     "j6_interval_join" ->
       """SELECT e.event_id, p.event_id AS purchase_id

@@ -58,7 +58,8 @@ class DeterminismSpec extends AnyFunSuite {
     "st10_stream_topk",       // real-stream windowed agg + publish-time ranking
     "t20_rarity",             // integer-idf mean, rarity-ranked cut
     "e4_embedding_pipeline",  // IVF assign → dedup → decimal-exact census
-    "w9_attribution")         // ignoreNulls last_value frame + decimal rollup
+    "w9_attribution",         // ignoreNulls last_value frame + decimal rollup
+    "st11_stream_alerts")     // stateless alert stream vs published profile
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
