@@ -188,7 +188,7 @@ object ScalarFuncs extends QueryPack {
         |  COUNT(DISTINCT md5(c_name)) AS n_distinct
         |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
 
-    // Spark bit_count returns INT; DuckDB bit_count(BIGINT) is BIGINT —
+    // Spark bit_count returns INT; DuckDB bit_count(BIGINT) is TINYINT —
     // cast to match. Shifts/AND/OR/XOR are BIGINT on both.
     "f10_bitwise" ->
       """SELECT o_orderkey,

@@ -74,6 +74,22 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(maxDiff <= 10L * (tol * 1000000000000L).toLong, s"maxDiff=$maxDiff")
   }
 
+  test("personalizedPageRankFixed matches hand-computed ranks on a 3-node path") {
+    // Directed graph 1→2, 2→3, 3→2 (every node has out-degree ≥ 1, so no
+    // dangling-mass handling is in play). Seed = {1}, scale = 100 so the
+    // integer arithmetic below is exact hand math (damping 0.85 → 85/100,
+    // integer division per round, teleport mass only to the seed):
+    // r0 = (100, 0, 0)
+    // r1: n1 = 15·100/100 = 15 ; n2 = 85·(r0(1)/1 + r0(3)/1)/100 = 85
+    //     n3 = 85·r0(2)/100 = 0
+    // r2: n1 = 15 ; n2 = 85·(15 + 0)/100 = 12 ; n3 = 85·85/100 = 72
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val g = new LinkGraph(edges)
+    val ranks = g.personalizedPageRankFixed(Seq(1L).toDF("id"), iters = 2, scale = 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    assert(ranks === Map(1L -> 15L, 2L -> 12L, 3L -> 72L))
+  }
+
   test("coSourcePairs: uncapped pairs on a known graph") {
     // dsts: x shared by a,b,c; y shared by a,b → pairs (a,b):2, (a,c):1, (b,c):1
     val e = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("b", "y"))

@@ -193,22 +193,6 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     assert(a.forall(r => validTouches.contains(r.getAs[String]("touch"))))
   }
 
-  // --- Personalized PageRank operator (hand-computed graph) ---
-
-  test("personalizedPageRankFixed matches hand-computed ranks on a 3-node path") {
-    // Graph a→b→c→(back to a? no): path a→b, b→c, c→b (so every node has
-    // out-degree ≥ 1: a→b, b→c, c→b). Seed = a, scale = 100 for hand math.
-    // r0 = (100, 0, 0)
-    // r1: a: (15·100·1 + 85·0)/100 = 15 ; b: 0·teleport + 85·(r0(a)/1 + r0(c)/1)/100 = 85
-    //     c: 85·r0(b)/100 = 0
-    // r2: a: 15 ; b: 85·(15 + 0)/100 = 12 ; c: 85·85/100 = 72
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
-    val g = new graft.operators.LinkGraph(edges)
-    val ranks = g.personalizedPageRankFixed(Seq(1L).toDF("id"), iters = 2, scale = 100L)
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
-    assert(ranks === Map(1L -> 15L, 2L -> 12L, 3L -> 72L))
-  }
-
   // --- Compaction (s14) ---
 
   test("compacted snapshot is exactly 4 files and prunes on source ranges") {
