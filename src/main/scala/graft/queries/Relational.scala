@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -421,6 +422,29 @@ object Relational extends QueryPack {
         .limit(40)
     },
 
+    // A10: deterministic mode — most frequent order priority per market
+    // segment (the profiling "top value" aggregate). Built as count +
+    // top-1-per-key rather than the native `mode()` aggregate because
+    // mode's tie-break is engine-defined (non-deterministic across
+    // engines/partitionings); ranking by (n DESC, value ASC) pins it.
+    // Scale: the join shuffles on custkey (AQE picks broadcast for the
+    // customer side at small SF); the counts relation is |segments| ×
+    // |priorities| rows after a map-side-combined agg, so the window is
+    // over a constant-size frame regardless of corpus size.
+    "a10_mode" -> { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderpriority"))
+      val counts = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("c_mktsegment")
+    },
+
     // J9: NULL-safe equi join (<=>) — the join a lake needs when the key
     // is legitimately nullable and NULL must match NULL (IS NOT DISTINCT
     // FROM), e.g. joining on an optional dimension. Nullable key derived
@@ -673,6 +697,20 @@ object Relational extends QueryPack {
         |)
         |SELECT op, l_partkey, multiplicity FROM census
         |ORDER BY op, multiplicity DESC, l_partkey ASC LIMIT 40""".stripMargin,
+
+    "a10_mode" ->
+      """WITH counts AS (
+        |  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT c_mktsegment, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY n DESC, o_orderpriority ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+        |FROM ranked WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
 
     "j9_nullsafe_join" ->
       """WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
