@@ -37,4 +37,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracle).toMap
+
+  /** Post-materialization guards (see [[graft.queries.QueryPack.resultChecks]]);
+    * Verify applies each to the written result so oracle-margin violations
+    * fail the dump loudly without any eager action inside query builders.
+    */
+  def resultChecks: Map[String, DataFrame => Unit] =
+    packs.flatMap(_.resultChecks).toMap
 }

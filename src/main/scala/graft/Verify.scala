@@ -14,9 +14,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (nameFilter.findFirstIn(name).isDefined) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // Oracle-margin guards (e.g. t13's 16-round unroll bound) run
+          // against the written result — a violation must fail the dump
+          // loudly, not surface as a silent oracle mismatch.
+          SparkEntry.resultChecks.get(name)
+            .foreach(_(spark.read.parquet(s"$outDir/$name")))
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

@@ -29,6 +29,21 @@ object Etl extends QueryPack {
       lit(""" <a href="http://example.com/x">ext</a></p>"""))
   }
 
+  /** E5 fixture: the crawl-loop's deterministic synthetic web. Page
+    * `src/doc<i>` exists for every i the arithmetic reaches; fetching it
+    * yields two links, to `src/doc<(7i+1) % n>` and `src/doc<(13i+3) % n>`
+    * (n = |documents|) — a closed universe whose frontier keeps growing
+    * across rounds, so round r's queue genuinely depends on round r−1's
+    * state. Fetches of pages with i % 10 == 7 FAIL deterministically,
+    * feeding the backoff reschedule. Both sides (Spark loop and DuckDB
+    * replay) derive everything from these constants.
+    */
+  private val e5T0 = "2024-01-01 00:00:00"
+  private[graft] val e5Rounds: Seq[(String, Int)] = Seq(
+    ("2024-01-02 00:00:00", 50),   // round 1: 50-page quota off the frontier
+    ("2024-01-03 00:00:00", 50),   // round 2: next 50 — state-dependent queue
+    ("2024-01-04 00:00:00", 1000)) // round 3: drain; t1 failures are due again → re-fail → 2^2-day backoff
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2: HTML→links parse — regexp extraction of pmwiki codes, one row per
     // extracted link (flatMap shape), lowercased + deduped per doc.
@@ -247,6 +262,71 @@ object Etl extends QueryPack {
         .orderBy("code")
     },
 
+    // E5: the reference's CONTINUOUS CRAWL LOOP (core.clj's poll loop,
+    // SURVEY.md §4 E1's driver) — the composition of every ingest piece
+    // that was previously only gated one-at-a-time: S6 queue scan (due
+    // pages by next_update, deterministic total order, bounded quota) →
+    // fetch split (deterministic ~10% failures) → S2 parse → S5 edge
+    // replace + S4 page upsert + degree recompute (Ingest.ingest) →
+    // exponential-backoff reschedule (Ingest.recordFailures), run for a
+    // seed crawl plus THREE rounds where each queue depends on the
+    // previous round's pages table. Round 3's clock lands exactly on the
+    // round-1 failures' backoff expiry, so they are retried, fail again,
+    // and back off 2^2 days — the full failure lifecycle in one gated
+    // result. Per-round state is localCheckpointed (the same lineage
+    // truncation the g6 loops use); each round's work is bounded by the
+    // quota, not the corpus — the 100 TB shape of an incremental crawler.
+    "e5_recrawl_rounds" -> { (s, d) =>
+      val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+      val nDf = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n")))
+      def url(i: Column): Column =
+        concat(lit("https://x/pmwiki.php/Src/Doc"), i.cast("string"))
+      def html(i: Column, n: Column): Column = {
+        def a(j: Column) = concat(
+          lit("""<a href="/pmwiki.php/Src/Doc"""), j.cast("string"), lit("""">l</a>"""))
+        concat(a((i * lit(7L) + lit(1L)) % n), lit(" "), a((i * lit(13L) + lit(3L)) % n))
+      }
+      def raw(ids: DataFrame, ts: Column): DataFrame =
+        ids.crossJoin(nDf).select(
+          url(col("i")).as("url"), ts.as("fetched_at"), html(col("i"), col("n")).as("html"))
+      val pagesSchema = StructType(Seq(
+        StructField("code", StringType), StructField("category", StringType),
+        StructField("is_redirect", BooleanType), StructField("has_error", BooleanType),
+        StructField("times_failed", IntegerType), StructField("next_update", TimestampType),
+        StructField("incoming", LongType), StructField("outgoing", LongType)))
+      val linksSchema = StructType(Seq(
+        StructField("from_code", StringType), StructField("to_code", StringType)))
+      def empty(sch: StructType) =
+        s.createDataFrame(java.util.Collections.emptyList[Row](), sch)
+      // Seed crawl: every third page at t0 (all succeed).
+      val seed = Tables.documents(s, d).select(col("doc_id").as("i"))
+        .filter(col("i") % 3 === 0)
+      var (pages, links) = Ingest.ingest(
+        empty(pagesSchema), empty(linksSchema), raw(seed, lit(e5T0).cast("timestamp")))
+      e5Rounds.foreach { case (ts, lim) =>
+        val tR = lit(ts).cast("timestamp")
+        val p0 = pages.localCheckpoint()
+        val l0 = links.localCheckpoint()
+        // S6 queue scan: most-overdue first (never-crawled = epoch), code
+        // as the unique tiebreak, bounded by the round's quota.
+        val due = p0
+          .filter(coalesce(col("next_update"), epoch) <= tR)
+          .orderBy(coalesce(col("next_update"), epoch).asc, col("code").asc)
+          .limit(lim)
+          .select(col("code"), expr("CAST(substring(code, 8) AS BIGINT)").as("i"))
+          .localCheckpoint() // one queue snapshot feeds both fetch branches
+        val ok = due.filter(col("i") % 10 =!= 7)
+        val fails = due.filter(col("i") % 10 === 7)
+          .select(col("code"), tR.as("failed_at"))
+        val (p1, l1) = Ingest.ingest(p0, l0, raw(ok.select(col("i")), tR))
+        pages = Ingest.recordFailures(p1, fails)
+        links = l1
+      }
+      pages
+        .withColumn("next_update", coalesce(col("next_update"), epoch))
+        .orderBy("code")
+    },
+
     // A1-at-skew: degree counts through the salted two-phase aggregation
     // (exact counts → oracle parity regardless of the combine tree).
     "a1_salted_degree" -> { (s, d) =>
@@ -356,7 +436,124 @@ object Etl extends QueryPack {
       |    ' <a href="/pmwiki.php/Main/' || t[1] || '">dup</a>' ||
       |    ' <a href="http://example.com/x">ext</a></p>'""".stripMargin
 
+  /** One crawl round of the e5 oracle replay: queue scan with the same
+    * total order and quota, fetch split on the same i%10==7 rule, edge
+    * replace (anti-join on crawled sources ∪ fresh parse), keyed upsert,
+    * degree recompute, and the exponential-backoff reschedule — each CTE
+    * the SQL mirror of the Ingest method it names. MATERIALIZED keeps the
+    * per-round state incremental (plain CTEs re-inline exponentially,
+    * same trick as the t13 propagation rounds).
+    */
+  private def e5RoundSql(r: Int, ts: String, lim: Int): String = {
+    val p = r - 1
+    s"""due_$r AS MATERIALIZED (
+       |  SELECT code, CAST(substr(code, 8) AS BIGINT) AS i
+       |  FROM pages_$p
+       |  WHERE COALESCE(next_update, TIMESTAMP '1970-01-01 00:00:00') <= TIMESTAMP '$ts'
+       |  ORDER BY COALESCE(next_update, TIMESTAMP '1970-01-01 00:00:00') ASC, code ASC
+       |  LIMIT $lim
+       |),
+       |ok_$r AS (SELECT code, i FROM due_$r WHERE i % 10 <> 7),
+       |fail_$r AS (SELECT code FROM due_$r WHERE i % 10 = 7),
+       |edges_$r AS MATERIALIZED (
+       |  SELECT DISTINCT 'src/doc' || CAST(i AS VARCHAR) AS from_code, to_code FROM (
+       |    SELECT i, 'src/doc' || CAST((i*7+1) % (SELECT n FROM params) AS VARCHAR) AS to_code FROM ok_$r
+       |    UNION ALL
+       |    SELECT i, 'src/doc' || CAST((i*13+3) % (SELECT n FROM params) AS VARCHAR) FROM ok_$r
+       |  ) WHERE 'src/doc' || CAST(i AS VARCHAR) <> to_code
+       |),
+       |links_$r AS MATERIALIZED (
+       |  SELECT l.from_code, l.to_code FROM links_$p l
+       |  WHERE l.from_code NOT IN (SELECT code FROM ok_$r)
+       |  UNION ALL SELECT from_code, to_code FROM edges_$r
+       |),
+       |merged_$r AS (
+       |  SELECT code, 'src' AS category, false AS is_redirect, false AS has_error,
+       |    0 AS times_failed, TIMESTAMP '$ts' + INTERVAL 30 DAY AS next_update
+       |  FROM ok_$r
+       |  UNION ALL
+       |  SELECT code, category, is_redirect, has_error, times_failed, next_update
+       |  FROM pages_$p WHERE code NOT IN (SELECT code FROM ok_$r)
+       |),
+       |outdeg_$r AS (SELECT from_code AS code, COUNT(*) AS new_out FROM links_$r GROUP BY 1),
+       |indeg_$r AS (SELECT to_code AS code, COUNT(*) AS new_in FROM links_$r GROUP BY 1),
+       |allc_$r AS (
+       |  SELECT code FROM merged_$r UNION SELECT code FROM outdeg_$r UNION SELECT code FROM indeg_$r
+       |),
+       |up_$r AS (
+       |  SELECT a.code,
+       |    COALESCE(m.category, string_split(a.code, '/')[1]) AS category,
+       |    COALESCE(m.is_redirect, false) AS is_redirect,
+       |    COALESCE(m.has_error, false) AS has_error,
+       |    COALESCE(m.times_failed, 0) AS times_failed,
+       |    m.next_update,
+       |    COALESCE(i.new_in, 0) AS incoming,
+       |    COALESCE(o.new_out, 0) AS outgoing
+       |  FROM allc_$r a
+       |  LEFT JOIN merged_$r m ON m.code = a.code
+       |  LEFT JOIN outdeg_$r o ON o.code = a.code
+       |  LEFT JOIN indeg_$r i ON i.code = a.code
+       |),
+       |pages_$r AS MATERIALIZED (
+       |  SELECT u.code, u.category, u.is_redirect,
+       |    CASE WHEN f.code IS NOT NULL THEN true ELSE u.has_error END AS has_error,
+       |    CASE WHEN f.code IS NOT NULL THEN u.times_failed + 1 ELSE u.times_failed END AS times_failed,
+       |    CASE WHEN f.code IS NOT NULL
+       |         THEN TIMESTAMP '$ts' + (1 << least(u.times_failed + 1, 10)) * INTERVAL 1 DAY
+       |         ELSE u.next_update END AS next_update,
+       |    u.incoming, u.outgoing
+       |  FROM up_$r u LEFT JOIN fail_$r f ON f.code = u.code
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "e5_recrawl_rounds" -> {
+      val rounds = e5Rounds.zipWithIndex
+        .map { case ((ts, lim), idx) => e5RoundSql(idx + 1, ts, lim) }
+        .mkString(",\n")
+      val last = s"pages_${e5Rounds.size}"
+      s"""WITH params AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+         |seed AS (SELECT doc_id AS i FROM documents WHERE doc_id % 3 = 0),
+         |edges_0 AS MATERIALIZED (
+         |  SELECT DISTINCT 'src/doc' || CAST(i AS VARCHAR) AS from_code, to_code FROM (
+         |    SELECT i, 'src/doc' || CAST((i*7+1) % (SELECT n FROM params) AS VARCHAR) AS to_code FROM seed
+         |    UNION ALL
+         |    SELECT i, 'src/doc' || CAST((i*13+3) % (SELECT n FROM params) AS VARCHAR) FROM seed
+         |  ) WHERE 'src/doc' || CAST(i AS VARCHAR) <> to_code
+         |),
+         |links_0 AS MATERIALIZED (SELECT from_code, to_code FROM edges_0),
+         |merged_0 AS (
+         |  SELECT 'src/doc' || CAST(i AS VARCHAR) AS code, 'src' AS category,
+         |    false AS is_redirect, false AS has_error, 0 AS times_failed,
+         |    TIMESTAMP '$e5T0' + INTERVAL 30 DAY AS next_update
+         |  FROM seed
+         |),
+         |outdeg_0 AS (SELECT from_code AS code, COUNT(*) AS new_out FROM links_0 GROUP BY 1),
+         |indeg_0 AS (SELECT to_code AS code, COUNT(*) AS new_in FROM links_0 GROUP BY 1),
+         |allc_0 AS (
+         |  SELECT code FROM merged_0 UNION SELECT code FROM outdeg_0 UNION SELECT code FROM indeg_0
+         |),
+         |pages_0 AS MATERIALIZED (
+         |  SELECT a.code,
+         |    COALESCE(m.category, string_split(a.code, '/')[1]) AS category,
+         |    COALESCE(m.is_redirect, false) AS is_redirect,
+         |    COALESCE(m.has_error, false) AS has_error,
+         |    COALESCE(m.times_failed, 0) AS times_failed,
+         |    m.next_update,
+         |    COALESCE(i.new_in, 0) AS incoming,
+         |    COALESCE(o.new_out, 0) AS outgoing
+         |  FROM allc_0 a
+         |  LEFT JOIN merged_0 m ON m.code = a.code
+         |  LEFT JOIN outdeg_0 o ON o.code = a.code
+         |  LEFT JOIN indeg_0 i ON i.code = a.code
+         |),
+         |$rounds
+         |SELECT code, category, is_redirect, has_error, times_failed,
+         |  COALESCE(next_update, TIMESTAMP '1970-01-01 00:00:00') AS next_update,
+         |  incoming, outgoing
+         |FROM $last ORDER BY code""".stripMargin
+    },
+
     "s2_parse_links" ->
       s"""WITH withhtml AS (
          |  SELECT doc_id, $htmlSql AS html

@@ -21,6 +21,17 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
 
+  /** Post-materialization assertions keyed by query id, applied by Verify
+    * to the RESULT rows after they are written (and by the specs). This is
+    * where oracle-margin guards live (e.g. t13's "clusters must fit the
+    * oracle's 16 unrolled propagation rounds") so the guard still fails
+    * loudly on data where the margin is violated, while the query builders
+    * themselves stay fully lazy — no head()/collect() in any `queries`
+    * closure. The function receives the materialized result read back from
+    * parquet and throws on violation.
+    */
+  def resultChecks: Map[String, DataFrame => Unit] = Map.empty
+
   /** Per-(application, sfDir, shuffle-conf) scratch directory under
     * java.io.tmpdir for round-trip queries that write real files (s7 CSV,
     * st7 sink): application-scoped so concurrent processes never race on

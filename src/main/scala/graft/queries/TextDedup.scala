@@ -97,27 +97,33 @@ object TextDedup extends QueryPack {
     */
   private[queries] val MaxEdit = 64
 
-  /** One materialized (3-gram shingles, capped 8×2 band keys) pair per
-    * (application, shuffle-partition conf, sf dir) — t4/t13/t15 all run
-    * the same signature pipeline over the same documents, so it builds
-    * once per session instead of once per query. Policy and caveats match
-    * the IVF-model cache: [[graft.operators.BoundedCache]] eviction, and
-    * the shuffle-partition conf in the key so DeterminismSpec's 3-vs-16
-    * runs rebuild instead of trivially reusing one build.
+  /** One materialized (n-gram shingles, capped band keys) pair per
+    * (application, shuffle-partition conf, sf dir, n, nHashes) — t4/t13/
+    * t15/t19 all run the 3-gram signature pipeline and t5 the 2-gram one
+    * over the same documents, so each builds once per session instead of
+    * once per query. Policy and caveats match the IVF-model cache:
+    * [[graft.operators.BoundedCache]] eviction, and the shuffle-partition
+    * conf in the key so DeterminismSpec's 3-vs-16 runs rebuild instead of
+    * trivially reusing one build.
     */
   private val lshCache =
     new graft.operators.BoundedCache[(DataFrame, DataFrame)]()
 
-  private def lsh3(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def lshSig(s: SparkSession, d: String, n: Int, nHashes: Int)
+      : (DataFrame, DataFrame) = {
     val key = s.sparkContext.applicationId + "|" +
-      s.conf.get("spark.sql.shuffle.partitions") + "|" + d
+      s.conf.get("spark.sql.shuffle.partitions") + "|" + d +
+      s"|n=$n|h=$nHashes"
     lshCache.getOrBuild(key) {
-      val sh = shingles(Tables.documents(s, d), 3).localCheckpoint()
-      val bands = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
+      val sh = shingles(Tables.documents(s, d), n).localCheckpoint()
+      val bands = capBuckets(bandKeys(sh, nHashes, bandSize = 2), BucketCap)
         .localCheckpoint()
       (sh, bands)
     }
   }
+
+  private def lsh3(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    lshSig(s, d, n = 3, nHashes = 8)
 
   /** Standing-corpus artifacts for t15 — the maintained tables a
     * continuously-ingesting deployment keeps alongside the corpus:
@@ -200,15 +206,11 @@ object TextDedup extends QueryPack {
           .otherwise("kept").as("status"))
   }
 
-  /** Same-band candidate pairs (doc_a < doc_b), deduplicated across bands.
-    * The capped band table feeds BOTH sides of the self-join; without the
-    * eager materialization the whole signature pipeline (shingle scan →
-    * minhash agg → banding → cap) executes twice, once per side.
+  /** Same-band pairs (doc_a < doc_b) from an ALREADY-capped band table.
+    * All callers pass [[lshSig]]'s capped localCheckpoint, so the signature
+    * pipeline (shingle scan → minhash agg → banding → cap) materializes
+    * once and feeds BOTH sides of the self-join.
     */
-  private def candidates(bands: DataFrame): DataFrame =
-    candidatePairs(capBuckets(bands, BucketCap).localCheckpoint())
-
-  /** Same-band pairs (doc_a < doc_b) from an ALREADY-capped band table. */
   private def candidatePairs(capped: DataFrame): DataFrame = {
     val a = capped.toDF("doc_a", "band_a", "key_a")
     val b = capped.toDF("doc_b", "band_b", "key_b")
@@ -252,9 +254,14 @@ object TextDedup extends QueryPack {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The WITH-body through the `jac` CTE, shared by [[neardupSql]] and the
-    * t13 cluster-resolution oracle (which keeps composing CTEs after it).
+    * t13/t21 cluster-resolution oracles (which keep composing CTEs after
+    * it). `src` is the docs CTE/table the pipeline reads (t21 points it at
+    * its exact-deduped survivor set); `pre` is extra CTE text spliced in
+    * right after WITH (must end with a comma) so callers can define `src`
+    * before the shared body references it.
     */
-  private def neardupCtes(n: Int, nHashes: Int, bandSize: Int): String = {
+  private def neardupCtes(n: Int, nHashes: Int, bandSize: Int,
+      src: String = "documents", pre: String = ""): String = {
     val sliceEnd = s"i+${n - 1}"
     def sliceSql(i: Int): String = {
       val src = if (i < 4) "md5(sh)" else "md5('x' || sh)"
@@ -264,8 +271,8 @@ object TextDedup extends QueryPack {
     val bandsSql = (0 until nHashes / bandSize).map { b =>
       s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR) AS band_key FROM mh"
     }.mkString("\n       |  UNION ALL ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    s"""WITH ${pre}tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-${n - 2}), i -> array_to_string(t[i:$sliceEnd], ' ')))) AS sh
        |  FROM tok WHERE len(t) >= $n
@@ -294,6 +301,35 @@ object TextDedup extends QueryPack {
        |  JOIN sizes sb ON sb.doc_id = c.doc_b
        |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
        |)""".stripMargin
+  }
+
+  /** Oracle CTEs from `jac` to the propagation fixpoint `l16`: Jaccard
+    * ≥ 0.5 pairs → undirected edges → 16 unrolled min-label propagation
+    * rounds (the SQL mirror of star-contraction components; margin guarded
+    * by [[resultChecks]]). Shared verbatim by the t13 and t21 oracles so
+    * the two compositions can never disagree on what a cluster is.
+    */
+  private def clusterCtes: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT l.id, least(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT e.dst AS id, MIN($prev.lbl) AS nl
+         |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
+         |  ) m ON m.id = l.id
+         |)""".stripMargin
+    val rounds = (0 until 16).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
+    s"""pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM jac
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+       |$rounds""".stripMargin
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -451,11 +487,67 @@ object TextDedup extends QueryPack {
         .orderBy("doc_a", "doc_b")
     },
 
+    // T21: the TIERED dedup composition the t19 writeup promises — the
+    // production shape that keeps character-level verification affordable
+    // on a dup-saturated corpus. Three tiers, each collapsing the work the
+    // next tier sees:
+    //   tier 0  exact dedup: fingerprint groupBy keeps the min-id keeper
+    //           per identical text (the input is documents ∪ a shifted-id
+    //           copy, as in t3, so this tier provably halves the corpus);
+    //   tier 1  near-dup clusters over the SURVIVORS: capped LSH banding →
+    //           exact-Jaccard ≥ 0.5 pairs → star-contraction components
+    //           (t13's machinery), collapsing each near-dup cluster to its
+    //           min-id representative;
+    //   tier 2  char verify (bounded levenshtein, t19's threshold DP) of
+    //           each non-rep member AGAINST ITS REPRESENTATIVE ONLY — one
+    //           verify per member, LINEAR in cluster size, where t19's
+    //           all-candidate-pairs verify is quadratic (a k-member
+    //           cluster costs k−1 verifies here vs k(k−1)/2 there). This
+    //           is why the 5× dup-saturated scale-curve corpus grows t21
+    //           ~linearly while pair-level verify grew 91×.
+    // Members farther than MaxEdit from their rep keep edit_dist = −1 and
+    // a NULL sim (an honest "LSH+Jaccard merged, chars disagree" verdict)
+    // rather than being dropped — the row count stays the full member set.
+    "t21_tiered_verify" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val all = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000L))
+      // Tier 0: exact-dup keepers (min doc_id per normalized fingerprint).
+      val keepers = all
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val dedup = all.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
+      // Tier 1: LSH → Jaccard ≥ 0.5 → star components over the survivors.
+      val sh = shingles(dedup, 3).localCheckpoint()
+      val capped = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
+        .localCheckpoint()
+      val pairs = jaccard(candidatePairs(capped), sh, 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()
+      // Tier 2: one bounded char verify per member, against its rep.
+      val members = labels.filter(col("id") =!= col("lbl"))
+        .select(col("lbl").as("cluster_rep"), col("id").as("member"))
+      members
+        .join(dedup.toDF("cluster_rep", "text_r"), "cluster_rep")
+        .join(dedup.toDF("member", "text_m"), "member")
+        .withColumn("edit_dist", levenshtein(col("text_r"), col("text_m"), MaxEdit))
+        .select(col("cluster_rep"), col("member"), col("edit_dist"),
+          when(col("edit_dist") >= 0,
+            round(lit(1.0) - col("edit_dist").cast("double") /
+              greatest(length(col("text_r")), length(col("text_m"))).cast("double"),
+              6)).as("sim"))
+        .orderBy("cluster_rep", "member")
+    },
+
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
-    // (4 minhashes, 2 bands), higher threshold 0.6.
+    // (4 minhashes, 2 bands), higher threshold 0.6. The (shingles, capped
+    // bands) build comes from the session-shared [[lshSig]] cache keyed by
+    // n — a second t5 invocation reads the localCheckpoint instead of
+    // re-running the scan → minhash agg → cap pipeline (same policy as
+    // the 3-gram pipeline t4/t13/t15/t19 share).
     "t5_ngram_jaccard" -> { (s, d) =>
-      val sh = shingles(Tables.documents(s, d), 2).localCheckpoint()
-      jaccard(candidates(bandKeys(sh, nHashes = 4, bandSize = 2)), sh, 0.6)
+      val (sh, capped) = lshSig(s, d, n = 2, nHashes = 4)
+      jaccard(candidatePairs(capped), sh, 0.6)
     },
 
     // T13: near-dup CLUSTER RESOLUTION — the action a dedup pipeline takes
@@ -470,21 +562,12 @@ object TextDedup extends QueryPack {
       val pairs = jaccard(candidatePairs(capped), sh, 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()
-      val census = labels.groupBy(col("lbl").as("cluster_rep"))
+      labels.groupBy(col("lbl").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
-      // Oracle margin CHECKED, like g6: its 16 unrolled propagation rounds
-      // converge iff every cluster's min-label eccentricity <= 16, and
-      // eccentricity <= n_members - 1, so max 17 members is a sufficient
-      // bound. Cheap: the census is a handful of rows over checkpointed
-      // labels.
-      val maxMembers = census.agg(max(col("n_members"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r                  => r.getLong(0)
-      }
-      require(maxMembers <= 17,
-        s"largest near-dup cluster has $maxMembers members; the oracle unrolls " +
-          "only 16 propagation rounds — widen it")
-      census.orderBy("cluster_rep")
+        .orderBy("cluster_rep")
+      // Oracle-margin guard lives in `resultChecks` (applied by Verify
+      // post-write and by VectorAndDedupSpec), NOT here: query builders
+      // stay fully lazy — no head()/collect() inside any `queries` closure.
     },
 
     // T6: 16-bit SimHash per doc, computed in ONE pass with higher-order
@@ -854,6 +937,36 @@ object TextDedup extends QueryPack {
          |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** t13's oracle margin, checked against the materialized census: the
+    * oracle's 16 unrolled propagation rounds converge iff every cluster's
+    * min-label eccentricity <= 16, and eccentricity <= n_members - 1, so
+    * max 17 members is a sufficient bound. Applied by Verify post-write
+    * and by VectorAndDedupSpec — never inside the query builder (laziness).
+    */
+  override val resultChecks: Map[String, DataFrame => Unit] = Map(
+    "t13_neardup_clusters" -> { census =>
+      val maxMembers = census.agg(max(col("n_members"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      require(maxMembers <= 17,
+        s"largest near-dup cluster has $maxMembers members; the oracle " +
+          "unrolls only 16 propagation rounds — widen it")
+    },
+    // Same margin for t21 (its oracle shares clusterCtes): members-per-rep
+    // + 1 == n_members, so the bound is 16 members per representative.
+    "t21_tiered_verify" -> { verify =>
+      val maxMembers = verify.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("m")).agg(max(col("m"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      require(maxMembers <= 16,
+        s"largest t21 cluster has ${maxMembers + 1} members; the oracle " +
+          "unrolls only 16 propagation rounds — widen it")
+    }
+  )
+
   val oracle: Map[String, String] = Map(
     "t1_token_stats" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
@@ -884,6 +997,11 @@ object TextDedup extends QueryPack {
 
     // Expression tree mirrors the Spark side token-for-token (see the
     // t18 comment there: IEEE determinism needs the identical tree).
+    // Every fractional literal is cast ::DOUBLE: DuckDB parses bare
+    // decimals as DECIMAL and would otherwise evaluate e.g. tf * 2.2
+    // exactly in decimal before converting — a 1–2 ulp divergence from
+    // Spark's double(2.2) * tf. With the casts both engines run the
+    // same all-double tree.
     "t18_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text,' ') AS t,
@@ -906,9 +1024,9 @@ object TextDedup extends QueryPack {
         |)
         |SELECT doc_id, dl, tf_hash, tf_stream, tf_vector,
         |  round(
-        |    ((n_docs - df_hash + 0.5) / (df_hash + 0.5)) * ((tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
-        |    + ((n_docs - df_stream + 0.5) / (df_stream + 0.5)) * ((tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
-        |    + ((n_docs - df_vector + 0.5) / (df_vector + 0.5)) * ((tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+        |    ((n_docs - df_hash + 0.5::DOUBLE) / (df_hash + 0.5::DOUBLE)) * ((tf_hash * 2.2::DOUBLE) / (tf_hash + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl) / avgdl)))
+        |    + ((n_docs - df_stream + 0.5::DOUBLE) / (df_stream + 0.5::DOUBLE)) * ((tf_stream * 2.2::DOUBLE) / (tf_stream + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl) / avgdl)))
+        |    + ((n_docs - df_vector + 0.5::DOUBLE) / (df_vector + 0.5::DOUBLE)) * ((tf_vector * 2.2::DOUBLE) / (tf_vector + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl) / avgdl)))
         |  , 6) AS bm25
         |FROM scored
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 25""".stripMargin,
@@ -930,31 +1048,50 @@ object TextDedup extends QueryPack {
     // Star-contraction labels equal min-label-propagation fixpoint labels,
     // so the oracle unrolls 16 propagation rounds over the SAME pair CTEs
     // (near-dup chains are far shallower than 16; MATERIALIZED keeps each
-    // round incremental — plain CTEs re-inline exponentially).
-    "t13_neardup_clusters" -> {
-      def round(prev: String, cur: String) =
-        s"""$cur AS MATERIALIZED (
-           |  SELECT l.id, least(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
-           |  FROM $prev l LEFT JOIN (
-           |    SELECT e.dst AS id, MIN($prev.lbl) AS nl
-           |    FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY e.dst
-           |  ) m ON m.id = l.id
-           |)""".stripMargin
-      val rounds = (0 until 16).map(i => round(s"l$i", s"l${i + 1}")).mkString(",\n")
+    // round incremental — plain CTEs re-inline exponentially). The
+    // pairs→l16 fragment is [[clusterCtes]], shared verbatim with t21.
+    "t13_neardup_clusters" ->
       s"""${neardupCtes(3, 8, 2)},
-         |pairs AS MATERIALIZED (
-         |  SELECT doc_a, doc_b FROM jac
-         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
-         |),
-         |edges AS MATERIALIZED (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs
-         |),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
-         |$rounds
+         |$clusterCtes
          |SELECT lbl AS cluster_rep, COUNT(*) AS n_members, MAX(id) AS max_member
-         |FROM l16 GROUP BY lbl ORDER BY cluster_rep""".stripMargin
+         |FROM l16 GROUP BY lbl ORDER BY cluster_rep""".stripMargin,
+
+    // Mirrors the three tiers exactly: the exact-dedup CTEs are spliced in
+    // ahead of the shared banding body (src = dedup), the cluster CTEs are
+    // byte-identical to t13's, and the member-vs-rep verify computes the
+    // full levenshtein (DuckDB has no threshold variant — fine at oracle
+    // scale) with the MaxEdit bound applied as a CASE, matching the
+    // engine's early-abandoned −1 rows and NULL sims exactly.
+    "t21_tiered_verify" -> {
+      val pre =
+        """all_docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents
+          |), fps AS (
+          |  SELECT doc_id, text,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+          |  FROM all_docs
+          |), keepers AS (
+          |  SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+          |), dedup AS MATERIALIZED (
+          |  SELECT f.doc_id, f.text FROM fps f JOIN keepers k ON k.doc_id = f.doc_id
+          |), """.stripMargin
+      s"""${neardupCtes(3, 8, 2, src = "dedup", pre = pre)},
+         |$clusterCtes,
+         |members AS (
+         |  SELECT lbl AS cluster_rep, id AS member FROM l16 WHERE id <> lbl
+         |)
+         |SELECT m.cluster_rep, m.member,
+         |  CASE WHEN levenshtein(dr.text, dm.text) <= $MaxEdit
+         |       THEN levenshtein(dr.text, dm.text) ELSE -1 END AS edit_dist,
+         |  CASE WHEN levenshtein(dr.text, dm.text) <= $MaxEdit
+         |       THEN round(1.0 - CAST(levenshtein(dr.text, dm.text) AS DOUBLE)
+         |                  / greatest(length(dr.text), length(dm.text)), 6)
+         |  END AS sim
+         |FROM members m
+         |JOIN dedup dr ON dr.doc_id = m.cluster_rep
+         |JOIN dedup dm ON dm.doc_id = m.member
+         |ORDER BY cluster_rep, member""".stripMargin
     },
 
     // Reuses the t4 banding CTEs through `cand`; the trailing `jac` CTE is

@@ -141,7 +141,7 @@ object WindowsAndEvents extends QueryPack {
         .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey").asc)
     },
 
-    // W5 (distribution family): percent_rank / cume_dist of supplier
+    // W7 (distribution family): percent_rank / cume_dist of supplier
     // account balances within each nation. Both are rank-count ratios —
     // one IEEE division of two small integers per row, so the doubles are
     // bit-identical across engines with no decimal framing needed. Ties on

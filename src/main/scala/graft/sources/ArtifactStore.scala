@@ -41,6 +41,10 @@ object ArtifactStore {
     // still-on-disk table location. A fresh session gets fresh table
     // names instead (the per-JVM warehouse is temp-dir scoped and cleaned
     // on exit, so the extra copies don't outlive the process).
+    // KNOWN LIMIT: siblings from SparkSession.newSession() share the
+    // applicationId but have their own in-memory catalog, so that pattern
+    // (unused in this repo) would re-hit the crash; if it is ever needed,
+    // mix a per-session token (System.identityHashCode(s)) into the key.
     val key = d + "|" + s.conf.get("spark.sql.shuffle.partitions") + "|" +
       s.sparkContext.applicationId
     MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))

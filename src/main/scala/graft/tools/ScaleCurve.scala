@@ -29,7 +29,12 @@ object ScaleCurve {
     "g6_components_star", "v3_nn_graph",
     // round-6 additions with super-linear worst cases: iterative
     // relaxation (g9/g10) and the LSH-candidate edit-distance verify (t19)
-    "g9_sssp", "g10_personalized_pagerank", "t19_fuzzy_verify")
+    "g9_sssp", "g10_personalized_pagerank", "t19_fuzzy_verify",
+    // round-7: the tiered composition (exact dedup → clusters →
+    // member-vs-rep verify) — the production defense for t19's workload
+    // growth on a dup-saturated corpus; its verify count is LINEAR in
+    // cluster size where t19's is quadratic.
+    "t21_tiered_verify")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()
@@ -53,14 +58,24 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
-  private def time(s: SparkSession, name: String, dir: String): Double = {
+  /** (build+first, warm) seconds. The FIRST run pays every one-time cost —
+    * bucketed-table/snapshot artifact builds, LSH localCheckpoint caches,
+    * JIT — and is reported as its own column; the headline number is the
+    * best-of-2 WARM run, which reads the maintained artifacts the way a
+    * standing deployment does. Keeping the two apart is the r6-verdict
+    * fix: g4's headline 5× ratio used to print 7.93 because its 5×-side
+    * artifact build bled into the timed window; its true warm ratio is
+    * ~4.6 and now the table says so on its own.
+    */
+  private def time(s: SparkSession, name: String, dir: String): (Double, Double) = {
     def once(): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(s, dir).write.mode("overwrite")
         .format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    math.min(once(), once()) // best of 2: steady-state, JIT/artifacts warm
+    val cold = once()
+    (cold, math.min(once(), once()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,10 +87,11 @@ object ScaleCurve {
 
     val rows = Queries.flatMap { q =>
       try {
-        val t1 = time(spark, q, base)
-        val t5 = time(spark, q, big)
-        println(f"[scale] $q%-26s sf0.1=$t1%7.2fs 5x=$t5%7.2fs ratio=${t5 / t1}%5.2f")
-        Some((q, t1, t5, t5 / t1))
+        val (c1, t1) = time(spark, q, base)
+        val (c5, t5) = time(spark, q, big)
+        println(f"[scale] $q%-26s sf0.1=$t1%7.2fs (build+first $c1%.2f) " +
+          f"5x=$t5%7.2fs (build+first $c5%.2f) warm ratio=${t5 / t1}%5.2f")
+        Some((q, c1, t1, c5, t5, t5 / t1))
       } catch {
         case e: Throwable =>
           // Margin requires may legitimately fire on the synthesized data
@@ -87,17 +103,24 @@ object ScaleCurve {
     }
 
     val md = new StringBuilder
-    md.append("# Bench scale curve — 5× synthesized data (round 6)\n\n")
+    md.append("# Bench scale curve — 5× synthesized data (round 7)\n\n")
     md.append("5× dataset: union of sf0.1 with per-copy shifted keys ")
     md.append("(disjoint graph replicas; document copies carry a one-token\n")
     md.append("suffix so near-dup candidates cross copies; see ")
-    md.append("`tools/ScaleCurve.scala`). Times are best-of-2 noop writes at ")
-    md.append("local[32].\n\nA ratio ≤ ~6 on 5× data means the operator's ")
-    md.append("cost curve is bending\nsub-quadratically — caps/bucketing are ")
-    md.append("doing their job.\n\n")
-    md.append("| query | sf0.1 (s) | 5× (s) | ratio |\n|---|---|---|---|\n")
-    rows.foreach { case (q, t1, t5, r) =>
-      md.append(f"| $q | $t1%.2f | $t5%.2f | $r%.2f |\n")
+    md.append("`tools/ScaleCurve.scala`).\n\nTimes at local[32]. ")
+    md.append("`build+first` is the FIRST run at that scale — it pays the\n")
+    md.append("one-time maintained-artifact builds (bucketed link tables, ")
+    md.append("LSH signature\ncheckpoints, corpus snapshots) plus JIT, costs ")
+    md.append("a standing deployment amortizes\nacross every query. `warm` is ")
+    md.append("best-of-2 over the built artifacts and is the\nheadline: the ")
+    md.append("**ratio column is warm-5×/warm-sf0.1**, with no build bleed.\n\n")
+    md.append("A warm ratio ≤ ~6 on 5× data means the operator's cost curve ")
+    md.append("is bending\nsub-quadratically — caps/bucketing are doing ")
+    md.append("their job.\n\n")
+    md.append("| query | sf0.1 build+first (s) | sf0.1 warm (s) | 5× build+first (s) | 5× warm (s) | warm ratio |\n")
+    md.append("|---|---|---|---|---|---|\n")
+    rows.foreach { case (q, c1, t1, c5, t5, r) =>
+      md.append(f"| $q | $c1%.2f | $t1%.2f | $c5%.2f | $t5%.2f | $r%.2f |\n")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("audits/bench_scale_curve.md"), md.toString)

@@ -88,6 +88,44 @@ class IngestSpec extends AnyFunSuite {
     assert(!e0 && tf0 === 0)
   }
 
+  test("round-r ingest is idempotent from accumulated multi-round state (e5 loop property)") {
+    // Seed (round 0), then a round-1 batch plus a failure record — the
+    // state mix e5_recrawl_rounds carries between rounds. Replaying the
+    // round-1 ingest must change NOTHING: the upsert is keyed, edge
+    // replacement is per-source, and the failure bookkeeping of pages
+    // outside the batch must survive the degree-recompute outer joins.
+    val (p1, l1) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
+    val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val round1 = Seq(
+      ("https://x/pmwiki.php/Main/EvilPlan", t1,
+        """<a href="/pmwiki.php/Main/BigBad">b</a> <a href="/pmwiki.php/Main/NewTrope">n</a>"""))
+      .toDF("url", "fetched_at", "html")
+    val failures = Seq(("film/somefilm", t1)).toDF("code", "failed_at")
+    val (p2, l2) = Ingest.ingest(p1, l1, round1)
+    val p2f = Ingest.recordFailures(p2, failures)
+    val (p3, l3) = Ingest.ingest(p2f, l2, round1) // replay the same round batch
+    assert(l3.exceptAll(l2).isEmpty && l2.exceptAll(l3).isEmpty)
+    assert(p3.exceptAll(p2f).isEmpty && p2f.exceptAll(p3).isEmpty)
+  }
+
+  test("a failed page that later succeeds resets its failure state (e5 lifecycle)") {
+    val (p1, l1) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
+    val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val p1f = Ingest.recordFailures(p1,
+      Seq(("film/somefilm", t1)).toDF("code", "failed_at"))
+    val t2 = Timestamp.valueOf("2024-01-05 00:00:00")
+    val retry = Seq(
+      ("https://x/pmwiki.php/Film/SomeFilm", t2,
+        """<a href="/pmwiki.php/Main/BigBad">back</a>"""))
+      .toDF("url", "fetched_at", "html")
+    val (p2, _) = Ingest.ingest(p1f, l1, retry)
+    val r = p2.filter(col("code") === "film/somefilm").collect()(0)
+    assert(!r.getAs[Boolean]("has_error"))
+    assert(r.getAs[Int]("times_failed") === 0)
+    assert(r.getAs[Timestamp]("next_update") ===
+      Timestamp.valueOf("2024-02-04 00:00:00")) // t2 + 30 days
+  }
+
   test("recrawl replaces a page's out-edges instead of accumulating them") {
     val (p1, l1) = Ingest.ingest(emptyPages, emptyLinks, snapshot)
     val recrawl = raw(

@@ -51,6 +51,17 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(joined.agg(max("err")).as[Double].head() < 1e-9)
   }
 
+  test("t13 census satisfies the oracle-margin resultCheck (clusters fit 16 unrolled rounds)") {
+    val census = graft.queries.TextDedup.queries("t13_neardup_clusters")(spark, dir)
+    // The guard lives in resultChecks (builders are lazy); apply it the
+    // way Verify does and also pin that it actually rejects a violation.
+    graft.queries.TextDedup.resultChecks("t13_neardup_clusters")(census)
+    val tooBig = census.withColumn("n_members", lit(99L))
+    assertThrows[IllegalArgumentException] {
+      graft.queries.TextDedup.resultChecks("t13_neardup_clusters")(tooBig)
+    }
+  }
+
   test("minhash near-dup pairs are ordered, thresholded, and include known prefix dups") {
     val pairs = graft.queries.TextDedup.queries("t4_minhash_neardup")(spark, dir)
       .as[(Long, Long, Double)].collect().toSeq

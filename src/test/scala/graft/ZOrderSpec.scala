@@ -81,6 +81,10 @@ class ZOrderSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(zdir)
     e.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(tdir)
+    // Layout dirs are per-applicationId — without this they accumulate in
+    // tmpdir across test runs (same leak ArtifactStore cleanup solves).
+    graft.sources.ArtifactStore.registerExitCleanup(zdir)
+    graft.sources.ArtifactStore.registerExitCleanup(tdir)
 
     // 16 files ≈ the z-curve's top-4-bit grid: 4 user strips × 4 time
     // strips. Box predicate aligned to one grid cell — users 12..14 (the
