@@ -227,6 +227,35 @@ object StreamOps {
       }
       .start()
 
+  /** ST7b: the idempotent-by-batchId write that makes foreachBatch output
+    * EXACTLY-ONCE across crash-restart. The checkpoint's offset log pins
+    * each micro-batch's (batchId, offsets) BEFORE execution, so a batch
+    * interrupted after its side effect but before its commit is re-run on
+    * restart with the SAME batchId and data; writing every batch to its
+    * own `batch=<id>` dir with overwrite mode makes that replay land on
+    * top of the orphaned first attempt instead of duplicating it —
+    * exactly-once output from at-least-once replay, no transactional sink
+    * required. StreamingSpec kills a query mid-stream (crash injected
+    * after the write, before the commit) and proves the restart
+    * re-executes only the uncommitted batch, by id-multiset equality.
+    */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** ST7b as a ready-made sink: [[writeBatchIdempotent]] under an
+    * AvailableNow trigger with a checkpoint — restartable at any point
+    * with exactly-once output.
+    */
+  def idempotentParquetSink(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchIdempotent(batch, path, id)
+      }
+      .start()
+
   /** Streaming source over the documents parquet — the continuously-
     * ingesting corpus feed that the streaming dedup (t17) consumes.
     */

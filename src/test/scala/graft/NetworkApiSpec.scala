@@ -45,6 +45,36 @@ class NetworkApiSpec extends AnyFunSuite {
     assert(hub.startsWith("o") && nNodes === 10 && nEdges === 10)
   }
 
+  test("serving boundary: real HTTP round-trip returns the golden network payload byte-for-byte") {
+    val server = graft.api.ApiServer.start(spark, "/root/testdata/sf0.001")
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): java.net.http.HttpResponse[String] =
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+
+      // GET /api/network/:code — the handler.clj route shape — must return
+      // the exact bytes NetworkApiSpec's golden fixture pins.
+      val net = get("/api/network/o1")
+      assert(net.statusCode() === 200)
+      assert(net.headers().firstValue("Content-Type").orElse("") === "application/json")
+      assert(net.body() === Files.readString(Paths.get(golden)))
+
+      // A row endpoint serves a JSON array with the queried key inside.
+      val node = get("/api/node/1")
+      assert(node.statusCode() === 200)
+      assert(node.body().startsWith("[") &&
+        node.body().contains("\"o_orderkey\":1"))
+
+      // Unknown routes and non-numeric keys are 404, not a server error.
+      assert(get("/api/nope").statusCode() === 404)
+      assert(get("/api/node/abc").statusCode() === 404)
+    } finally server.stop(0)
+  }
+
   test("TropologyApi facade: links-for-article, common-links, node-info agree with first principles") {
     import org.apache.spark.sql.functions._
     import graft.api.TropologyApi

@@ -336,4 +336,60 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Tables.events(spark, dir).count()
     assert(n === expected)
   }
+
+  test("ST7 recovery: killed mid-stream after a side effect, restart from checkpoint is exactly-once") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft_rec_in_").toString
+    val out = Files.createTempDirectory("graft_rec_out_").toString
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt_").toString
+    Seq(in, out, ckpt).foreach(graft.sources.ArtifactStore.registerExitCleanup)
+    // Three input files → with maxFilesPerTrigger=1, three micro-batches.
+    val events = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(3).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+
+    // Run 1: crash INJECTED AFTER batch 1's parquet write but BEFORE its
+    // checkpoint commit — the worst-ordered failure (side effect landed,
+    // offset not committed), which a plain append sink would duplicate.
+    val writesPerBatch = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    def sink(crashAtBatch: Option[Long]) = source.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.writeBatchIdempotent(batch, out, id)
+        writesPerBatch.merge(id, 1, (a, b) => a + b)
+        if (crashAtBatch.contains(id))
+          throw new RuntimeException("injected crash after side effect")
+      }
+      .start()
+    val q1 = sink(crashAtBatch = Some(1L))
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed.getMessage.contains("injected crash"),
+      s"query died for the wrong reason: ${crashed.getMessage}")
+
+    // Run 2, same checkpoint: must REPLAY batch 1 (written but uncommitted)
+    // with the same id, overwrite its orphaned output, continue to batch 2.
+    val q2 = sink(crashAtBatch = None)
+    q2.awaitTermination()
+
+    // Batch 0 committed before the crash → processed exactly once; batch 1
+    // executed twice (crashed attempt + replay) — the recovery boundary.
+    assert(writesPerBatch.get(0L) === 1)
+    assert(writesPerBatch.get(1L) === 2)
+    // Exactly-once OUTPUT despite the double execution: the id multiset of
+    // the recovered sink equals the batch table's, no loss, no dupes.
+    val got = spark.read.parquet(s"$out/batch=*")
+      .select("event_id").as[Long].collect().sorted
+    val expected = events.select("event_id").as[Long].collect().sorted
+    assert(got.length === expected.length,
+      s"row count across restart: got ${got.length}, expected ${expected.length}")
+    assert(java.util.Arrays.equals(got, expected))
+  }
 }
