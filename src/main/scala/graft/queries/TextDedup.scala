@@ -539,6 +539,61 @@ object TextDedup extends QueryPack {
         .orderBy("cluster_rep", "member")
     },
 
+    // T22: PARAGRAPH-level dedup — exact dedup at SUB-document granularity,
+    // the Dolma/CCNet-style pass that removes boilerplate repeated ACROSS
+    // documents (headers, navigation, license blocks) while keeping the
+    // documents themselves. The fixture corpus has no newlines, so the
+    // "paragraph" unit is a fixed 20-token block (the fallback segmentation
+    // real pipelines use for unstructured text); the machinery is unit-
+    // agnostic. Policy: a block survives only at its FIRST occurrence
+    // (lowest (doc_id, block_index)); later repeats are cut and each doc is
+    // reassembled from its surviving blocks in order.
+    //
+    // Scale shape (the whole point): this is sub-document EXACT dedup, so
+    // it stays linear no matter how dup-saturated the corpus is —
+    //   blocks   one flatMap (posexplode over a computed slice array);
+    //   first    ONE groupBy on the 128-bit block hash (map-side combinable
+    //            MIN of the packed occurrence key) — at 100 TB the shuffle
+    //            carries (hash, occ) pairs, never block text;
+    //   cut      one hash join of blocks back to winners on (hash, occ);
+    //   rebuild  one groupBy(doc_id) with an in-group sort_array — group
+    //            size is bounded by tokens/doc ÷ 20, never corpus-sized.
+    // The census (per doc: blocks before/after, surviving token count, md5
+    // of the reassembled text) is the gate: the reassembly hash pins block
+    // ORDER, not just the surviving set.
+    "t22_block_dedup" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      // ceil(n_tokens / 20) via truncating division — positive counts only.
+      val nBlocks = ((size(t) + lit(19)) / lit(20)).cast("int")
+      val blocks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nBlocks - 1),
+            b => concat_ws(" ", slice(t, b * 20 + 1, lit(20))))))
+        .select(col("doc_id"), col("pos").cast("long").as("b"), col("col").as("blk"))
+      // Packed first-occurrence key: 2^20 bounds blocks/doc (≈20M tokens),
+      // far above any fixture or plausible document.
+      val occ = blocks
+        .withColumn("bh", md5(col("blk")))
+        .withColumn("occ", col("doc_id") * lit(1048576L) + col("b"))
+      val first = occ.groupBy(col("bh")).agg(min(col("occ")).as("keep_occ"))
+      val kept = occ.join(first, "bh").filter(col("occ") === col("keep_occ"))
+      val nb = blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+      val agg = kept.groupBy(col("doc_id").as("kdoc"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("blk"), " "))).as("n_tokens_kept"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("b"), col("blk")))),
+            x => x("blk")))).as("kept_hash"))
+      // Left join: a doc whose every block occurred earlier elsewhere stays
+      // in the census with n_kept = 0 and a NULL hash (fully-cut doc).
+      nb.join(agg, nb("doc_id") === col("kdoc"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          col("kept_hash"))
+        .orderBy("doc_id")
+    },
+
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
     // (4 minhashes, 2 bands), higher threshold 0.6. The (shingles, capped
     // bands) build comes from the session-shared [[lshSig]] cache keyed by
@@ -1093,6 +1148,35 @@ object TextDedup extends QueryPack {
          |JOIN dedup dm ON dm.doc_id = m.member
          |ORDER BY cluster_rep, member""".stripMargin
     },
+
+    // Mirrors the Spark block pipeline CTE-for-CTE: same 20-token blocks
+    // (list slice clips the last partial block on both engines), same
+    // packed doc_id*2^20+b first-occurrence key, same md5 reassembly hash
+    // (string_agg ORDER BY b == concat_ws over the sorted struct array).
+    "t22_block_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, CAST(u.b AS BIGINT) AS b,
+        |         array_to_string(t[(u.b*20+1):(u.b*20+20)], ' ') AS blk
+        |  FROM toks, UNNEST(range((len(t) + 19) // 20)) AS u(b)
+        |),
+        |occ AS (SELECT doc_id, b, blk, md5(blk) AS bh,
+        |               doc_id * 1048576 + b AS occ FROM blocks),
+        |keep AS (SELECT bh, MIN(occ) AS keep_occ FROM occ GROUP BY bh),
+        |kept AS (SELECT o.doc_id, o.b, o.blk FROM occ o
+        |         JOIN keep k ON o.bh = k.bh AND o.occ = k.keep_occ),
+        |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blocks GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         SUM(len(string_split(blk, ' '))) AS n_tokens_kept,
+        |         md5(string_agg(blk, ' ' ORDER BY b)) AS kept_hash
+        |  FROM kept GROUP BY doc_id)
+        |SELECT nb.doc_id, nb.n_blocks,
+        |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |       a.kept_hash
+        |FROM nb LEFT JOIN agg a ON a.doc_id = nb.doc_id
+        |ORDER BY nb.doc_id""".stripMargin,
 
     // Reuses the t4 banding CTEs through `cand`; the trailing `jac` CTE is
     // plain (not MATERIALIZED), so DuckDB never evaluates it here. DuckDB

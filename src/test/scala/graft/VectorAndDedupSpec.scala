@@ -103,4 +103,31 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(out.count() === n)
     assert(out.agg(max("n_copies")).as[Long].head() === 2L)
   }
+
+  test("t22 block dedup: census invariants + surviving blocks = distinct blocks") {
+    val census = graft.queries.TextDedup.queries("t22_block_dedup")(spark, dir)
+      .cache()
+    val docs = Tables.documents(spark, dir)
+    // Every document appears exactly once, with 0 <= n_kept <= n_blocks.
+    assert(census.count() === docs.count())
+    assert(census.filter(col("n_kept") > col("n_blocks") || col("n_kept") < 0).count() === 0L)
+    // First-occurrence policy keeps EXACTLY one copy of each distinct block:
+    // sum(n_kept) across the corpus == number of distinct 20-token blocks.
+    val t = split(col("text"), " ")
+    val nBlocks = ((size(t) + lit(19)) / lit(20)).cast("int")
+    val distinctBlocks = docs
+      .select(explode(transform(sequence(lit(0), nBlocks - 1),
+        b => concat_ws(" ", slice(t, b * 20 + 1, lit(20))))).as("blk"))
+      .distinct().count()
+    assert(census.agg(sum("n_kept")).as[Long].head() === distinctBlocks)
+    // A fully-surviving doc's reassembly hash is md5 of its original text
+    // (block slicing + space-joined reassembly is the identity there).
+    val intact = census.filter(col("n_kept") === col("n_blocks"))
+      .join(docs, "doc_id")
+      .filter(col("kept_hash") =!= md5(col("text")))
+    assert(intact.count() === 0L)
+    // The corpus genuinely exercises the cut path: some doc loses a block.
+    assert(census.filter(col("n_kept") < col("n_blocks")).count() > 0L)
+    census.unpersist()
+  }
 }
