@@ -382,6 +382,76 @@ object Embeddings extends QueryPack {
         .select(col("qid"), coalesce(col("n"), lit(0L)).as("n_hits"),
           (coalesce(col("n"), lit(0L)) / 5.0).as("recall"))
         .orderBy("qid")
+    },
+
+    // V11: SCALAR-QUANTIZED (SQ8) search with exact rescore — the
+    // MEMORY-scale ANN path (FAISS's SQ8 recipe): per-dimension min/max
+    // train a linear 8-bit quantizer, the corpus is stored as
+    // array<tinyint> CODES (1 byte/dim — 8× smaller than the float64
+    // working form, 4× smaller than the raw float32 column), search
+    // scans decoded codes (asymmetric: query stays full-precision), and
+    // only the top-32 candidates per probe touch the full-precision
+    // vectors for the exact-cosine rescore that produces the final
+    // top-10.
+    //
+    // Scale shape: the trainer is ONE explode + 64-group agg (map-side
+    // combinable min/max) collected into a 2×64-value broadcast — the
+    // "codebook" is O(dims), never O(corpus). Encode is a map-only pass.
+    // At 100 TB the codes table is what a deployment persists and scans
+    // (8× less I/O and cache footprint per candidate), and the
+    // full-precision table is only random-accessed for rescore
+    // candidates — probes × 32 rows. Everything below is codegen'd HOFs;
+    // the int8 round-trip (shift by −128 into signed tinyint, shift back
+    // at decode) is mirrored in the oracle, so the quantized candidate
+    // CUT — not just the rescored scores — is engine-identical.
+    "v11_sq8_rescore" -> { (s, d) =>
+      val c = corpus(s, d)
+      // Train: per-dim (min, max) over the corpus, packed into one
+      // broadcastable row of two 64-element arrays (pos-sorted).
+      val dimStats = c.select(posexplode(col("emb")))
+        .groupBy(col("pos"))
+        .agg(min(col("col")).as("dmn"), max(col("col")).as("dmx"))
+      val stats = dimStats.agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("dmn")))),
+          x => x.getField("dmn")).as("mn"),
+        transform(sort_array(collect_list(struct(col("pos"), col("dmx")))),
+          x => x.getField("dmx")).as("mx"))
+      def mnI(i: Column) = element_at(col("mn"), i + 1)
+      def mxI(i: Column) = element_at(col("mx"), i + 1)
+      // Encode: e → floor(scaled + 0.5) ∈ [0,255], shifted −128 into a
+      // signed tinyint (the stored byte). A degenerate dim (mx == mn)
+      // encodes as −128 and decodes to mn via the ×(mx−mn)=0 term — no
+      // CASE needed on the decode side.
+      val coded = c.crossJoin(broadcast(stats))
+        .withColumn("code", transform(sequence(lit(0), lit(dims - 1)), i => {
+          val mn = mnI(i); val mx = mxI(i)
+          val e = element_at(col("emb"), i + 1)
+          when(mx > mn,
+            (least(floor((e - mn) / (mx - mn) * lit(255.0) + lit(0.5)).cast("double"),
+              lit(255.0)) - lit(128.0)).cast("tinyint"))
+            .otherwise(lit(-128).cast("tinyint"))
+        }))
+        // Decode (search-time reconstruction): mn + (code+128)·(mx−mn)/255.
+        .withColumn("dq", transform(sequence(lit(0), lit(dims - 1)), i => {
+          val mn = mnI(i); val mx = mxI(i)
+          mn + (element_at(col("code"), i + 1).cast("double") + lit(128.0)) *
+            (mx - mn) / lit(255.0)
+        }))
+        .select(col("vec_id"), col("dq"))
+      val q = broadcast(probes(c))
+      val adc = q.join(coded, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dotNative(col("dq"), col("qe")) /
+            (sqrt(dotNative(col("dq"), col("dq"))) * col("qnrm")), 6).as("q_sim"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("q_sim").desc, col("vec_id").asc)
+      val cand = adc.withColumn("crn", row_number().over(wq)).filter(col("crn") <= 32)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      cand.join(c, "vec_id")
+        .join(q.select(col("qid"), col("qe"), col("qnrm")), "qid")
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .orderBy("qid", "rn")
     }
   )
 
@@ -565,6 +635,45 @@ object Embeddings extends QueryPack {
          |)
          |SELECT qid, probe_list, vec_id, cos_sim, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
-         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors the SQ8 path stage-for-stage — per-dim min/max codebook,
+    // the −128-shifted signed-tinyint code round-trip (both engines
+    // truncate the already-integral double exactly), the decode tree, the
+    // rounded quantized-cosine candidate cut at 32, then the v1-style
+    // exact rescore. Every CTE that is referenced twice is MATERIALIZED.
+    "v11_sq8_rescore" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |ex AS (SELECT vec_id, unnest(emb) AS e, unnest(range(1, 65)) AS i FROM v),
+         |st AS (SELECT i, min(e) AS mn, max(e) AS mx FROM ex GROUP BY i),
+         |arrs AS MATERIALIZED (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM st),
+         |coded AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 65), i ->
+         |      CASE WHEN mx[i] > mn[i]
+         |           THEN CAST(least(floor((emb[i] - mn[i]) / (mx[i] - mn[i]) * 255.0 + 0.5), 255.0) - 128.0 AS TINYINT)
+         |           ELSE CAST(-128 AS TINYINT) END) AS code
+         |  FROM v, arrs),
+         |dec AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 65), i ->
+         |      mn[i] + (CAST(code[i] AS DOUBLE) + 128.0) * (mx[i] - mn[i]) / 255.0) AS dq
+         |  FROM coded, arrs),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
+         |adc AS (
+         |  SELECT qid, vec_id,
+         |    round(list_dot_product(dq, qe)/(sqrt(list_dot_product(dq, dq))*sqrt(list_dot_product(qe, qe))), 6) AS q_sim
+         |  FROM q, dec WHERE vec_id != qid),
+         |cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY q_sim DESC, vec_id ASC) AS crn
+         |    FROM adc) WHERE crn <= 32),
+         |sc AS (
+         |  SELECT c.qid, c.vec_id, round(${cosSql("qe", "v.emb")}, 6) AS cos_sim
+         |  FROM cand c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.qid = c.qid)
+         |SELECT qid, vec_id, cos_sim, rn FROM (
+         |  SELECT qid, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM sc) WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin
   )
 }

@@ -104,6 +104,20 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(out.agg(max("n_copies")).as[Long].head() === 2L)
   }
 
+  test("v11 SQ8 quantized search recall@10 vs brute force is >= 0.9") {
+    val brute = graft.queries.Embeddings.queries("v1_knn_brute")(spark, dir)
+      .select("qid", "vec_id")
+    val sq = graft.queries.Embeddings.queries("v11_sq8_rescore")(spark, dir)
+      .select("qid", "vec_id")
+    val total = brute.count()
+    val hits = brute.intersect(sq).count()
+    assert(total > 0)
+    // 8-bit decode error is tiny relative to inter-vector distances, and
+    // the 32-candidate exact rescore absorbs rank noise near the cut.
+    assert(hits.toDouble / total >= 0.9,
+      s"SQ8 recall@10 = $hits/$total — quantizer or rescore regressed")
+  }
+
   test("t22 block dedup: census invariants + surviving blocks = distinct blocks") {
     val census = graft.queries.TextDedup.queries("t22_block_dedup")(spark, dir)
       .cache()
