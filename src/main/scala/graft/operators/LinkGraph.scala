@@ -432,6 +432,50 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     }
     labels
   }
+
+  /** k-core: the maximal subgraph where every node keeps degree >= k,
+    * computed by iterative peeling — drop all nodes below degree k,
+    * recompute degrees on the induced subgraph, repeat to FIXPOINT (each
+    * removal can push a neighbor below the bar). The standard corpus/graph
+    * curation primitive for "dense interaction region" extraction.
+    *
+    * Assumes a SYMMETRIZED edge table (degree = out-degree per src, as in
+    * the other iterative methods). Per round: ONE degree aggregation
+    * (map-side combinable count, materialized once so both endpoint
+    * filters read it) and two semi-joins against the shrinking survivor
+    * set — the edge table is filtered in place, never rebuilt from
+    * scratch, so round cost tracks the SURVIVING edge count and falls
+    * monotonically. Peel-round count is a data property (2 on the fixture
+    * graphs; pathological chains peel longer), checked against the
+    * oracle's unrolled margin by the caller.
+    *
+    * Returns (coreEdges, roundsRun) — `roundsRun` includes the final
+    * confirming no-op round, matching the components convention.
+    */
+  def kCore(k: Int, maxIters: Int = 50): (DataFrame, Int) = {
+    var e = edges.localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      // Materialized survivor set: referenced by BOTH semi-joins, and the
+      // count it implies is tiny (one row per surviving node).
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint()
+      val next = e
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      n = m
+      e = next
+      rounds += 1
+    }
+    (e, rounds)
+  }
 }
 
 object LinkGraph {

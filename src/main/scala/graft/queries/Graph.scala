@@ -454,8 +454,31 @@ object Graph extends QueryPack {
         .select(col("dist"), col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy(col("dist").asc, col("p_partkey").asc)
         .limit(200)
+    },
+
+    // G11: k-CORE — the maximal subgraph where every node keeps >= k
+    // neighbors, by iterative peel to fixpoint ([[LinkGraph.kCore]]): the
+    // standard dense-region extraction (spam/boilerplate rings in a link
+    // graph peel away; the core is what community analysis runs on). The
+    // census is per-node core degree over the FULL symmetrized graph. The
+    // oracle unrolls KCoreOracleRounds peel rounds (fixpoint is 2 rounds at
+    // sf0.01 AND sf0.1 — dense bipartite graphs peel fast); the margin is
+    // CHECKED against the loop's actual round count, same contract as
+    // g6_components_converged. The loop itself is eager (it must run to
+    // know convergence), matching the other converged builders.
+    "g11_kcore" -> { (s, d) =>
+      val (core, rounds) = symGraph(s, d).kCore(KCoreK)
+      require(rounds <= KCoreOracleRounds,
+        s"k-core took $rounds peel rounds; oracle unrolls only $KCoreOracleRounds — widen it")
+      core.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("core_deg"))
+        .select(nodeName.as("node"), col("core_deg"))
+        .orderBy(col("core_deg").desc, col("node").asc)
     }
   )
+
+  private val KCoreK = 4
+  private val KCoreOracleRounds = 6
 
   val oracle: Map[String, String] = Map(
     "g1_neighborhood" ->
@@ -754,6 +777,29 @@ object Graph extends QueryPack {
          |SELECT $nodeNameSql AS component, n_members FROM (
          |  SELECT lbl AS id, COUNT(*) AS n_members FROM l3 GROUP BY lbl
          |) ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin
+    },
+
+    // Unrolled peel rounds; every round references its predecessor three
+    // times (degree filter on both endpoints + the edge scan), so each
+    // round CTE is MATERIALIZED. Rounds past the fixpoint are no-ops, so
+    // the margin (checked by the Spark side's require) is safe, not
+    // assumed.
+    "g11_kcore" -> {
+      def peel(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $prev e
+           |  JOIN (SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= 4) a ON e.src = a.src
+           |  JOIN (SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= 4) b ON e.dst = b.src
+           |)""".stripMargin
+      val rounds = (0 until 6).map(i => peel(s"r$i", s"r${i + 1}")).mkString(",\n")
+      s"""WITH e AS MATERIALIZED ($edgesSql),
+         |r0 AS MATERIALIZED (
+         |  $symEdgesSql
+         |),
+         |$rounds
+         |SELECT $nodeNameSql AS node, core_deg FROM (
+         |  SELECT src AS id, COUNT(*) AS core_deg FROM r6 GROUP BY src
+         |) ORDER BY core_deg DESC, node ASC""".stripMargin
     }
   )
 }

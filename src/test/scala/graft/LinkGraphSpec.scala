@@ -171,6 +171,24 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(viol === 0L)
   }
 
+  test("kCore peels a hanging chain off a clique, cascading over multiple rounds") {
+    // Triangle {1,2,3} (every node degree 2) with a chain 3-4-5 hanging off:
+    // k=2 peeling must CASCADE — round 1 drops 5 (deg 1), which exposes 4
+    // (now deg 1) for round 2, leaving exactly the triangle.
+    val g = new LinkGraph(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("src", "dst")).symmetrized
+    val (core, rounds) = g.kCore(2)
+    val nodes = core.select("src").distinct().as[Long].collect().sorted
+    assert(nodes === Array(1L, 2L, 3L))
+    assert(core.count() === 6L) // the symmetrized triangle
+    // Two effective peels + the confirming no-op round.
+    assert(rounds === 3)
+    // k above the max degree empties the graph (and terminates).
+    val (empty, _) = g.kCore(10)
+    assert(empty.count() === 0L)
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),
