@@ -418,31 +418,43 @@ object Embeddings extends QueryPack {
           x => x.getField("dmx")).as("mx"))
       def mnI(i: Column) = element_at(col("mn"), i + 1)
       def mxI(i: Column) = element_at(col("mx"), i + 1)
-      // Encode: e → floor(scaled + 0.5) ∈ [0,255], shifted −128 into a
-      // signed tinyint (the stored byte). A degenerate dim (mx == mn)
-      // encodes as −128 and decodes to mn via the ×(mx−mn)=0 term — no
-      // CASE needed on the decode side.
+      // Encode∘decode FUSED into one per-element lambda: e → code byte
+      // (floor(scaled + 0.5) ∈ [0,255], shifted −128 into a signed
+      // tinyint — the stored form) → straight back to the reconstruction
+      // mn + (code+128)·(mx−mn)/255. Every value genuinely round-trips
+      // the tinyint domain, and the oracle mirrors the same two steps as
+      // separate CTEs (identical arithmetic either way). Fused ON PURPOSE:
+      // higher-order-function lambdas are interpreted (no codegen) and get
+      // no common-subexpression elimination, and CollapseProject inlines a
+      // named HOF column into each element access of a downstream HOF —
+      // deriving `dq` from a separate `code` column re-evaluated the whole
+      // 64-element encode PER ELEMENT, an O(dims²) interpreted blowup
+      // (measured 5.6× end-to-end, ~40× on the encode stage alone, at
+      // sf0.1). A deployment persisting the codes
+      // table would split exactly here — encode writes, decode reads a
+      // materialized column — which is a physical barrier, not a projection.
+      // A degenerate dim (mx == mn) encodes as −128 and decodes to mn via
+      // the ×(mx−mn)=0 term — no CASE needed on the decode side.
       val coded = c.crossJoin(broadcast(stats))
-        .withColumn("code", transform(sequence(lit(0), lit(dims - 1)), i => {
+        .withColumn("dq", transform(sequence(lit(0), lit(dims - 1)), i => {
           val mn = mnI(i); val mx = mxI(i)
           val e = element_at(col("emb"), i + 1)
-          when(mx > mn,
+          val codeByte = when(mx > mn,
             (least(floor((e - mn) / (mx - mn) * lit(255.0) + lit(0.5)).cast("double"),
               lit(255.0)) - lit(128.0)).cast("tinyint"))
             .otherwise(lit(-128).cast("tinyint"))
+          mn + (codeByte.cast("double") + lit(128.0)) * (mx - mn) / lit(255.0)
         }))
-        // Decode (search-time reconstruction): mn + (code+128)·(mx−mn)/255.
-        .withColumn("dq", transform(sequence(lit(0), lit(dims - 1)), i => {
-          val mn = mnI(i); val mx = mxI(i)
-          mn + (element_at(col("code"), i + 1).cast("double") + lit(128.0)) *
-            (mx - mn) / lit(255.0)
-        }))
-        .select(col("vec_id"), col("dq"))
+        // Decoded norm precomputed ONCE per corpus row (same tree as the
+        // per-pair form, so bitwise-equal — the `corpus().nrm` precedent):
+        // the ADC pass then pays one dot product per pair, not two.
+        .select(col("vec_id"), col("dq"),
+          sqrt(dotNative(col("dq"), col("dq"))).as("dqn"))
       val q = broadcast(probes(c))
       val adc = q.join(coded, col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           round(dotNative(col("dq"), col("qe")) /
-            (sqrt(dotNative(col("dq"), col("dq"))) * col("qnrm")), 6).as("q_sim"))
+            (col("dqn") * col("qnrm")), 6).as("q_sim"))
       val wq = Window.partitionBy(col("qid")).orderBy(col("q_sim").desc, col("vec_id").asc)
       val cand = adc.withColumn("crn", row_number().over(wq)).filter(col("crn") <= 32)
         .select(col("qid"), col("vec_id"))
