@@ -131,6 +131,35 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     visited.filter(col("dist") > 0)
   }
 
+  /** Multi-source BFS with per-source attribution: like [[kHop]] but each
+    * frontier row carries the `tag` of the source that reached it, so one
+    * joint loop yields every (source, node, hop-distance) triple — the
+    * shape landmark-centrality methods need. Cost per round is one edge
+    * join on the combined frontier (|tags| × the per-source frontier,
+    * deduped per (tag, node)) instead of |tags| separate loops, so rounds
+    * — the scarce resource at scale, each one a shuffle — don't multiply
+    * with the landmark count. `sources` must provide (tag, id).
+    */
+  def kHopTagged(sources: DataFrame, k: Int): DataFrame = {
+    var visited = sources.select(col("tag"), col("id")).distinct()
+      .withColumn("dist", lit(0))
+    var frontier = visited.select("tag", "id")
+    for (i <- 1 to k) {
+      val next = edges.join(frontier, edges("src") === frontier("id"))
+        .select(col("tag"), col("dst").as("id")).distinct()
+        .join(visited.select(col("tag").as("vtag"), col("id").as("vid")),
+          col("tag") === col("vtag") && col("id") === col("vid"), "left_anti")
+        .withColumn("dist", lit(i))
+      visited = visited.union(next)
+      frontier = next.select("tag", "id")
+      if (i % checkpointEvery == 0 && i < k) {
+        visited = visited.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+      }
+    }
+    visited.filter(col("dist") > 0)
+  }
+
   /** Fixed-point PageRank: `iters` rounds of
     * `r'(v) = (15*scale + 85 * Σ_{u→v} (r(u) DIV deg_out(u))) DIV 100`,
     * ranks starting at `scale`. All arithmetic is integer → deterministic.

@@ -474,6 +474,32 @@ object Graph extends QueryPack {
         .agg(count(lit(1)).as("core_deg"))
         .select(nodeName.as("node"), col("core_deg"))
         .orderBy(col("core_deg").desc, col("node").asc)
+    },
+
+    // G12: LANDMARK (harmonic) closeness centrality — the tractable
+    // centrality at scale: exact closeness is all-pairs BFS (O(V·E),
+    // impossible at 100 TB), so estimate it from a FIXED handful of
+    // landmark sources (Potamias et al.'s landmark framework): one tagged
+    // multi-source BFS ([[LinkGraph.kHopTagged]], rounds shared across
+    // landmarks), then per node the harmonic sum Σ 1/dist over the
+    // landmarks that reached it. Harmonic (not classic 1/Σd) so
+    // unreachable landmarks contribute 0 instead of poisoning the score.
+    // Arithmetic is integer fixed-point (10^12 DIV dist, summed exactly as
+    // longs) — no cross-engine float summation anywhere; the one double
+    // division at the end is by a constant, deterministic on both engines.
+    "g12_landmark_closeness" -> { (s, d) =>
+      val lm = Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 2).as("id")).distinct()
+        .orderBy("id").limit(4)
+        .select(col("id").as("tag"), col("id"))
+      symGraph(s, d).kHopTagged(lm, 3)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_landmarks"),
+          sum(expr("1000000000000 DIV dist")).as("hsum"))
+        .select(nodeName.as("node"), col("n_landmarks"),
+          round(col("hsum") / lit(1e12), 6).as("closeness"))
+        .orderBy(col("closeness").desc, col("node").asc)
+        .limit(100)
     }
   )
 
@@ -800,6 +826,37 @@ object Graph extends QueryPack {
          |SELECT $nodeNameSql AS node, core_deg FROM (
          |  SELECT src AS id, COUNT(*) AS core_deg FROM r6 GROUP BY src
          |) ORDER BY core_deg DESC, node ASC""".stripMargin
+    },
+
+    // Tagged BFS unrolled 3 rounds (the query's fixed depth, not a
+    // convergence margin); integer harmonic sum, so no float summation
+    // crosses engines.
+    "g12_landmark_closeness" -> {
+      def hop(prev: String, cur: String, i: Int) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT tag, id, dist FROM $prev
+           |  UNION ALL
+           |  SELECT f.tag, f.id, $i AS dist FROM (
+           |    SELECT DISTINCT v.tag, e2.dst AS id
+           |    FROM edges e2 JOIN $prev v ON e2.src = v.id AND v.dist = ${i - 1}
+           |  ) f
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev p WHERE p.tag = f.tag AND p.id = f.id)
+           |)""".stripMargin
+      s"""WITH e AS MATERIALIZED ($edgesSql),
+         |edges AS MATERIALIZED (
+         |  $symEdgesSql
+         |),
+         |lm AS (SELECT id AS tag, id FROM (
+         |  SELECT DISTINCT l_orderkey * 2 AS id FROM lineitem ORDER BY id LIMIT 4)),
+         |v0 AS (SELECT tag, id, 0 AS dist FROM lm),
+         |${hop("v0", "v1", 1)},
+         |${hop("v1", "v2", 2)},
+         |${hop("v2", "v3", 3)}
+         |SELECT node, n_landmarks, closeness FROM (
+         |  SELECT $nodeNameSql AS node, COUNT(*) AS n_landmarks,
+         |    round(CAST(SUM(1000000000000 // dist) AS DOUBLE) / 1000000000000.0, 6) AS closeness
+         |  FROM v3 WHERE dist > 0 GROUP BY id
+         |) ORDER BY closeness DESC, node ASC LIMIT 100""".stripMargin
     }
   )
 }

@@ -171,6 +171,21 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(viol === 0L)
   }
 
+  test("kHopTagged attributes hop distances to each source independently") {
+    val g = tiny
+    val sources = Seq(("a", "a"), ("e", "e")).toDF("tag", "id")
+    val got = g.kHopTagged(sources, 3)
+      .as[(String, String, Int)].collect().toSet
+    // From a along the path: b@1, c@2, d@3; from e only its pair f@1 —
+    // the two BFS frontiers share rounds but never mix attributions.
+    assert(got === Set(("a", "b", 1), ("a", "c", 2), ("a", "d", 3), ("e", "f", 1)))
+    // Single-source tagged BFS degenerates to kHop exactly.
+    val plain = g.kHop(Seq("a").toDF("id"), 3).as[(String, Int)].collect().toSet
+    val tagged = g.kHopTagged(Seq(("a", "a")).toDF("tag", "id"), 3)
+      .select("id", "dist").as[(String, Int)].collect().toSet
+    assert(tagged === plain)
+  }
+
   test("kCore peels a hanging chain off a clique, cascading over multiple rounds") {
     // Triangle {1,2,3} (every node degree 2) with a chain 3-4-5 hanging off:
     // k=2 peeling must CASCADE — round 1 drops 5 (deg 1), which exposes 4
