@@ -34,7 +34,12 @@ object ScaleCurve {
     // member-vs-rep verify) — the production defense for t19's workload
     // growth on a dup-saturated corpus; its verify count is LINEAR in
     // cluster size where t19's is quadratic.
-    "t21_tiered_verify")
+    "t21_tiered_verify",
+    // round-7 additions: sub-document exact dedup (linear by design —
+    // the curve should show ~5×), the SQ8 quantize-train+encode+rescore
+    // pass, the iterative k-core peel, and the tagged landmark BFS.
+    "t22_block_dedup", "v11_sq8_rescore", "g11_kcore",
+    "g12_landmark_closeness")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()

@@ -85,4 +85,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), p.take(3000))
     assert(p.contains("HashAggregate"))
   }
+
+  test("v11 SQ8: codebook broadcasts, corpus never sort-merge joins, fused quantize projects once") {
+    val p = plan("v11_sq8_rescore")
+    // The O(dims) codebook and the probe set are the ONLY broadcast sides;
+    // the corpus side must never plan a SortMergeJoin (a corpus shuffle
+    // keyed for a join would mean the codes table is being moved to the
+    // probes instead of the other way around).
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // The encode∘decode stays ONE fused lambda: a resurrected named `code`
+    // column inlined under a second HOF re-introduces the O(dims²)
+    // interpreted blowup this query's comment documents. The fused form
+    // mentions `TINYINT` exactly twice per lambda (shift-in cast + the
+    // `-128` literal's branch) in a single Project — if `code` reappears
+    // as its own projected column the count jumps.
+    assert(!p.contains("AS code#") && !p.contains("code: array<tinyint>"),
+      "stored-code column must stay fused into the decode lambda:\n" + p.take(3000))
+  }
 }
