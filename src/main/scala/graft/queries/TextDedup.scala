@@ -125,6 +125,43 @@ object TextDedup extends QueryPack {
   private def lsh3(s: SparkSession, d: String): (DataFrame, DataFrame) =
     lshSig(s, d, n = 3, nHashes = 8)
 
+  /** 20-token blocks of each document — the sub-document dedup unit for
+    * t22/t23 ("paragraphs" for newline-free text; the machinery is
+    * unit-agnostic). One row per (doc_id, block index, block text); the
+    * last block keeps whatever tokens remain (both engines' list slicing
+    * clips identically). ceil(n/20) via truncating division — counts are
+    * positive.
+    */
+  private def docBlocks(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val nBlocks = ((size(t) + lit(19)) / lit(20)).cast("int")
+    docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nBlocks - 1),
+        b => concat_ws(" ", slice(t, b * 20 + 1, lit(20))))))
+      .select(col("doc_id"), col("pos").cast("long").as("b"), col("col").as("blk"))
+  }
+
+  /** Per-doc census after a block-level cut: blocks before/after, surviving
+    * token count, and the md5 of the reassembled (order-preserving) kept
+    * text — the hash pins block ORDER, not just the surviving set. Docs
+    * losing every block stay in the census with n_kept = 0 and NULL hash.
+    */
+  private def blockCensus(allBlocks: DataFrame, kept: DataFrame): DataFrame = {
+    val nb = allBlocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+    val agg = kept.groupBy(col("doc_id").as("kdoc"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("blk"), " "))).as("n_tokens_kept"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("b"), col("blk")))),
+          x => x("blk")))).as("kept_hash"))
+    nb.join(agg, nb("doc_id") === col("kdoc"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        col("kept_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Standing-corpus artifacts for t15 — the maintained tables a
     * continuously-ingesting deployment keeps alongside the corpus:
     * distinct normalized fingerprints, the corpus rows of the all-docs
@@ -562,36 +599,40 @@ object TextDedup extends QueryPack {
     // of the reassembled text) is the gate: the reassembly hash pins block
     // ORDER, not just the surviving set.
     "t22_block_dedup" -> { (s, d) =>
-      val t = split(col("text"), " ")
-      // ceil(n_tokens / 20) via truncating division — positive counts only.
-      val nBlocks = ((size(t) + lit(19)) / lit(20)).cast("int")
-      val blocks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), nBlocks - 1),
-            b => concat_ws(" ", slice(t, b * 20 + 1, lit(20))))))
-        .select(col("doc_id"), col("pos").cast("long").as("b"), col("col").as("blk"))
       // Packed first-occurrence key: 2^20 bounds blocks/doc (≈20M tokens),
       // far above any fixture or plausible document.
-      val occ = blocks
+      val occ = docBlocks(Tables.documents(s, d))
         .withColumn("bh", md5(col("blk")))
         .withColumn("occ", col("doc_id") * lit(1048576L) + col("b"))
       val first = occ.groupBy(col("bh")).agg(min(col("occ")).as("keep_occ"))
       val kept = occ.join(first, "bh").filter(col("occ") === col("keep_occ"))
-      val nb = blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
-      val agg = kept.groupBy(col("doc_id").as("kdoc"))
-        .agg(count(lit(1)).as("n_kept"),
-          sum(size(split(col("blk"), " "))).as("n_tokens_kept"),
-          md5(concat_ws(" ", transform(
-            sort_array(collect_list(struct(col("b"), col("blk")))),
-            x => x("blk")))).as("kept_hash"))
-      // Left join: a doc whose every block occurred earlier elsewhere stays
-      // in the census with n_kept = 0 and a NULL hash (fully-cut doc).
-      nb.join(agg, nb("doc_id") === col("kdoc"), "left")
-        .select(col("doc_id"), col("n_blocks"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-          col("kept_hash"))
-        .orderBy("doc_id")
+      blockCensus(occ, kept)
+    },
+
+    // T23: t22's cut run INCREMENTALLY — the production shape for a
+    // continuously-ingesting corpus (Dolma-style): the standing corpus
+    // maintains a distinct-block-hash table (persisted artifact, read back
+    // as plain parquet), and admitting a batch costs one anti-join of the
+    // BATCH's blocks against it plus t22's first-occurrence pass WITHIN
+    // the batch — cost scales with the batch, never the corpus (the t15
+    // incremental recipe at sub-document granularity). Census shape is
+    // t22's, over the batch docs only.
+    "t23_incremental_block_dedup" -> { (s, d) =>
+      import graft.sources.ArtifactStore
+      val standing = ArtifactStore.snapshot(s, d, "t23_corpus_blocks") {
+        docBlocks(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
+          .select(md5(col("blk")).as("bh")).distinct()
+      }
+      val batch = docBlocks(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+        .withColumn("bh", md5(col("blk")))
+      // Tier 1: any block the corpus has EVER seen is cut outright.
+      val fresh = batch.join(standing, Seq("bh"), "left_anti")
+      // Tier 2: first-occurrence-wins among the corpus-fresh batch blocks.
+      val occ = fresh.withColumn("occ", col("doc_id") * lit(1048576L) + col("b"))
+      val first = occ.groupBy(col("bh")).agg(min(col("occ")).as("keep_occ"))
+      val kept = occ.join(first, "bh").filter(col("occ") === col("keep_occ"))
+      blockCensus(batch, kept)
     },
 
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
@@ -992,6 +1033,34 @@ object TextDedup extends QueryPack {
          |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Shared CTE prefix for the t22/t23 oracles: 20-token blocks per doc
+    * (DuckDB's 1-based inclusive list slice clips the final partial block
+    * exactly as Spark's `slice`).
+    */
+  private val blockCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, CAST(u.b AS BIGINT) AS b,
+      |         array_to_string(t[(u.b*20+1):(u.b*20+20)], ' ') AS blk
+      |  FROM toks, UNNEST(range((len(t) + 19) // 20)) AS u(b)
+      |)""".stripMargin
+
+  /** Shared census tail for the t22/t23 oracles (mirrors [[blockCensus]]):
+    * `all` = the block universe counted per doc, `kept` = survivors.
+    */
+  private def blockCensusSql(all: String, kept: String): String =
+    s"""nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM $all GROUP BY doc_id),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         SUM(len(string_split(blk, ' '))) AS n_tokens_kept,
+       |         md5(string_agg(blk, ' ' ORDER BY b)) AS kept_hash
+       |  FROM $kept GROUP BY doc_id)
+       |SELECT nb.doc_id, nb.n_blocks,
+       |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |       a.kept_hash
+       |FROM nb LEFT JOIN agg a ON a.doc_id = nb.doc_id""".stripMargin
+
   /** t13's oracle margin, checked against the materialized census: the
     * oracle's 16 unrolled propagation rounds converge iff every cluster's
     * min-label eccentricity <= 16, and eccentricity <= n_members - 1, so
@@ -1154,29 +1223,34 @@ object TextDedup extends QueryPack {
     // packed doc_id*2^20+b first-occurrence key, same md5 reassembly hash
     // (string_agg ORDER BY b == concat_ws over the sorted struct array).
     "t22_block_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |blocks AS (
-        |  SELECT doc_id, CAST(u.b AS BIGINT) AS b,
-        |         array_to_string(t[(u.b*20+1):(u.b*20+20)], ' ') AS blk
-        |  FROM toks, UNNEST(range((len(t) + 19) // 20)) AS u(b)
-        |),
-        |occ AS (SELECT doc_id, b, blk, md5(blk) AS bh,
-        |               doc_id * 1048576 + b AS occ FROM blocks),
-        |keep AS (SELECT bh, MIN(occ) AS keep_occ FROM occ GROUP BY bh),
-        |kept AS (SELECT o.doc_id, o.b, o.blk FROM occ o
-        |         JOIN keep k ON o.bh = k.bh AND o.occ = k.keep_occ),
-        |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blocks GROUP BY doc_id),
-        |agg AS (
-        |  SELECT doc_id, COUNT(*) AS n_kept,
-        |         SUM(len(string_split(blk, ' '))) AS n_tokens_kept,
-        |         md5(string_agg(blk, ' ' ORDER BY b)) AS kept_hash
-        |  FROM kept GROUP BY doc_id)
-        |SELECT nb.doc_id, nb.n_blocks,
-        |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
-        |       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
-        |       a.kept_hash
-        |FROM nb LEFT JOIN agg a ON a.doc_id = nb.doc_id
-        |ORDER BY nb.doc_id""".stripMargin,
+      s"""WITH $blockCtes,
+         |occ AS (SELECT doc_id, b, blk, md5(blk) AS bh,
+         |               doc_id * 1048576 + b AS occ FROM blocks),
+         |keep AS (SELECT bh, MIN(occ) AS keep_occ FROM occ GROUP BY bh),
+         |kept AS (SELECT o.doc_id, o.b, o.blk FROM occ o
+         |         JOIN keep k ON o.bh = k.bh AND o.occ = k.keep_occ),
+         |${blockCensusSql("blocks", "kept")}
+         |ORDER BY nb.doc_id""".stripMargin,
+
+    // t23: same block CTEs, with the standing corpus (doc_id % 5 != 0) as
+    // a distinct-hash set and the batch anti-joined against it before
+    // t22's within-batch first-occurrence pass.
+    "t23_incremental_block_dedup" ->
+      s"""WITH $blockCtes,
+         |corpus_bh AS MATERIALIZED (
+         |  SELECT DISTINCT md5(blk) AS bh FROM blocks WHERE doc_id % 5 <> 0),
+         |batch AS MATERIALIZED (
+         |  SELECT doc_id, b, blk, md5(blk) AS bh FROM blocks WHERE doc_id % 5 = 0),
+         |fresh AS (
+         |  SELECT * FROM batch f
+         |  WHERE NOT EXISTS (SELECT 1 FROM corpus_bh c WHERE c.bh = f.bh)),
+         |occ AS (SELECT doc_id, b, blk, bh,
+         |               doc_id * 1048576 + b AS occ FROM fresh),
+         |keep AS (SELECT bh, MIN(occ) AS keep_occ FROM occ GROUP BY bh),
+         |kept AS (SELECT o.doc_id, o.b, o.blk FROM occ o
+         |         JOIN keep k ON o.bh = k.bh AND o.occ = k.keep_occ),
+         |${blockCensusSql("batch", "kept")}
+         |ORDER BY nb.doc_id""".stripMargin,
 
     // Reuses the t4 banding CTEs through `cand`; the trailing `jac` CTE is
     // plain (not MATERIALIZED), so DuckDB never evaluates it here. DuckDB

@@ -144,4 +144,27 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(census.filter(col("n_kept") < col("n_blocks")).count() > 0L)
     census.unpersist()
   }
+
+  test("t23 incremental block dedup: batch-only census, corpus tier binds, t22 agreement") {
+    val inc = graft.queries.TextDedup
+      .queries("t23_incremental_block_dedup")(spark, dir).cache()
+    val docs = Tables.documents(spark, dir)
+    // Census covers exactly the batch (doc_id % 5 == 0), nothing else.
+    assert(inc.count() === docs.filter(col("doc_id") % 5 === 0).count())
+    assert(inc.filter(col("doc_id") % 5 =!= 0).count() === 0L)
+    // The standing-corpus tier genuinely cuts something on the fixture.
+    assert(inc.filter(col("n_kept") < col("n_blocks")).count() > 0L)
+    // Agreement with the batch-wise one-shot pass: a batch block survives
+    // t23 iff it would survive a t22 run over corpus ∪ batch in which
+    // every corpus doc sorts BEFORE every batch doc — t22's own kept set
+    // restricted to batch docs is exactly that when corpus ids are
+    // remapped below the batch. Weaker but sufficient invariant here:
+    // t23 can never KEEP more blocks per doc than plain t22 (whose
+    // competitors are a subset ordered the same way within the batch).
+    val t22 = graft.queries.TextDedup.queries("t22_block_dedup")(spark, dir)
+      .select(col("doc_id"), col("n_kept").as("k22"))
+    val joined = inc.join(t22, "doc_id")
+    assert(joined.filter(col("n_kept") > col("k22")).count() === 0L)
+    inc.unpersist()
+  }
 }
