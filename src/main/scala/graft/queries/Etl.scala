@@ -74,6 +74,26 @@ object Etl extends QueryPack {
         .orderBy("n_nationkey")
     },
 
+    // S15: ORC round-trip — the OTHER columnar format a lake speaks
+    // (Hive-era warehouse tables): part plus a computed label column
+    // written as ORC and read back with a size predicate, so the write
+    // path (type mapping for long/int/double/string) and the read path
+    // (predicate reaching the ORC reader as a search argument — same
+    // PushedFilters contract the parquet scans pin in PlanShapeSpec) are
+    // both under the oracle gate. The oracle computes the identical rows
+    // straight off the parquet table: any precision or encoding loss in
+    // the ORC round-trip breaks the hash.
+    "s15_orc_roundtrip" -> { (s, d) =>
+      val tmp = scratchDir(s, d, "s15_orc")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+        .withColumn("label", concat(col("p_name"), lit(" #"), col("p_partkey")))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("p_size") >= 40)
+        .orderBy("p_partkey")
+    },
+
     // S10: scan over the MAINTAINED Z-ORDERED events layout — events
     // clustered by the Morton interleave of (user rank, time rank)
     // ([[graft.functions.ZOrder]]), range-partitioned and sorted by the
@@ -573,6 +593,11 @@ object Etl extends QueryPack {
     // Layout-invariance is the contract: the oracle runs the same box
     // predicate over the RAW events table; the z-ordered snapshot must
     // produce identical results.
+    "s15_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice,
+        |  p_name || ' #' || CAST(p_partkey AS VARCHAR) AS label
+        |FROM part WHERE p_size >= 40 ORDER BY p_partkey""".stripMargin,
+
     "s10_zorder_scan" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value

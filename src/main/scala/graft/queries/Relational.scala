@@ -336,6 +336,50 @@ object Relational extends QueryPack {
         .orderBy("check_name")
     },
 
+    // DQ6: distribution-drift audit — the check a pipeline runs when a new
+    // data window lands: compare the order-total distribution of the
+    // CURRENT window (orders from 1998 on) against the BASELINE window
+    // (pre-1998) over the same 10 fixed-width bins as dq4, reporting
+    // per-bin smoothed shares plus two drift scores: total-variation
+    // contribution |p−q|/2 and chi-square contribution (p−q)²/p.
+    // Deliberately NO log-based metric (PSI/KL): ln() is libm-dependent
+    // and cross-engine unsafe (the t18 precedent) while +,−,×,÷,abs are
+    // IEEE correctly-rounded, so every number here is bit-deterministic.
+    // Laplace smoothing ((n+1)/(N+bins)) keeps empty bins finite without
+    // any conditional, and both windows bin against the GLOBAL bounds so
+    // the bins mean the same thing on both sides. Shape: one scan, one
+    // 1-row bounds broadcast, one conditional-count hash agg, and the
+    // window totals run over the 10-row aggregate — nothing here grows
+    // with the table beyond the initial scan.
+    "dq6_drift" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      val raw = least(floor((col("o_totalprice") - col("lo")) * lit(10.0) /
+        (col("hi") - col("lo"))), lit(9.0)).cast("int")
+      val bin = when(col("hi") > col("lo"), raw).otherwise(lit(0))
+      val w = Window.partitionBy()
+      val pBase = (col("n_base") + lit(1)).cast("double") /
+        (sum(col("n_base")).over(w) + lit(10)).cast("double")
+      val pCur = (col("n_cur") + lit(1)).cast("double") /
+        (sum(col("n_cur")).over(w) + lit(10)).cast("double")
+      o.crossJoin(broadcast(bounds))
+        .select(bin.as("bin"),
+          (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("is_base"))
+        .groupBy(col("bin"))
+        .agg(count(when(col("is_base"), lit(1))).as("n_base"),
+          count(when(not(col("is_base")), lit(1))).as("n_cur"))
+        .withColumn("p_base", pBase)
+        .withColumn("p_cur", pCur)
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          round(col("p_base"), 6).as("p_base"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(abs(col("p_cur") - col("p_base")) / lit(2.0), 6).as("tvd_contrib"),
+          round((col("p_cur") - col("p_base")) * (col("p_cur") - col("p_base")) /
+            col("p_base"), 6).as("chi2_contrib"))
+        .orderBy("bin")
+    },
+
     // F5: conditional aggregation (CASE WHEN inside SUM).
     "f5_conditional" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -645,6 +689,33 @@ object Relational extends QueryPack {
         |  SELECT 'customer_inactive', COUNT(*)
         |  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |) ORDER BY check_name""".stripMargin,
+
+    // Shares divide exact integer counts cast to double — both engines
+    // compute the identical IEEE tree; round(,6) is cosmetic, not a crutch.
+    "dq6_drift" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+        |binned AS (
+        |  SELECT
+        |    CASE WHEN hi > lo
+        |      THEN CAST(least(floor((o_totalprice - lo) * 10.0 / (hi - lo)), 9) AS INTEGER)
+        |      ELSE 0 END AS bin,
+        |    (o_orderdate < TIMESTAMP '1998-01-01') AS is_base
+        |  FROM orders, b),
+        |pb AS (
+        |  SELECT bin,
+        |    COUNT(CASE WHEN is_base THEN 1 END) AS n_base,
+        |    COUNT(CASE WHEN NOT is_base THEN 1 END) AS n_cur
+        |  FROM binned GROUP BY bin)
+        |SELECT bin, n_base, n_cur,
+        |  round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur,
+        |  round(abs(p_cur - p_base) / 2.0, 6) AS tvd_contrib,
+        |  round((p_cur - p_base) * (p_cur - p_base) / p_base, 6) AS chi2_contrib
+        |FROM (
+        |  SELECT bin, n_base, n_cur,
+        |    CAST(n_base + 1 AS DOUBLE) / CAST(SUM(n_base) OVER () + 10 AS DOUBLE) AS p_base,
+        |    CAST(n_cur + 1 AS DOUBLE) / CAST(SUM(n_cur) OVER () + 10 AS DOUBLE) AS p_cur
+        |  FROM pb)
+        |ORDER BY bin""".stripMargin,
 
     "f5_conditional" ->
       """SELECT l_returnflag,
