@@ -500,8 +500,43 @@ object Graph extends QueryPack {
           round(col("hsum") / lit(1e12), 6).as("closeness"))
         .orderBy(col("closeness").desc, col("node").asc)
         .limit(100)
+    },
+
+    // G13: NEIGHBORHOOD FUNCTION N(h) — reachable (source, node) pairs per
+    // hop distance from a fixed sample of sources, the census behind
+    // effective-diameter estimation (ANF/HyperBall's target quantity).
+    // Exact N(h) is all-pairs BFS (O(V·E) — impossible at 100 TB); the two
+    // tractable estimators are (a) a source SAMPLE with exact per-source
+    // BFS — this query, one tagged multi-source loop so rounds (the scarce
+    // resource, each a shuffle) are shared across all sources — and
+    // (b) HyperBall's per-node HLL frontier sketches, which like
+    // a3_approx_distinct are engine-specific and can't cross the oracle
+    // gate. `at_eff_horizon` marks the first hop where the cumulative
+    // count reaches 90% of the WITHIN-HORIZON total (integer 10·cum ≥
+    // 9·total — no float division): the effective-diameter estimate
+    // RELATIVE to the explored horizon, which is what a bounded-round
+    // deployment actually measures.
+    "g13_neighborhood" -> { (s, d) =>
+      val srcs = Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 2).as("id")).distinct()
+        .orderBy("id").limit(NbrSources)
+        .select(col("id").as("tag"), col("id"))
+      val census = symGraph(s, d).kHopTagged(srcs, NbrDepth)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      val wCum = Window.partitionBy().orderBy(col("dist"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census
+        .withColumn("n_cum", sum(col("n_pairs")).over(wCum))
+        .withColumn("n_total", sum(col("n_pairs")).over(Window.partitionBy()))
+        .select(col("dist"), col("n_pairs"), col("n_cum"),
+          (col("n_cum") * lit(10) >= col("n_total") * lit(9)).cast("int")
+            .as("at_eff_horizon"))
+        .orderBy("dist")
     }
   )
+
+  private val NbrSources = 16
+  private val NbrDepth = 4
 
   private val KCoreK = 4
   private val KCoreOracleRounds = 6
@@ -857,6 +892,41 @@ object Graph extends QueryPack {
          |    round(CAST(SUM(1000000000000 // dist) AS DOUBLE) / 1000000000000.0, 6) AS closeness
          |  FROM v3 WHERE dist > 0 GROUP BY id
          |) ORDER BY closeness DESC, node ASC LIMIT 100""".stripMargin
+    },
+
+    // Same tagged-BFS unroll as g12 (fixed depth, not a convergence
+    // margin), wider source set; the census window sums are integer.
+    "g13_neighborhood" -> {
+      def hop(prev: String, cur: String, i: Int) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT tag, id, dist FROM $prev
+           |  UNION ALL
+           |  SELECT f.tag, f.id, $i AS dist FROM (
+           |    SELECT DISTINCT v.tag, e2.dst AS id
+           |    FROM edges e2 JOIN $prev v ON e2.src = v.id AND v.dist = ${i - 1}
+           |  ) f
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev p WHERE p.tag = f.tag AND p.id = f.id)
+           |)""".stripMargin
+      s"""WITH e AS MATERIALIZED ($edgesSql),
+         |edges AS MATERIALIZED (
+         |  $symEdgesSql
+         |),
+         |lm AS (SELECT id AS tag, id FROM (
+         |  SELECT DISTINCT l_orderkey * 2 AS id FROM lineitem ORDER BY id LIMIT 16)),
+         |v0 AS (SELECT tag, id, 0 AS dist FROM lm),
+         |${hop("v0", "v1", 1)},
+         |${hop("v1", "v2", 2)},
+         |${hop("v2", "v3", 3)},
+         |${hop("v3", "v4", 4)},
+         |census AS (SELECT dist, COUNT(*) AS n_pairs FROM v4 WHERE dist > 0 GROUP BY dist)
+         |SELECT dist, n_pairs, n_cum,
+         |  CAST(n_cum * 10 >= n_total * 9 AS INTEGER) AS at_eff_horizon
+         |FROM (
+         |  SELECT dist, n_pairs,
+         |    CAST(SUM(n_pairs) OVER (ORDER BY dist ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+         |    CAST(SUM(n_pairs) OVER () AS BIGINT) AS n_total
+         |  FROM census)
+         |ORDER BY dist""".stripMargin
     }
   )
 }

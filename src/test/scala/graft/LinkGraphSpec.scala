@@ -204,6 +204,24 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  test("neighborhood census over tagged BFS: path graph pair counts per hop") {
+    // Path a-b-c-d-e, sources {a, c}: exact per-hop pair counts are
+    // h=1 → {a→b, c→b, c→d} = 3, h=2 → {a→c, c→a, c→e} = 3,
+    // h=3 → {a→d} = 1, h=4 → {a→e} = 1. Cumulative 3,6,7,8; the 90%
+    // effective horizon (10·cum ≥ 9·total ⇔ cum ≥ 7.2 ⇒ cum=8) is h=4.
+    val g = new LinkGraph(
+      Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+        .toDF("src", "dst")).symmetrized
+    val srcs = Seq(("a", "a"), ("c", "c")).toDF("tag", "id")
+    val census = g.kHopTagged(srcs, 4)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .orderBy("dist").as[(Int, Long)].collect().toSeq
+    assert(census === Seq((1, 3L), (2, 3L), (3, 1L), (4, 1L)))
+    val cums = census.scanLeft(0L)(_ + _._2).tail
+    val total = cums.last
+    assert(cums.map(c => c * 10 >= total * 9) === Seq(false, false, false, true))
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),
