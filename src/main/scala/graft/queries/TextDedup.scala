@@ -942,6 +942,64 @@ object TextDedup extends QueryPack {
           davg(col("n_chars").cast("double")).as("avg_chars"),
           sum(size(split(col("text"), " "))).as("total_tokens"))
         .orderBy("lang", "source")
+    },
+
+    // T24: SimHash HAMMING-RADIUS near-dup via banded LSH — the other half
+    // of the simhash story (t6 computes signatures; this one searches
+    // them). 48-bit signature (t6's construction widened to all 4 bits of
+    // md5 nibbles 1..12), split into 4 × 12-bit bands; docs sharing ANY
+    // band value are candidates, verified by exact hamming distance ≤ 3.
+    // By pigeonhole 4 bands cover radius 3 EXACTLY (3 flipped bits cannot
+    // touch all 4 bands), so the banded result EQUALS brute force — and the
+    // oracle IS the all-pairs brute force, making the completeness claim
+    // the thing the hash gate checks.
+    //
+    // Scale shape: signatures are one codegen'd HOF pass (no shuffle), the
+    // band join keys a shuffle on (band, value) — 4 rows/doc, bucket space
+    // 4096/band here (65536/band with the 64-bit production width), and
+    // within-bucket pair cost is quadratic ONLY in the dup-cluster size.
+    // Deliberately uncapped: a cap would break the radius-3 completeness
+    // contract; the production defense against adversarial buckets is
+    // collapsing exact dups (t3) BEFORE banding, which bounds cluster
+    // width, not a lossy cap.
+    "t24_simhash_band" -> { (s, d) =>
+      // ±1 bit contributions for bits 1..48 of md5(tok): nibble p = hex
+      // char p, bits high→low. Static p/k keep the lambda tree small and
+      // branch-free (48 CASEs, no per-element div/mod arithmetic).
+      def tokBits(tok: Column): Column = {
+        val h = md5(tok)
+        concat((1 to 12).map { p =>
+          val v = conv(h.substr(lit(p), lit(1)), 16, 10).cast("long")
+          array((3 to 0 by -1).map(k =>
+            when(shiftright(v, k).bitwiseAND(lit(1L)) === 1L, lit(1L))
+              .otherwise(lit(-1L))): _*)
+        }: _*)
+      }
+      val t = array_distinct(split(col("text"), " "))
+      val sig = aggregate(
+        transform(
+          aggregate(t, array_repeat(lit(0L), 48),
+            (acc, tok) => zip_with(acc, tokBits(tok), (a, b) => a + b)),
+          b => when(b >= 0, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (a, b) => a * 2 + b)
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), sig.as("sig"))
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), 36 - 12 * b).bitwiseAND(lit(0xFFFL))
+              .as("bv"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bv"))
+      val a = banded.select(col("band"), col("bv"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bv"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -1456,6 +1514,30 @@ object TextDedup extends QueryPack {
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // BRUTE-FORCE all-pairs hamming ≤ 3 — deliberately NOT the banded
+    // plan: matching hashes prove the 4-band LSH candidate set is complete
+    // at radius 3 (pigeonhole), not just self-consistent. Signature
+    // arithmetic mirrors the Spark tree bit-for-bit: same md5 nibble →
+    // 4 bits expansion, same ±1 majority, same MSB-first packing.
+    "t24_simhash_band" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tk FROM documents
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tk), ((j-1)//4)+1, 1)) - 1)
+        |          >> (3 - ((j-1)%4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT unnest(range(1,49)) AS j)
+        |  GROUP BY doc_id, j
+        |), sig AS MATERIALIZED (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN 1::BIGINT << (48-j) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
