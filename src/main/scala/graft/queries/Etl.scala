@@ -94,6 +94,34 @@ object Etl extends QueryPack {
         .orderBy("p_partkey")
     },
 
+    // S16: DYNAMIC PARTITION OVERWRITE — the idempotent daily-backfill
+    // primitive: events land day-partitioned, then ONE day is re-landed
+    // (values ×2 here) with partitionOverwriteMode=dynamic, which replaces
+    // exactly the partitions present in the incoming frame and leaves the
+    // other 29 untouched (static mode would truncate the whole table —
+    // SourcesSpec pins that contrast). The readback aggregates per day, so
+    // the oracle (raw events with the one day CASE-doubled) verifies BOTH
+    // that the revised day took the new values AND that no other
+    // partition was dropped or rewritten. At 100 TB this is the only sane
+    // re-land shape: the write cost is the revised day's bytes, not the
+    // table's, and downstream partition pruning is untouched.
+    "s16_partition_overwrite" -> { (s, d) =>
+      val tmp = scratchDir(s, d, "s16_dpo")
+      val e = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        e.write.mode("overwrite").partitionBy("day").parquet(tmp)
+        e.filter(col("day") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(tmp)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    },
+
     // S10: scan over the MAINTAINED Z-ORDERED events layout — events
     // clustered by the Morton interleave of (user rank, time rank)
     // ([[graft.functions.ZOrder]]), range-partitioned and sorted by the
@@ -597,6 +625,16 @@ object Etl extends QueryPack {
       """SELECT p_partkey, p_name, p_size, p_retailprice,
         |  p_name || ' #' || CAST(p_partkey AS VARCHAR) AS label
         |FROM part WHERE p_size >= 40 ORDER BY p_partkey""".stripMargin,
+
+    // Raw events with the revised day CASE-doubled: matches the readback
+    // only if the dynamic overwrite replaced exactly that day's partition
+    // and left every other day's rows and values byte-identical.
+    "s16_partition_overwrite" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+        |                     THEN value * 2 ELSE value END
+        |                AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "s10_zorder_scan" ->
       """SELECT event_type, COUNT(*) AS n,

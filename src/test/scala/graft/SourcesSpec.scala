@@ -92,6 +92,32 @@ class SourcesSpec extends AnyFunSuite {
       s"expected partition filters in:\n$plan")
   }
 
+  test("dynamic partition overwrite replaces only incoming partitions; static truncates") {
+    val src = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val langs = src.select("lang").distinct().count()
+    assert(langs > 1, "fixture must have multiple langs for this test")
+    val out = Files.createTempDirectory("graft_dpo_").toString
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      src.write.mode("overwrite").partitionBy("lang").parquet(out)
+      val revised = src.filter(col("lang") === "en")
+        .withColumn("text", upper(col("text")))
+      // Dynamic: only lang=en is replaced — other partitions survive and
+      // the revised rows carry the new values.
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      revised.write.mode("overwrite").partitionBy("lang").parquet(out)
+      val back = spark.read.parquet(out)
+      assert(back.select("lang").distinct().count() === langs)
+      assert(back.count() === src.count())
+      assert(back.filter(col("lang") === "en" &&
+        col("text") =!= upper(col("text"))).count() === 0L)
+      // Static: the SAME write truncates the whole table down to lang=en.
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      revised.write.mode("overwrite").partitionBy("lang").parquet(out)
+      assert(spark.read.parquet(out).select("lang").distinct().count() === 1L)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("bucketed tables eliminate the shuffle for key-aggregations and key-joins") {
     val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val wasBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
