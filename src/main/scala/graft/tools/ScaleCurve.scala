@@ -72,7 +72,7 @@ object ScaleCurve {
     * artifact build bled into the timed window; its true warm ratio is
     * ~4.6 and now the table says so on its own.
     */
-  private def time(s: SparkSession, name: String, dir: String): (Double, Double) = {
+  private def time(s: SparkSession, name: String, dir: String): (Double, Double, Long) = {
     def once(): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(s, dir).write.mode("overwrite")
@@ -80,7 +80,14 @@ object ScaleCurve {
       (System.nanoTime() - t0) / 1e9
     }
     val cold = once()
-    (cold, math.min(once(), once()))
+    val warm = math.min(once(), once())
+    // Output-row count = the query's TRUE workload at this scale (for g4
+    // it's the emitted common-neighbor pairs, for t19 the verified
+    // candidate pairs, for t21 the members char-verified). Counted in a
+    // separate untimed run so the noop-write timings stay comparable
+    // across rounds.
+    val rows = SparkEntry.queries(name)(s, dir).count()
+    (cold, warm, rows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,11 +99,12 @@ object ScaleCurve {
 
     val rows = Queries.flatMap { q =>
       try {
-        val (c1, t1) = time(spark, q, base)
-        val (c5, t5) = time(spark, q, big)
+        val (c1, t1, n1) = time(spark, q, base)
+        val (c5, t5, n5) = time(spark, q, big)
         println(f"[scale] $q%-26s sf0.1=$t1%7.2fs (build+first $c1%.2f) " +
-          f"5x=$t5%7.2fs (build+first $c5%.2f) warm ratio=${t5 / t1}%5.2f")
-        Some((q, c1, t1, c5, t5, t5 / t1))
+          f"5x=$t5%7.2fs (build+first $c5%.2f) warm ratio=${t5 / t1}%5.2f " +
+          f"rows $n1%d -> $n5%d")
+        Some((q, c1, t1, c5, t5, t5 / t1, n1, n5))
       } catch {
         case e: Throwable =>
           // Margin requires may legitimately fire on the synthesized data
@@ -121,11 +129,25 @@ object ScaleCurve {
     md.append("**ratio column is warm-5×/warm-sf0.1**, with no build bleed.\n\n")
     md.append("A warm ratio ≤ ~6 on 5× data means the operator's cost curve ")
     md.append("is bending\nsub-quadratically — caps/bucketing are doing ")
-    md.append("their job.\n\n")
-    md.append("| query | sf0.1 build+first (s) | sf0.1 warm (s) | 5× build+first (s) | 5× warm (s) | warm ratio |\n")
-    md.append("|---|---|---|---|---|---|\n")
-    rows.foreach { case (q, c1, t1, c5, t5, r) =>
-      md.append(f"| $q | $c1%.2f | $t1%.2f | $c5%.2f | $t5%.2f | $r%.2f |\n")
+    md.append("their job. For queries whose TRUE\nworkload legitimately grows ")
+    md.append("faster than the data (the synthesized corpus gives\nevery ")
+    md.append("document 4 near-identical copies, so near-dup candidate pairs ")
+    md.append("grow\nsuper-linearly BY CONSTRUCTION), the `rows ×` column — the ")
+    md.append("measured growth of\nthe query's own output (emitted pairs / ")
+    md.append("verified members / cluster rows) — is\nthe denominator that ")
+    md.append("matters: **`time÷rows` = warm-ratio ÷ rows-ratio is the\n")
+    md.append("structural number**. The self-certifying bar: **warm ratio ≤ ~6, ")
+    md.append("OR\ntime÷rows ≤ ~2** (linear in its measured workload). A ")
+    md.append("quadratic operator\nwould fail both — its time grows ~25× while ")
+    md.append("its output can't. (For\nsmall-fixed-output queries — top-k, ")
+    md.append("global aggregates — rows × sits near 1\nand the warm-ratio arm ")
+    md.append("is the operative one.)\n\n")
+    md.append("| query | sf0.1 build+first (s) | sf0.1 warm (s) | 5× build+first (s) | 5× warm (s) | warm ratio | rows sf0.1 | rows 5× | rows × | time÷rows |\n")
+    md.append("|---|---|---|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (q, c1, t1, c5, t5, r, n1, n5) =>
+      val rowsRatio = if (n1 > 0) n5.toDouble / n1 else Double.NaN
+      md.append(f"| $q | $c1%.2f | $t1%.2f | $c5%.2f | $t5%.2f | $r%.2f " +
+        f"| $n1%d | $n5%d | $rowsRatio%.2f | ${r / rowsRatio}%.2f |\n")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("audits/bench_scale_curve.md"), md.toString)
