@@ -532,6 +532,45 @@ object Graph extends QueryPack {
           (col("n_cum") * lit(10) >= col("n_total") * lit(9)).cast("int")
             .as("at_eff_horizon"))
         .orderBy("dist")
+    },
+
+    // G14: LOCAL CLUSTERING COEFFICIENT over the co-occurrence projection —
+    // cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the per-node density measure
+    // behind community/spam detection (a node whose neighbors all know each
+    // other is in a clique; a pure hub has cc≈0). Triangles come from the
+    // SAME oriented node-iterator join as g7 (each triangle emitted once,
+    // then exploded to credit all three corners), and the projection
+    // inherits g4's LIVE hub cap, so the wedge count is structurally
+    // bounded at any scale. One localCheckpoint feeds all four consumers
+    // (three join legs + degree) without re-deriving the pair pipeline.
+    // The cc itself is ONE IEEE division of two exact integers (2·T and
+    // deg·(deg−1)), rounded to 6dp on both engines before the ORDER
+    // BY/LIMIT so the cut line is deterministic.
+    "g14_clustering_coeff" -> { (s, d) =>
+      val proj = new LinkGraph(edges(s, d).select(col("o").as("src"), col("p").as("dst")))
+        .coSourcePairs(HubCap)
+        .filter(col("n_common") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val tri = proj.as("e1")
+        .join(proj.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        .join(proj.as("e3"),
+          col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+      val triPerNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      val deg = proj.select(col("a").as("id"))
+        .union(proj.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(triPerNode, Seq("id"), "left")
+        .na.fill(0, Seq("n_tri"))
+        .select(col("id").as("o"), col("deg"), col("n_tri"),
+          round((col("n_tri") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)), 6).as("cc"))
+        .orderBy(col("cc").desc, col("o").asc)
+        .limit(50)
     }
   )
 
@@ -649,6 +688,45 @@ object Graph extends QueryPack {
          |  round(CAST(p.n_common AS DOUBLE) / (da.deg + db.deg - p.n_common), 6) AS jaccard
          |FROM pairs p JOIN deg da ON p.o1 = da.o JOIN deg db ON p.o2 = db.o
          |ORDER BY jaccard DESC, o1 ASC, o2 ASC LIMIT 20""".stripMargin,
+
+    // Same capped projection and oriented triangle join as g7's oracle;
+    // triangles exploded to all three corners, degrees over the undirected
+    // projection, one int/int division rounded to 6dp.
+    "g14_clustering_coeff" ->
+      s"""WITH e AS ($edgesSql),
+         |capped AS (
+         |  SELECT o, p FROM (
+         |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
+         |  ) WHERE rn <= $HubCap
+         |),
+         |proj AS (
+         |  SELECT a.o AS a, b.o AS b
+         |  FROM capped a JOIN capped b ON a.p = b.p AND a.o < b.o
+         |  GROUP BY a.o, b.o HAVING COUNT(*) >= 2
+         |),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM proj e1 JOIN proj e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM proj e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+         |),
+         |tpn AS (
+         |  SELECT id, COUNT(*) AS n_tri FROM (
+         |    SELECT x AS id FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri
+         |  ) GROUP BY id
+         |),
+         |deg AS (
+         |  SELECT id, COUNT(*) AS deg FROM (
+         |    SELECT a AS id FROM proj UNION ALL SELECT b FROM proj
+         |  ) GROUP BY id
+         |)
+         |SELECT deg.id AS o, deg.deg, COALESCE(tpn.n_tri, 0) AS n_tri,
+         |  round(CAST(2 * COALESCE(tpn.n_tri, 0) AS DOUBLE) /
+         |        (deg.deg * (deg.deg - 1)), 6) AS cc
+         |FROM deg LEFT JOIN tpn ON deg.id = tpn.id
+         |WHERE deg.deg >= 2
+         |ORDER BY cc DESC, o ASC LIMIT 50""".stripMargin,
 
     "g6_khop" ->
       s"""WITH e AS ($edgesSql),
