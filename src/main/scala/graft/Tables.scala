@@ -23,17 +23,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read nanos as long and truncate to microsecond timestamps —
-    * integer division, matching DuckDB's ns→µs truncation. The division is
-    * done in longs (`DIV`), never via double, which would lose precision
-    * above 2^53 ns (~year 1970+104 days... i.e. immediately).
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (older
+    * generators — Spark 4 rejects nanos by default, so read as long and
+    * truncate) and plain TIMESTAMP(MICROS) (current generator — usable
+    * directly). Sniff the decoded type and normalize to a microsecond
+    * TimestampType either way. The nanos→µs division is done in longs
+    * (`DIV`), never via double, which would lose precision above 2^53 ns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) decodes as NTZ; cast to
+        // TIMESTAMP (session tz is pinned UTC, so the cast is value-
+        // preserving) because watermarks/unix_micros require the LTZ type.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -270,17 +270,25 @@ object StreamOps {
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.Tables.events(s, dir).schema
-    // File-stream source reads the raw parquet (ts as long nanos per the
-    // legacy conf), then truncates to µs timestamps like the batch path.
+    // Sniff the on-disk ts type via the batch reader: older generators wrote
+    // TIMESTAMP(NANOS) (decoded as long under the legacy conf, truncated to
+    // µs here), the current one writes TIMESTAMP(MICROS) (streamed as-is).
     // The table is a single file; the file-stream source wants a directory,
     // so stream the sf dir with a glob restricted to the events table.
+    val rawBatch = s.read.parquet(s"$dir/events.parquet")
     val raw = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        schema.map(f => if (f.name == "ts")
-          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .schema(rawBatch.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    rawBatch.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→LTZ cast is value-preserving under the UTC session tz;
+        // watermarks require TimestampType.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }
