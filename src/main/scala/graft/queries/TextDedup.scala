@@ -963,26 +963,27 @@ object TextDedup extends QueryPack {
     // collapsing exact dups (t3) BEFORE banding, which bounds cluster
     // width, not a lossy cap.
     "t24_simhash_band" -> { (s, d) =>
-      // ±1 bit contributions for bits 1..48 of md5(tok): nibble p = hex
-      // char p, bits high→low. Static p/k keep the lambda tree small and
-      // branch-free (48 CASEs, no per-element div/mod arithmetic).
-      def tokBits(tok: Column): Column = {
-        val h = md5(tok)
-        concat((1 to 12).map { p =>
-          val v = conv(h.substr(lit(p), lit(1)), 16, 10).cast("long")
-          array((3 to 0 by -1).map(k =>
-            when(shiftright(v, k).bitwiseAND(lit(1L)) === 1L, lit(1L))
-              .otherwise(lit(-1L))): _*)
-        }: _*)
-      }
-      val t = array_distinct(split(col("text"), " "))
-      val sig = aggregate(
-        transform(
-          aggregate(t, array_repeat(lit(0L), 48),
-            (acc, tok) => zip_with(acc, tokBits(tok), (a, b) => a + b)),
-          b => when(b >= 0, lit(1L)).otherwise(lit(0L))),
-        lit(0L), (a, b) => a * 2 + b)
-      val sigs = Tables.documents(s, d)
+      // Signature as ONE whole-stage-codegen aggregate rather than a
+      // per-row HOF fold (HigherOrderFunctions don't codegen; the fold was
+      // the entire runtime). Explode distinct tokens, hash each token ONCE
+      // to its 48 leading md5 bits as a single long (nibbles 1..12,
+      // high→low — the same bit order as expanding each hex nibble's 4
+      // bits in sequence), then take 48 ±1 majority sums per doc in a
+      // single HashAggregate — partial (map-side) aggregation means the
+      // doc_id shuffle carries 49 longs per doc, not the token stream.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tk"))
+        .select(col("doc_id"),
+          conv(md5(col("tk")).substr(lit(1), lit(12)), 16, 10).cast("long")
+            .as("hv"))
+      val bitSums = (0 to 47).map(k =>
+        sum(shiftright(col("hv"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k"))
+      val sig = (0 to 47).map(k =>
+        when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)): Column)
+        .reduce(_ + _)
+      val sigs = toks.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), sig.as("sig"))
       val banded = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 to 3).map(b =>
