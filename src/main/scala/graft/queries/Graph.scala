@@ -637,7 +637,7 @@ object Graph extends QueryPack {
 
     "g4_common_neighbors" ->
       s"""WITH e AS ($edgesSql),
-         |capped AS (
+         |capped AS MATERIALIZED (
          |  SELECT o, p FROM (
          |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
          |  ) WHERE rn <= $HubCap
@@ -654,12 +654,12 @@ object Graph extends QueryPack {
     // with an EXISTS closing edge.
     "g7_triangles" ->
       s"""WITH e AS ($edgesSql),
-         |capped AS (
+         |capped AS MATERIALIZED (
          |  SELECT o, p FROM (
          |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
          |  ) WHERE rn <= $HubCap
          |),
-         |proj AS (
+         |proj AS MATERIALIZED (
          |  SELECT a.o AS a, b.o AS b
          |  FROM capped a JOIN capped b ON a.p = b.p AND a.o < b.o
          |  GROUP BY a.o, b.o HAVING COUNT(*) >= 2
@@ -673,7 +673,7 @@ object Graph extends QueryPack {
     // int/int division rounded to 6dp on both engines.
     "g8_link_predict" ->
       s"""WITH e AS ($edgesSql),
-         |capped AS (
+         |capped AS MATERIALIZED (
          |  SELECT o, p FROM (
          |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
          |  ) WHERE rn <= $HubCap
@@ -694,17 +694,17 @@ object Graph extends QueryPack {
     // projection, one int/int division rounded to 6dp.
     "g14_clustering_coeff" ->
       s"""WITH e AS ($edgesSql),
-         |capped AS (
+         |capped AS MATERIALIZED (
          |  SELECT o, p FROM (
          |    SELECT o, p, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM e
          |  ) WHERE rn <= $HubCap
          |),
-         |proj AS (
+         |proj AS MATERIALIZED (
          |  SELECT a.o AS a, b.o AS b
          |  FROM capped a JOIN capped b ON a.p = b.p AND a.o < b.o
          |  GROUP BY a.o, b.o HAVING COUNT(*) >= 2
          |),
-         |tri AS (
+         |tri AS MATERIALIZED (
          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |  FROM proj e1 JOIN proj e2 ON e1.b = e2.a
          |  WHERE EXISTS (SELECT 1 FROM proj e3 WHERE e3.a = e1.a AND e3.b = e2.b)
