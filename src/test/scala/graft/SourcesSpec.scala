@@ -147,4 +147,38 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS edges_bucketed")
     }
   }
+
+  test("events.ts normalizes to TIMESTAMP under both parquet encodings") {
+    import org.apache.spark.sql.types._
+    // The driver's generator has shipped ts as TIMESTAMP(NANOS) (decoded
+    // long) and TIMESTAMP(MICROS) (decoded NTZ); both must surface as the
+    // LTZ TimestampType with identical µs values (UTC session).
+    val base = Tables.events(spark, dir)
+    assert(base.schema("ts").dataType == TimestampType,
+      s"live testdata must normalize to TimestampType, got ${base.schema("ts").dataType}")
+
+    // Synthesize both encodings from the same instants and re-read through
+    // the accessor: long nanos (legacy path, ns→µs truncation in longs)
+    // and NTZ micros (current path, value-preserving cast).
+    val micros = Seq(0L, 1L, 999999L, 1700000000123456L)
+    val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    val nanosDir = Files.createTempDirectory("graft_ev_ns_").toString
+    spark.createDataFrame(rows).toDF("event_id", "us")
+      .selectExpr("event_id", "us * 1000 + 999 AS ts") // sub-µs ns must truncate
+      .coalesce(1).write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val ntzDir = Files.createTempDirectory("graft_ev_ntz_").toString
+    spark.createDataFrame(rows).toDF("event_id", "us")
+      .selectExpr("event_id",
+        "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) AS ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    for (d <- Seq(nanosDir, ntzDir)) {
+      val got = Tables.events(spark, d)
+      assert(got.schema("ts").dataType == TimestampType, s"dir=$d")
+      val vals = got.select(unix_micros(col("ts")))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      assert(vals == micros.sorted, s"dir=$d got $vals")
+    }
+  }
 }
