@@ -1001,6 +1001,73 @@ object TextDedup extends QueryPack {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // T25: Gopher/C4-style REPETITION quality filter — the rule family
+    // those pipelines apply before any fuzzy dedup: drop documents whose
+    // token stream is dominated by repetition. Three per-doc metrics:
+    //   uniq_ratio    = distinct tokens / tokens        (vocabulary spread)
+    //   top_tok_frac  = most-frequent token count / n   (single-token loops)
+    //   top2_frac     = tokens inside the most frequent 2-gram / n
+    //                   (= 2·mode(2gram)/n, phrase loops)
+    // Shape for 100 TB: two explode→count→max chains, both partially
+    // aggregated map-side and keyed by doc_id (the same co-partitioning
+    // every other per-doc stage uses), then one doc_id join — no windows
+    // over the token stream, no per-row histogram HOFs (those don't
+    // codegen; see t24's history). Thresholds sit at the fixture's metric
+    // medians so the gate check exercises both branches; keep is surfaced
+    // as INT alongside the metrics so the oracle pins the arithmetic, not
+    // just the survivors.
+    "t25_repetition_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = split(col("text"), " ")
+      val base = docs.select(col("doc_id"), size(t).as("n"), t.as("tk"))
+      val tokTop = base.select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_tok"), count(lit(1)).as("n_uniq"))
+      val g2Top = base.filter(col("n") >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), col("n") - 1),
+          i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("gm"))
+        .groupBy(col("doc_id"), col("gm")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+      base.drop("tk")
+        .join(tokTop, Seq("doc_id"))
+        .join(g2Top, Seq("doc_id"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(col("n_uniq") / col("n"), 6).as("uniq_ratio"),
+          round(col("top_tok") / col("n"), 6).as("top_tok_frac"),
+          round(col("top2") * 2 / col("n"), 6).as("top2_frac"))
+        .withColumn("keep",
+          (col("uniq_ratio") >= 0.35 && col("top_tok_frac") <= 0.12 &&
+            col("top2_frac") <= 0.10).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // T26: temperature (α = 0.5, "square-root") language resampling — the
+    // multilingual mix-rebalancing step between t14's full balance (α → 0)
+    // and no resampling (α = 1): language l keeps rate √(n_min/n_l), so
+    // kept counts ∝ √n_l. The keep gate is ALL-INTEGER in DECIMAL(38,0) —
+    // u²·n_l < n_min·10¹² with u = md5-hash % 10⁶ — no double sqrt or
+    // division whose rounding could diverge between engines, and the
+    // decimal width survives corpus counts (u²·n overflows INT64 past
+    // n ≈ 9·10⁶ rows per language; 10 TB of docs is ~10¹⁰). Per-doc,
+    // repartition-stable, and the per-language rate table is one tiny
+    // broadcast row per language — the corpus never shuffles.
+    "t26_temperature_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min(col("n_docs")).as("min_n"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      docs.join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(minN))
+        .filter(u.cast(dec) * u * col("n_docs") <
+          col("min_n").cast(dec) * lit(1000000000000L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1539,6 +1606,42 @@ object TextDedup extends QueryPack {
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "t25_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |base AS (SELECT doc_id, len(tk) AS n FROM t),
+        |tc AS (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w
+        |), ta AS (
+        |  SELECT doc_id, MAX(c) AS top_tok, COUNT(*) AS n_uniq FROM tc GROUP BY doc_id
+        |), gc AS (
+        |  SELECT doc_id, gm, COUNT(*) AS c FROM (
+        |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gm
+        |    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
+        |  ) GROUP BY doc_id, gm
+        |), ga AS (SELECT doc_id, MAX(c) AS top2 FROM gc GROUP BY doc_id)
+        |SELECT base.doc_id, n AS n_tokens,
+        |  round(n_uniq / n, 6) AS uniq_ratio,
+        |  round(top_tok / n, 6) AS top_tok_frac,
+        |  round(top2 * 2 / n, 6) AS top2_frac,
+        |  CAST(round(n_uniq / n, 6) >= 0.35 AND round(top_tok / n, 6) <= 0.12
+        |       AND round(top2 * 2 / n, 6) <= 0.10 AS INT) AS keep
+        |FROM base JOIN ta ON base.doc_id = ta.doc_id
+        |JOIN ga ON base.doc_id = ga.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "t26_temperature_sample" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |mn AS (SELECT MIN(n_docs) AS min_n FROM counts),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, u.lang FROM u JOIN counts ON u.lang = counts.lang CROSS JOIN mn
+        |WHERE CAST(u AS DECIMAL(38,0)) * u * n_docs < CAST(min_n AS DECIMAL(38,0)) * 1000000000000
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -197,4 +197,54 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(dupPairs.subsetOf(bandedZero),
       s"missing exact-dup pairs: ${dupPairs.diff(bandedZero).take(5)}")
   }
+
+  test("t25 repetition metrics: bounds, identities, and keep consistency") {
+    val res = graft.queries.TextDedup.queries("t25_repetition_filter")(spark, dir)
+    val rows = res.collect()
+    assert(rows.length == Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val (n, uniq, topTok, top2, keep) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5))
+      assert(n >= 1)
+      assert(uniq > 0 && uniq <= 1.0, s"uniq_ratio out of range: $r")
+      // mode count >= ceil(n/uniq-count) would need uniq count; weaker
+      // identities that must always hold:
+      assert(topTok >= 1.0 / n - 5e-7 && topTok <= 1.0, s"top_tok_frac: $r") // 6dp-rounded
+      assert(top2 >= 0 && top2 <= 1.0 + 1e-9, s"top2_frac: $r")
+      // a doc made of one repeated token has uniq -> 0, top_tok -> 1
+      assert(keep == (if (uniq >= 0.35 && topTok <= 0.12 && top2 <= 0.10) 1 else 0))
+    }
+    // A fully-repetitive synthetic doc must be dropped by every metric.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep_").toString
+    Seq((1L, ("spam " * 50).trim, "en", "srcX", 249L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val bad = graft.queries.TextDedup.queries("t25_repetition_filter")(spark, tmp)
+      .collect().head
+    assert(bad.getInt(5) == 0 && bad.getDouble(3) == 1.0)
+  }
+
+  test("t26 temperature sample: kept counts track sqrt-scaled targets, deterministic") {
+    val docs = Tables.documents(spark, dir)
+    val langN = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = langN.values.min.toDouble
+    val kept = graft.queries.TextDedup.queries("t26_temperature_sample")(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langN.foreach { case (l, n) =>
+      val expect = n * math.sqrt(minN / n)
+      val got = kept.getOrElse(l, 0L).toDouble
+      // md5 draws are uniform-ish; 4-sigma binomial tolerance
+      val tol = 4 * math.sqrt(expect * (1 - math.sqrt(minN / n))) + 1
+      assert(math.abs(got - expect) <= tol, s"$l: kept $got vs expect $expect ± $tol")
+    }
+    // Per-doc hash gate ⇒ identical result on a repartitioned input.
+    val again = graft.queries.TextDedup.queries("t26_temperature_sample")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val first = graft.queries.TextDedup.queries("t26_temperature_sample")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == first)
+  }
 }
