@@ -92,7 +92,20 @@ object IvfIndex {
     var cents = seeds
     for (_ <- 1 to iters)
       cents = means(assign(cents)).localCheckpoint()
-    val lists = c.crossJoin(broadcast(cents))
+    Model(assignTo(c, cents), cents)
+  }
+
+  /** Assign `vecs` (vec_id, emb, nrm) to their nearest center in the
+    * K-row `centers` table — the inverted-file membership step, exposed
+    * for INCREMENTAL MAINTENANCE: appending a batch to a persisted index
+    * is one broadcast argmax over the batch (cost ∝ |batch| × K, map-only
+    * on the batch side — the standing corpus is never re-read, never
+    * re-clustered). Same rounded-cosine + center-id tiebreak as search
+    * assignment, so an appended row lands in exactly the list a full
+    * rebuild with the same centers would give it.
+    */
+  def assignTo(vecs: DataFrame, centers: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centers))
       .groupBy(col("vec_id"))
       .agg(max(struct(
         roundedCos(col("emb"), col("cemb")).as("cs"),
@@ -100,8 +113,6 @@ object IvfIndex {
         col("emb").as("emb"), col("nrm").as("nrm"))).as("m"))
       .select(col("vec_id"), col("m.lid").as("lid"),
         col("m.emb").as("emb"), col("m.nrm").as("nrm"))
-    Model(lists, cents)
-  }
 
   /** Write the inverted file partitioned by list id — the layout that
     * turns "search list L" into "read partition L".

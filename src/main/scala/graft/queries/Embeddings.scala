@@ -122,14 +122,14 @@ object Embeddings extends QueryPack {
     * the final assignment `lists`, so downstream query SQL is independent
     * of the round count.
     */
-  private val ivfSql: String = {
+  private def ivfSqlFor(vWhere: String): String = {
     val skeySql = "md5(CAST(vec_id AS VARCHAR))"
     val rounds = (1 to ivfIters).map { i =>
       val prevCent = if (i == 1) "seeds" else s"cent${i - 1}"
       val out = if (i == ivfIters) "cent" else s"cent$i"
       ivfAssignSql(prevCent, s"asg$i") + ",\n" + ivfMeansSql(s"asg$i", out)
     }.mkString(",\n")
-    s"""v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings $vWhere),
        |sdd AS (SELECT emb, arg_min(vec_id, $skeySql) AS vec_id FROM v GROUP BY emb),
        |seeds AS MATERIALIZED (
        |  SELECT emb AS cemb,
@@ -146,6 +146,8 @@ object Embeddings extends QueryPack {
        |  ) WHERE arn = 1
        |)""".stripMargin
   }
+
+  private val ivfSql: String = ivfSqlFor("")
 
   /** SemDeDup removal set shared by v10 and e4: within each IVF list,
     * members of a ≥0.4-cosine pair that are NOT the pair's smallest id.
@@ -464,6 +466,31 @@ object Embeddings extends QueryPack {
         .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
         .orderBy("qid", "rn")
+    },
+
+    // V12: INCREMENTAL index maintenance — the operation a standing ANN
+    // index needs when the corpus grows: assign the NEW batch (every 7th
+    // vector, held out of training) to the persisted base index's centers
+    // and search the merged inverted file. The append is
+    // [[graft.operators.IvfIndex.assignTo]] — one broadcast argmax over
+    // the batch, cost ∝ |batch| × K: no Lloyd's re-run, no standing-corpus
+    // re-read (the base lists come back from the published artifact).
+    // Assignment ties break exactly like a full rebuild's, so the merged
+    // file IS the file a rebuild with the same centers would produce —
+    // which is what the oracle computes from scratch.
+    "v12_ivf_append" -> { (s, d) =>
+      import graft.sources.ArtifactStore
+      val c = corpus(s, d)
+      val baseCorpus = c.filter(col("vec_id") % 7 =!= 0)
+      val batch = c.filter(col("vec_id") % 7 === 0)
+      lazy val m = graft.operators.IvfIndex.build(baseCorpus, nLists, ivfIters)
+      val lists = ArtifactStore.snapshot(s, d, "ivf_lists_base", Seq("lid"))(m.lists)
+      val cents = ArtifactStore.snapshot(s, d, "ivf_centers_base")(m.centers)
+      val appended = graft.operators.IvfIndex.assignTo(batch, cents)
+      val merged = lists.select("vec_id", "lid", "emb", "nrm")
+        .unionByName(appended.select("vec_id", "lid", "emb", "nrm"))
+      graft.operators.IvfIndex.search(merged, cents, probes(c), k = 5, nprobe = 1)
+        .orderBy("qid", "rn")
     }
   )
 
@@ -686,6 +713,45 @@ object Embeddings extends QueryPack {
          |SELECT qid, vec_id, cos_sim, rn FROM (
          |  SELECT qid, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
          |  FROM sc) WHERE rn <= 10
-         |ORDER BY qid, rn""".stripMargin
+         |ORDER BY qid, rn""".stripMargin,
+
+    // Full from-scratch recompute of what the engine produces by append:
+    // the IVF chain (seeds → Lloyd's rounds → lists) is trained ONLY on
+    // the base subset (vec_id % 7 <> 0), the held-out batch is assigned to
+    // the final centers with the same argmax tiebreak, and the search runs
+    // over the union. Probes come from the FULL corpus (`embeddings`, not
+    // the training view `v`), matching the engine.
+    "v12_ivf_append" ->
+      s"""WITH ${ivfSqlFor("WHERE vec_id % 7 <> 0")},
+         |vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |       FROM embeddings WHERE vec_id % 7 = 0),
+         |appended AS (
+         |  SELECT vec_id, emb, csid AS lid FROM (
+         |    SELECT vb.vec_id, vb.emb, c.csid,
+         |      ROW_NUMBER() OVER (PARTITION BY vb.vec_id
+         |        ORDER BY round(${cosSql("vb.emb", "c.cemb")}, 6) DESC, c.csid ASC) AS arn
+         |    FROM vb, cent c
+         |  ) WHERE arn = 1
+         |),
+         |merged AS MATERIALIZED (
+         |  SELECT vec_id, emb, lid FROM lists
+         |  UNION ALL SELECT vec_id, emb, lid FROM appended
+         |),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT qid, qe, csid FROM (
+         |    SELECT qid, qe, csid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
+         |    FROM q, cent
+         |  ) WHERE arn = 1
+         |),
+         |sc AS (
+         |  SELECT qid, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
+         |  FROM assigned a JOIN merged l ON l.lid = a.csid AND l.vec_id != a.qid
+         |)
+         |SELECT qid, vec_id, cos_sim, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   )
 }

@@ -145,4 +145,20 @@ class IvfIndexSpec extends AnyFunSuite {
     val r2 = recall(model) // iters = 2
     assert(r2 >= r1, s"recall degraded: iters=2 gives $r2 < iters=1's $r1")
   }
+
+  test("incremental append: assignTo(batch) ∪ base lists = rebuild-with-same-centers") {
+    val base = corpus.filter(col("vec_id") % 7 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 7 === 0)
+    val m = IvfIndex.build(base, nLists = 8, iters = 2)
+    // Append is lossless and duplicate-free...
+    val appended = IvfIndex.assignTo(batch, m.centers)
+    val merged = m.lists.select("vec_id", "lid").unionByName(appended.select("vec_id", "lid"))
+    assert(merged.count() == corpus.count())
+    assert(merged.select("vec_id").distinct().count() == corpus.count())
+    // ...and membership-identical to re-assigning the FULL corpus against
+    // the same centers (what a rebuild that kept the centers would do):
+    // the incremental path can never place a vector differently.
+    val full = IvfIndex.assignTo(corpus, m.centers).select("vec_id", "lid")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
 }
