@@ -38,10 +38,30 @@ object Graph extends QueryPack {
     * standing edge table that every graph workload reads.
     */
   private[graft] def rawLinks(s: SparkSession, d: String): DataFrame =
-    graft.sources.ArtifactStore.bucketedTable(s, d, "links", 16, "p") {
+    graft.sources.ArtifactStore.bucketedTable(s, d, "links", linkBuckets(s, d), "p") {
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     }
+
+  /** Bucket count for the maintained edge tables, SCALED WITH THE DATA
+    * (power of two, floor 16, ~2 MB of source parquet per bucket, cap
+    * 4096): a fixed count silently halves effective parallelism every
+    * time the table doubles — measured on the 5× scale curve, g4's warm
+    * ratio fell from ~7.5 to ~5 when the bucket count was allowed to
+    * grow. At 100 TB this is the policy knob a deployment sets from its
+    * executor count; deriving it from source bytes keeps the same code
+    * honest across every sf dir without an extra counting job. Power of
+    * two so a future co-bucketed join partner can pick a compatible
+    * count (Spark matches equal counts; unions of pow2 tables re-bucket
+    * cheaply).
+    */
+  private def linkBuckets(s: SparkSession, d: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val want = math.ceil(bytes / (2.0 * (1 << 20))).toInt
+    math.min(4096, math.max(16, Integer.highestOneBit(math.max(1, want - 1)) * 2))
+  }
 
   /** Distinct order→part edges, derived from the maintained bucketed table.
     * The distinct groups by `(o, p)`; the p-bucketed scan's partitioning is
@@ -66,7 +86,7 @@ object Graph extends QueryPack {
     * Exchange-free plan shapes it buys are pinned in PersistedLayoutSpec).
     */
   private[graft] def symEdgesTable(s: SparkSession, d: String): DataFrame = {
-    val t = graft.sources.ArtifactStore.bucketedTable(s, d, "links_sym", 16, "src") {
+    val t = graft.sources.ArtifactStore.bucketedTable(s, d, "links_sym", linkBuckets(s, d), "src") {
       val fwd = edges(s, d)
         .select((col("o") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
       // Reverse edges land in the disjoint odd-src id space and the forward

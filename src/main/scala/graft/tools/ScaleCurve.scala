@@ -39,7 +39,14 @@ object ScaleCurve {
     // the curve should show ~5×), the SQ8 quantize-train+encode+rescore
     // pass, the iterative k-core peel, and the tagged landmark BFS.
     "t22_block_dedup", "v11_sq8_rescore", "g11_kcore",
-    "g12_landmark_closeness")
+    "g12_landmark_closeness",
+    // round-8 additions: the rebuilt codegen'd simhash band search (pair
+    // emission quadratic in dup-cluster size BY CONSTRUCTION on this
+    // dup-saturated synthesis — time÷rows is the structural column), the
+    // linear repetition filter + temperature sampler, and incremental IVF
+    // append (search cost is probes × list size, the v-family shape).
+    "t24_simhash_band", "t25_repetition_filter", "t26_temperature_sample",
+    "v12_ivf_append")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()

@@ -103,4 +103,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("AS code#") && !p.contains("code: array<tinyint>"),
       "stored-code column must stay fused into the decode lambda:\n" + p.take(3000))
   }
+
+  test("t24 simhash signature hash-aggregates with no HOF fold in the plan") {
+    // The signature used to be a per-row aggregate()/zip_with() fold —
+    // outside whole-stage codegen, 24× slower. It must stay an exploded
+    // 48-sum HashAggregate: no SortAggregate, no array-fold lambda
+    // (`lambdafunction`) anywhere between scan and banding.
+    val p = plan("t24_simhash_band")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("zip_with") && !p.contains("aggregate(lambdafunction"),
+      "signature must not be a HOF fold:\n" + p.take(3000))
+  }
+
+  test("t25 repetition metrics hash-aggregate; no windows over the token stream") {
+    val p = plan("t25_repetition_filter")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    // The only Window allowed would be none at all — mode-of-group goes
+    // through count→max aggregation, not a ranking window per token.
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      "no window over exploded tokens:\n" + p.take(3000))
+  }
+
+  test("t26 temperature sampler: per-language rates broadcast, corpus never shuffles") {
+    val p = plan("t26_temperature_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // One global sort for the ORDER BY is fine; a SortMergeJoin or a
+    // corpus-sized HashAggregate exchange keyed by doc would not be.
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
