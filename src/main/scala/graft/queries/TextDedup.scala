@@ -33,6 +33,37 @@ object TextDedup extends QueryPack {
     * `sequence(1, size-n+1)` enumerates start positions; docs shorter than
     * `n` tokens are dropped (both engines filter identically).
     */
+  /** t25's per-doc repetition metrics + keep gate (shared by the batch
+    * query and the t27 streaming gate — per-doc only, NO cross-doc state,
+    * so the decision is batch-boundary invariant by construction and the
+    * stream must land exactly the batch result). See the t25 entry for
+    * the metric/threshold rationale and the scale shape.
+    */
+  private def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val base = docs.select(col("doc_id"), size(t).as("n"), t.as("tk"))
+    val tokTop = base.select(col("doc_id"), explode(col("tk")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_tok"), count(lit(1)).as("n_uniq"))
+    val g2Top = base.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("gm"))
+      .groupBy(col("doc_id"), col("gm")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    base.drop("tk")
+      .join(tokTop, Seq("doc_id"))
+      .join(g2Top, Seq("doc_id"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(col("n_uniq") / col("n"), 6).as("uniq_ratio"),
+        round(col("top_tok") / col("n"), 6).as("top_tok_frac"),
+        round(col("top2") * 2 / col("n"), 6).as("top2_frac"))
+      .withColumn("keep",
+        (col("uniq_ratio") >= 0.35 && col("top_tok_frac") <= 0.12 &&
+          col("top2_frac") <= 0.10).cast("int"))
+  }
+
   private def shingles(docs: DataFrame, n: Int): DataFrame = {
     val t = split(col("text"), " ")
     docs
@@ -1019,30 +1050,7 @@ object TextDedup extends QueryPack {
     // as INT alongside the metrics so the oracle pins the arithmetic, not
     // just the survivors.
     "t25_repetition_filter" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val t = split(col("text"), " ")
-      val base = docs.select(col("doc_id"), size(t).as("n"), t.as("tk"))
-      val tokTop = base.select(col("doc_id"), explode(col("tk")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_tok"), count(lit(1)).as("n_uniq"))
-      val g2Top = base.filter(col("n") >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), col("n") - 1),
-          i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("gm"))
-        .groupBy(col("doc_id"), col("gm")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
-      base.drop("tk")
-        .join(tokTop, Seq("doc_id"))
-        .join(g2Top, Seq("doc_id"))
-        .select(col("doc_id"), col("n").as("n_tokens"),
-          round(col("n_uniq") / col("n"), 6).as("uniq_ratio"),
-          round(col("top_tok") / col("n"), 6).as("top_tok_frac"),
-          round(col("top2") * 2 / col("n"), 6).as("top2_frac"))
-        .withColumn("keep",
-          (col("uniq_ratio") >= 0.35 && col("top_tok_frac") <= 0.12 &&
-            col("top2_frac") <= 0.10).cast("int"))
-        .orderBy("doc_id")
+      repetitionMetrics(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // T26: temperature (α = 0.5, "square-root") language resampling — the
@@ -1068,8 +1076,63 @@ object TextDedup extends QueryPack {
           col("min_n").cast(dec) * lit(1000000000000L))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    },
+
+    // T27: t25's quality gate as a REAL STREAM — the ingest-time curation
+    // filter: documents file-stream → per-micro-batch metrics + keep
+    // decision (foreachBatch) → append sink → atomic publish. The metrics
+    // are strictly per-doc (no cross-doc state), so admission is
+    // batch-boundary invariant BY CONSTRUCTION and the stream shares t25's
+    // oracle arithmetic restricted to survivors — the same
+    // stream-must-equal-batch contract t17 carries for incremental dedup.
+    "t27_stream_quality_gate" -> { (s, d) =>
+      val base = scratchDir(s, d, "t27_sink")
+      val q = graft.streaming.StreamOps.documentsStream(s, d)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          repetitionMetrics(batch).filter(col("keep") === 1)
+            .write.mode("append").parquet(s"$base/staging")
+        }
+        .start()
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot")
+        .select("doc_id", "n_tokens", "uniq_ratio", "top_tok_frac",
+          "top2_frac", "keep")
+        .orderBy("doc_id")
     }
   )
+
+  /** Shared CTE chain for the t25/t27 repetition metrics (final relation
+    * `m`): mirrors [[repetitionMetrics]] column-for-column.
+    */
+  private val repetitionOracleCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |base AS (SELECT doc_id, len(tk) AS n FROM t),
+      |tc AS (
+      |  SELECT doc_id, w, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w
+      |), ta AS (
+      |  SELECT doc_id, MAX(c) AS top_tok, COUNT(*) AS n_uniq FROM tc GROUP BY doc_id
+      |), gc AS (
+      |  SELECT doc_id, gm, COUNT(*) AS c FROM (
+      |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gm
+      |    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
+      |  ) GROUP BY doc_id, gm
+      |), ga AS (SELECT doc_id, MAX(c) AS top2 FROM gc GROUP BY doc_id),
+      |m AS (
+      |  SELECT base.doc_id AS doc_id, n AS n_tokens,
+      |    round(n_uniq / n, 6) AS uniq_ratio,
+      |    round(top_tok / n, 6) AS top_tok_frac,
+      |    round(top2 * 2 / n, 6) AS top2_frac,
+      |    CAST(round(n_uniq / n, 6) >= 0.35 AND round(top_tok / n, 6) <= 0.12
+      |         AND round(top2 * 2 / n, 6) <= 0.10 AS INT) AS keep
+      |  FROM base JOIN ta ON base.doc_id = ta.doc_id
+      |  JOIN ga ON base.doc_id = ga.doc_id
+      |)""".stripMargin
 
   /** DuckDB markerCount mirror: occurrences of " m " in the padded lowercase
     * text via length arithmetic (same non-overlapping replace semantics as
@@ -1609,28 +1672,14 @@ object TextDedup extends QueryPack {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "t25_repetition_filter" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-        |base AS (SELECT doc_id, len(tk) AS n FROM t),
-        |tc AS (
-        |  SELECT doc_id, w, COUNT(*) AS c
-        |  FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w
-        |), ta AS (
-        |  SELECT doc_id, MAX(c) AS top_tok, COUNT(*) AS n_uniq FROM tc GROUP BY doc_id
-        |), gc AS (
-        |  SELECT doc_id, gm, COUNT(*) AS c FROM (
-        |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gm
-        |    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
-        |  ) GROUP BY doc_id, gm
-        |), ga AS (SELECT doc_id, MAX(c) AS top2 FROM gc GROUP BY doc_id)
-        |SELECT base.doc_id, n AS n_tokens,
-        |  round(n_uniq / n, 6) AS uniq_ratio,
-        |  round(top_tok / n, 6) AS top_tok_frac,
-        |  round(top2 * 2 / n, 6) AS top2_frac,
-        |  CAST(round(n_uniq / n, 6) >= 0.35 AND round(top_tok / n, 6) <= 0.12
-        |       AND round(top2 * 2 / n, 6) <= 0.10 AS INT) AS keep
-        |FROM base JOIN ta ON base.doc_id = ta.doc_id
-        |JOIN ga ON base.doc_id = ga.doc_id
-        |ORDER BY base.doc_id""".stripMargin,
+      s"""$repetitionOracleCtes
+         |SELECT * FROM m ORDER BY doc_id""".stripMargin,
+
+    // Stream shares t25's arithmetic restricted to survivors (the batch-
+    // boundary-invariance contract: per-doc metrics, no cross-doc state).
+    "t27_stream_quality_gate" ->
+      s"""$repetitionOracleCtes
+         |SELECT * FROM m WHERE keep = 1 ORDER BY doc_id""".stripMargin,
 
     "t26_temperature_sample" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),

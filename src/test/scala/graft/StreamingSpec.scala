@@ -392,4 +392,20 @@ class StreamingSpec extends AnyFunSuite {
       s"row count across restart: got ${got.length}, expected ${expected.length}")
     assert(java.util.Arrays.equals(got, expected))
   }
+
+  test("t27 streaming quality gate lands exactly the batch t25 survivors") {
+    // Per-doc metrics carry no cross-doc state, so the stream's admission
+    // must equal the batch decision row-for-row — the same contract t17
+    // carries for incremental dedup, here checked in-engine (the oracle
+    // checks it cross-engine).
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.TextDedup
+      .queries("t27_stream_quality_gate")(spark, dir).collect()
+    val batch = graft.queries.TextDedup
+      .queries("t25_repetition_filter")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1).collect()
+    assert(streamed.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq,
+      s"stream landed ${streamed.length} rows, batch kept ${batch.length}")
+  }
 }
