@@ -1078,6 +1078,39 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // T28: token-budget mixture ASSEMBLY — the final train-mix step:
+    // given explicit target weights per language and a global token
+    // budget (half the corpus here), sample each language toward
+    // D_l = w_l·B tokens. Doc-level hash sampling at rate
+    // r_l = min(1, D_l/T_l) — the standard approximation (docs are small
+    // vs the budget; expected token error is O(max doc length)). The
+    // keep gate is ALL-INTEGER in DECIMAL(38,0): u·T_l·w_den < w_num·B·10⁶
+    // — the min(1,·) is implicit (an over-asked language satisfies the
+    // inequality for every u), no double division anywhere, overflow-safe
+    // past INT64 at corpus token counts. Per-language totals are one tiny
+    // broadcast row each; the corpus never shuffles except the output sort.
+    "t28_token_mixture" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      // Target mix (w_num/w_den): en 30%, de/es 20%, fr/zh 15%.
+      val w = typedLit(Map(
+        "en" -> 30L, "de" -> 20L, "es" -> 20L, "fr" -> 15L, "zh" -> 15L))
+      val wDen = 100L
+      val totals = docs.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("t_l"))
+      val budget = docs.agg(expr("sum(n_tokens) DIV 2").as("b")) // integer halving, no double
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      docs.join(broadcast(totals), Seq("lang"))
+        .crossJoin(broadcast(budget))
+        .filter(u.cast(dec) * col("t_l") * lit(wDen) <
+          w(col("lang")).cast(dec) * col("b") * lit(1000000L))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // T27: t25's quality gate as a REAL STREAM — the ingest-time curation
     // filter: documents file-stream → per-micro-batch metrics + keep
     // decision (foreachBatch) → append sink → atomic publish. The metrics
@@ -1680,6 +1713,25 @@ object TextDedup extends QueryPack {
     "t27_stream_quality_gate" ->
       s"""$repetitionOracleCtes
          |SELECT * FROM m WHERE keep = 1 ORDER BY doc_id""".stripMargin,
+
+    "t28_token_mixture" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens FROM documents
+        |), w AS (
+        |  SELECT * FROM (VALUES ('en', 30), ('de', 20), ('es', 20),
+        |                        ('fr', 15), ('zh', 15)) AS t(lang, w_num)
+        |), totals AS (SELECT lang, SUM(n_tokens) AS t_l FROM docs GROUP BY lang),
+        |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS b FROM docs),
+        |u AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+        |  FROM docs
+        |)
+        |SELECT doc_id, u.lang, n_tokens
+        |FROM u JOIN totals ON u.lang = totals.lang
+        |       JOIN w ON u.lang = w.lang CROSS JOIN b
+        |WHERE CAST(u AS DECIMAL(38,0)) * t_l * 100 < CAST(w_num AS DECIMAL(38,0)) * b * 1000000
+        |ORDER BY doc_id""".stripMargin,
 
     "t26_temperature_sample" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),

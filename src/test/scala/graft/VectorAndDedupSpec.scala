@@ -247,4 +247,30 @@ class VectorAndDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(again == first)
   }
+
+  test("t28 token mixture: kept token shares track the target weights within tolerance") {
+    import org.apache.spark.sql.functions._
+    val targets = Map("en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15)
+    val kept = graft.queries.TextDedup.queries("t28_token_mixture")(spark, dir)
+      .groupBy("lang").agg(sum("n_tokens").as("tk")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).as("n"))
+    val totals = docs.groupBy("lang").agg(sum("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals.values.sum / 2
+    val keptTotal = kept.values.sum.toDouble
+    // Doc-level sampling at the fixture's ~500 docs: shares are binomial
+    // around w_l (sd ≈ few %), and the total sits within ~10% of budget
+    // unless a language is over-asked (rate capped at 1 keeps ALL of it).
+    assert(math.abs(keptTotal - budget) / budget < 0.15,
+      s"kept $keptTotal vs budget $budget")
+    targets.foreach { case (l, wl) =>
+      val capped = totals(l) < wl * budget // whole language smaller than its ask
+      val share = kept.getOrElse(l, 0L) / keptTotal
+      if (!capped)
+        assert(math.abs(share - wl) < 0.08, s"$l share $share vs target $wl")
+      else assert(kept(l) == totals(l), s"over-asked $l must keep everything")
+    }
+  }
 }
