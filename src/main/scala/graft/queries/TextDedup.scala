@@ -994,43 +994,35 @@ object TextDedup extends QueryPack {
     // collapsing exact dups (t3) BEFORE banding, which bounds cluster
     // width, not a lossy cap.
     "t24_simhash_band" -> { (s, d) =>
-      // Signature as ONE whole-stage-codegen aggregate rather than a
-      // per-row HOF fold (HigherOrderFunctions don't codegen; the fold was
-      // the entire runtime). Explode distinct tokens, hash each token ONCE
-      // to its 48 leading md5 bits as a single long (nibbles 1..12,
-      // high→low — the same bit order as expanding each hex nibble's 4
-      // bits in sequence), then take 48 ±1 majority sums per doc in a
-      // single HashAggregate — partial (map-side) aggregation means the
-      // doc_id shuffle carries 49 longs per doc, not the token stream.
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tk"))
-        .select(col("doc_id"),
-          conv(md5(col("tk")).substr(lit(1), lit(12)), 16, 10).cast("long")
-            .as("hv"))
-      val bitSums = (0 to 47).map(k =>
-        sum(shiftright(col("hv"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k"))
-      val sig = (0 to 47).map(k =>
-        when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)): Column)
-        .reduce(_ + _)
-      val sigs = toks.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sig.as("sig"))
-      val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 to 3).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), 36 - 12 * b).bitwiseAND(lit(0xFFFL))
-              .as("bv"))): _*)).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bv"))
-      val a = banded.select(col("band"), col("bv"),
-        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band"), col("bv"),
-        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      simhashBandPairs(simhashSigs(Tables.documents(s, d)))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // T29: the TIERED simhash composition — t21's defense pattern applied
+    // to t24's worst case: on a dup-saturated corpus identical documents
+    // share identical signatures, so every band bucket holds whole dup
+    // clusters and pair emission goes quadratic in CLUSTER SIZE. Collapse
+    // exact duplicates FIRST (md5-fingerprint groupBy, min-id
+    // representative + multiplicity), band only the representatives, and
+    // carry m_a·m_b so no information is lost — the cross-cluster
+    // near-dup pair count is recoverable exactly. Banding cost is now
+    // quadratic only in DISTINCT-text cluster width; the exact tier is
+    // one linear hash-agg. This is the production ordering at 100 TB:
+    // t3 → t29 band → (t19-style verify if needed).
+    "t29_simhash_tiered" -> { (s, d) =>
+      val reps = Tables.documents(s, d)
+        .select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("text"))).as("r"),
+          count(lit(1)).as("m"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("m"))
+      val mults = reps.select(col("doc_id"), col("m"))
+      simhashBandPairs(simhashSigs(reps))
+        .join(mults.select(col("doc_id").as("doc_a"), col("m").as("m_a")), "doc_a")
+        .join(mults.select(col("doc_id").as("doc_b"), col("m").as("m_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          (col("m_a") * col("m_b")).as("n_pairs"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1138,6 +1130,72 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     }
   )
+
+  /** 48-bit simhash signature per doc — ONE whole-stage-codegen aggregate
+    * rather than a per-row HOF fold (HigherOrderFunctions don't codegen;
+    * the fold was t24's entire 54.9 s runtime). Explode distinct tokens,
+    * hash each token ONCE to its 48 leading md5 bits as a single long
+    * (nibbles 1..12, high→low — the same bit order as expanding each hex
+    * nibble's 4 bits in sequence), then take 48 ±1 majority sums per doc
+    * in a single HashAggregate — partial (map-side) aggregation means the
+    * doc_id shuffle carries 49 longs per doc, not the token stream.
+    * Input needs (doc_id, text); returns (doc_id, sig).
+    */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tk"))
+      .select(col("doc_id"),
+        conv(md5(col("tk")).substr(lit(1), lit(12)), 16, 10).cast("long")
+          .as("hv"))
+    val bitSums = (0 to 47).map(k =>
+      sum(shiftright(col("hv"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k"))
+    val sig = (0 to 47).map(k =>
+      when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)): Column)
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Banded hamming-≤3 pair search over (doc_id, sig): 4 × 12-bit bands,
+    * pigeonhole-complete at radius 3; exact xor-popcount verify on
+    * same-bucket pairs. Returns (doc_a, doc_b, hamming).
+    */
+  private def simhashBandPairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 to 3).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 36 - 12 * b).bitwiseAND(lit(0xFFFL))
+            .as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** DuckDB mirror of [[simhashSigs]] over relation `rel` (must expose
+    * doc_id, text): tok/bits/sig CTE chain, final relation `sig`.
+    */
+  private def simhashSigSql(rel: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tk FROM $rel
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tk), ((j-1)//4)+1, 1)) - 1)
+       |          >> (3 - ((j-1)%4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM tok CROSS JOIN (SELECT unnest(range(1,49)) AS j)
+       |  GROUP BY doc_id, j
+       |), sig AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN 1::BIGINT << (48-j) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
 
   /** Shared CTE chain for the t25/t27 repetition metrics (final relation
     * `m`): mirrors [[repetitionMetrics]] column-for-column.
@@ -1686,23 +1744,29 @@ object TextDedup extends QueryPack {
     // arithmetic mirrors the Spark tree bit-for-bit: same md5 nibble →
     // 4 bits expansion, same ±1 majority, same MSB-first packing.
     "t24_simhash_band" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tk FROM documents
-        |), bits AS (
-        |  SELECT doc_id, j,
-        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tk), ((j-1)//4)+1, 1)) - 1)
-        |          >> (3 - ((j-1)%4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM tok CROSS JOIN (SELECT unnest(range(1,49)) AS j)
-        |  GROUP BY doc_id, j
-        |), sig AS MATERIALIZED (
-        |  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN 1::BIGINT << (48-j) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM bits GROUP BY doc_id
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH ${simhashSigSql("documents")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same brute-force completeness contract as t24's oracle, over the
+    // exact-dup representatives, with the collapsed multiplicities.
+    "t29_simhash_tiered" ->
+      s"""WITH reps AS MATERIALIZED (
+         |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text, COUNT(*) AS m
+         |  FROM documents GROUP BY md5(text)
+         |),
+         |${simhashSigSql("reps")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming,
+         |  ma.m * mb.m AS n_pairs
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |JOIN reps ma ON ma.doc_id = a.doc_id
+         |JOIN reps mb ON mb.doc_id = b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "t25_repetition_filter" ->
       s"""$repetitionOracleCtes

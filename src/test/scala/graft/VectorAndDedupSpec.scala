@@ -248,6 +248,36 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("t29 tiered simhash on a dup-saturated corpus: rep pairs reconstruct t24 exactly") {
+    import org.apache.spark.sql.functions._
+    // 4 exact copies of every sf0.001 doc (distinct ids, identical text):
+    // identical docs get identical signatures, so t24's banded buckets go
+    // quadratic in cluster size while t29 bands one representative per
+    // cluster. The multiplicity algebra must be LOSSLESS:
+    //   |t24 pairs| = Σ_t29 n_pairs  +  Σ_clusters m·(m−1)/2
+    // (cross-cluster pairs carried as n_pairs; intra-cluster exact pairs
+    // are t3's tier, deliberately absent from t29).
+    val src = Tables.documents(spark, dir)
+    val n = src.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t29_").toString
+    (0 until 4).map(i => src.withColumn("doc_id", col("doc_id") + lit(i * n)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val t24 = graft.queries.TextDedup.queries("t24_simhash_band")(spark, tmp)
+    val t29 = graft.queries.TextDedup.queries("t29_simhash_tiered")(spark, tmp)
+    val t24Pairs = t24.count()
+    val rows29 = t29.collect()
+    val crossPairs = rows29.map(_.getAs[Long]("n_pairs")).sum
+    // every cluster has m=4 here → intra pairs = nClusters · 6
+    val intraPairs = n * 4 * 3 / 2
+    assert(rows29.length < t24Pairs / 4,
+      s"tier must shrink the pair table: ${rows29.length} vs $t24Pairs")
+    assert(crossPairs + intraPairs == t24Pairs,
+      s"lossless identity broke: cross $crossPairs + intra $intraPairs != t24 $t24Pairs")
+    // multiplicities must be the planted 4×4
+    assert(rows29.forall(_.getAs[Long]("n_pairs") == 16L))
+  }
+
   test("t28 token mixture: kept token shares track the target weights within tolerance") {
     import org.apache.spark.sql.functions._
     val targets = Map("en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15)
