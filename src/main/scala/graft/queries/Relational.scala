@@ -380,6 +380,41 @@ object Relational extends QueryPack {
         .orderBy("bin")
     },
 
+    // DQ7: declarative EXPECTATIONS engine (Deequ/Great-Expectations
+    // shape) — a rule set evaluated in ONE scan of the fact table: every
+    // row-level rule is a conditional count inside the same aggregate
+    // (map-side combined, zero extra passes), the dataset-level
+    // uniqueness rule rides the same agg as an exact distinct count on
+    // the packed (orderkey, linenumber) key, and the wide 1-row result
+    // unpivots to the per-rule report via stack(). At 100 TB adding a
+    // rule costs one more aggregation expression, never another scan —
+    // the property that makes expectation suites affordable to run on
+    // every landing batch.
+    "dq7_expectations" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      def viol(c: Column): Column = count(when(not(c), lit(1)))
+      // packed uniqueness key: l_linenumber ∈ [1,7] fits in 3 bits
+      val packed = col("l_orderkey") * 8 + col("l_linenumber")
+      val wide = l.agg(
+        count(lit(1)).as("n_rows"),
+        viol(col("l_quantity").between(1, 50)).as("v1"),
+        viol(col("l_extendedprice") > 0).as("v2"),
+        viol(col("l_discount").between(0.0, 0.1)).as("v3"),
+        viol(col("l_shipdate").isNotNull).as("v4"),
+        viol(col("l_returnflag").isin("A", "N", "R")).as("v5"),
+        (count(lit(1)) - countDistinct(packed)).as("v6"))
+      wide.selectExpr("n_rows", s"""stack(6,
+          'r1', 'quantity in [1,50]',        v1,
+          'r2', 'extendedprice > 0',         v2,
+          'r3', 'discount in [0,0.1]',       v3,
+          'r4', 'shipdate not null',         v4,
+          'r5', 'returnflag in (A,N,R)',     v5,
+          'r6', 'orderkey+linenumber unique', v6) AS (rule_id, rule, n_violations)""")
+        .select(col("rule_id"), col("rule"), col("n_rows"), col("n_violations"),
+          round(col("n_violations") / col("n_rows"), 6).as("violation_rate"))
+        .orderBy("rule_id")
+    },
+
     // F5: conditional aggregation (CASE WHEN inside SUM).
     "f5_conditional" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -716,6 +751,28 @@ object Relational extends QueryPack {
         |    CAST(n_cur + 1 AS DOUBLE) / CAST(SUM(n_cur) OVER () + 10 AS DOUBLE) AS p_cur
         |  FROM pb)
         |ORDER BY bin""".stripMargin,
+
+    "dq7_expectations" ->
+      """WITH wide AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END) AS v1,
+        |    COUNT(CASE WHEN NOT (l_extendedprice > 0) THEN 1 END) AS v2,
+        |    COUNT(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 END) AS v3,
+        |    COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS v4,
+        |    COUNT(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 END) AS v5,
+        |    COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS v6
+        |  FROM lineitem
+        |), rules AS (
+        |  SELECT 'r1' AS rule_id, 'quantity in [1,50]' AS rule, n_rows, v1 AS n_violations FROM wide
+        |  UNION ALL SELECT 'r2', 'extendedprice > 0', n_rows, v2 FROM wide
+        |  UNION ALL SELECT 'r3', 'discount in [0,0.1]', n_rows, v3 FROM wide
+        |  UNION ALL SELECT 'r4', 'shipdate not null', n_rows, v4 FROM wide
+        |  UNION ALL SELECT 'r5', 'returnflag in (A,N,R)', n_rows, v5 FROM wide
+        |  UNION ALL SELECT 'r6', 'orderkey+linenumber unique', n_rows, v6 FROM wide
+        |)
+        |SELECT rule_id, rule, n_rows, n_violations,
+        |  round(n_violations / n_rows, 6) AS violation_rate
+        |FROM rules ORDER BY rule_id""".stripMargin,
 
     "f5_conditional" ->
       """SELECT l_returnflag,

@@ -228,4 +228,32 @@ class PipelineInvariantsSpec extends AnyFunSuite {
       assert(zero.filter(col("ta") =!= col("tb")).count() === 0)
     } finally rows.unpersist()
   }
+
+  test("dq7 expectations: uniqueness count matches an independent groupBy; planted rows fire each rule") {
+    val res = graft.queries.Relational.queries("dq7_expectations")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = Tables.lineitem(spark, dir).count()
+    assert(res.values.forall(_.getLong(2) == n))
+    // r6 vs an independently computed duplicate-row count
+    val dups = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1)
+      .agg(sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(res("r6").getLong(3) == dups, s"r6 ${res("r6")} vs groupBy $dups")
+    // Planted single-row violations must fire r1..r5 exactly once each.
+    val src = Tables.lineitem(spark, dir).limit(1)
+    val bad = src
+      .withColumn("l_quantity", lit(99.0))
+      .withColumn("l_extendedprice", lit(-1.0))
+      .withColumn("l_discount", lit(0.9))
+      .withColumn("l_shipdate", lit(null).cast("timestamp"))
+      .withColumn("l_returnflag", lit("X"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq7_").toString
+    src.unionByName(bad).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val planted = graft.queries.Relational.queries("dq7_expectations")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    Seq("r1", "r2", "r3", "r4", "r5").foreach(r =>
+      assert(planted(r) == 1L, s"$r should fire once: $planted"))
+    assert(planted("r6") == 1L) // same (orderkey, linenumber) twice
+  }
 }
