@@ -94,6 +94,38 @@ object Etl extends QueryPack {
         .orderBy("p_partkey")
     },
 
+    // S17: SCHEMA EVOLUTION read — the batch-N-adds-a-column warehouse
+    // case: an early batch lands (orderkey, custkey, totalprice), a later
+    // batch adds `priority_rank`; `mergeSchema=true` reconciles the
+    // footers and the old batch surfaces the new column as NULL. The
+    // readback row set is fully derivable from the raw table (old batch =
+    // even orderkeys), so the oracle proves the merged read is exactly
+    // "union with NULL-fill" — no row loss, no column misalignment. At
+    // 100 TB schema merge is a FOOTER operation (per-file schemas
+    // reconciled at planning, data never rewritten); the alternative —
+    // rewriting history to the new schema — is a full-table write.
+    "s17_schema_evolution" -> { (s, d) =>
+      val tmp = scratchDir(s, d, "s17_evo")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_orderstatus"))
+      val rank = expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$tmp/batch=0")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), rank.as("priority_rank"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("o_orderstatus"),
+          col("priority_rank").isNull.cast("int").as("legacy_batch"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          sum(coalesce(col("priority_rank"), lit(0))).as("rank_sum"))
+        .orderBy("o_orderstatus", "legacy_batch")
+    },
+
     // S16: DYNAMIC PARTITION OVERWRITE — the idempotent daily-backfill
     // primitive: events land day-partitioned, then ONE day is re-landed
     // (values ×2 here) with partitionOverwriteMode=dynamic, which replaces
@@ -625,6 +657,25 @@ object Etl extends QueryPack {
       """SELECT p_partkey, p_name, p_size, p_retailprice,
         |  p_name || ' #' || CAST(p_partkey AS VARCHAR) AS label
         |FROM part WHERE p_size >= 40 ORDER BY p_partkey""".stripMargin,
+
+    // Recomputes the merged-schema readback from the raw table: old batch
+    // (even orderkeys) carries NULL priority_rank, new batch computes it —
+    // matches only if mergeSchema aligned both footers without row loss.
+    "s17_schema_evolution" ->
+      s"""WITH unioned AS (
+         |  SELECT o_orderstatus,
+         |    CASE WHEN o_orderkey % 2 = 0 THEN NULL
+         |         ELSE CAST(substring(o_orderpriority, 1, 1) AS INT) END AS priority_rank,
+         |    o_totalprice
+         |  FROM orders
+         |)
+         |SELECT o_orderstatus, CAST(priority_rank IS NULL AS INT) AS legacy_batch,
+         |  COUNT(*) AS n_orders,
+         |  ${graft.sql.Stable.sqlSum("o_totalprice")} AS total,
+         |  CAST(SUM(COALESCE(priority_rank, 0)) AS BIGINT) AS rank_sum
+         |FROM unioned
+         |GROUP BY o_orderstatus, CAST(priority_rank IS NULL AS INT)
+         |ORDER BY o_orderstatus, legacy_batch""".stripMargin,
 
     // Raw events with the revised day CASE-doubled: matches the readback
     // only if the dynamic overwrite replaced exactly that day's partition

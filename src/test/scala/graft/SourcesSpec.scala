@@ -148,6 +148,21 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("s17 schema evolution: mergeSchema surfaces the late column, NULL-filled for old batches") {
+    val out = Files.createTempDirectory("graft_evo_").toString
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    o.filter(col("o_orderkey") % 2 =!= 0).withColumn("extra", lit(7))
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.contains("extra"))
+    assert(merged.count() == o.count(), "no row loss across schemas")
+    // NULL exactly on the old batch, populated exactly on the new one.
+    assert(merged.filter(col("extra").isNull === (col("o_orderkey") % 2 === 0))
+      .count() == o.count())
+  }
+
   test("events.ts normalizes to TIMESTAMP under both parquet encodings") {
     import org.apache.spark.sql.types._
     // The driver's generator has shipped ts as TIMESTAMP(NANOS) (decoded
