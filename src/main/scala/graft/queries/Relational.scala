@@ -445,6 +445,33 @@ object Relational extends QueryPack {
     // step is TakeOrderedAndProject over the full table; the global window
     // only ever sees limit+offset rows (a global window over the whole
     // table would serialize it into one partition).
+    // O5: KEYSET pagination — the scalable form of o4's OFFSET page (the
+    // SCALE.md claim, now gated): the anchor is the last row of page 2
+    // (a 20-row TakeOrdered + 1-row agg, broadcast back), and page 3 is a
+    // PREDICATE on the sort key — (price, key) strictly after the anchor —
+    // followed by another TakeOrderedAndProject. No rank window, no
+    // offset scan: each page costs one pruned top-k pass regardless of
+    // page number, where OFFSET N pages scan N rows deep. The oracle is
+    // the OFFSET form (rows 21–30 by row_number), so the hash gate proves
+    // keyset ≡ offset exactly — including tie handling at the boundary.
+    "o5_keyset_pagination" -> { (s, d) =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      // last row of page 2 under (price DESC, key ASC): min price, then
+      // max key within it — min(struct(price, -key)) in one tiny agg.
+      val anchor = o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .agg(min(struct(col("o_totalprice").as("p"),
+          (-col("o_orderkey")).as("nk"))).as("a"))
+        .select(col("a.p").as("a_price"), (-col("a.nk")).as("a_key"))
+      o.crossJoin(broadcast(anchor))
+        .filter(col("o_totalprice") < col("a_price") ||
+          (col("o_totalprice") === col("a_price") &&
+            col("o_orderkey") > col("a_key")))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
     "o4_limit_offset" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       Tables.orders(s, d)
@@ -794,6 +821,14 @@ object Relational extends QueryPack {
         |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders
         |) WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin,
+
+    // The OFFSET form of the same page: keyset must reproduce it exactly.
+    "o5_keyset_pagination" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn > 20 AND rn <= 30 ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
 
     "u1_intersect" ->
       """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995

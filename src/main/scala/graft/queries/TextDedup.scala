@@ -1103,6 +1103,44 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // E6: the MODERN curation pipeline, end-to-end in one declarative
+    // plan — the round-8 ops composed in production order: repetition
+    // quality gate (t25) → exact dedup among survivors (md5-fingerprint
+    // min-id keeper, t3's tier) → √-temperature language resampling over
+    // the POST-DEDUP counts (t26's gate — rates must be computed after
+    // dedup or duplicated languages stay over-represented) → per-language
+    // census. Every stage is the already-gated operator's exact
+    // arithmetic; Catalyst fuses the chain (the gate join, the keeper
+    // groupBy, and the sample filter pipeline into three shuffles total).
+    // e3 is this pipeline's v1 (quality → dedup → split → pack); e6 is
+    // the curation half with the round-8 quality/mixture tiers.
+    "e6_curation_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val kept = repetitionMetrics(docs).filter(col("keep") === 1)
+        .select(col("doc_id").as("kid"))
+      val survivors = docs.join(kept, col("doc_id") === col("kid")).drop("kid")
+      val deduped = survivors
+        .select(md5(col("text")).as("fp"), col("doc_id"), col("lang"), col("text"))
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("text"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.text").as("text"))
+      val counts = deduped.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min(col("n_docs")).as("min_n"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      deduped.join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(minN))
+        .filter(u.cast(dec) * u * col("n_docs") <
+          col("min_n").cast(dec) * lit(1000000000000L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " "))).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    },
+
     // T27: t25's quality gate as a REAL STREAM — the ingest-time curation
     // filter: documents file-stream → per-micro-batch metrics + keep
     // decision (foreachBatch) → append sink → atomic publish. The metrics
@@ -1777,6 +1815,34 @@ object TextDedup extends QueryPack {
     "t27_stream_quality_gate" ->
       s"""$repetitionOracleCtes
          |SELECT * FROM m WHERE keep = 1 ORDER BY doc_id""".stripMargin,
+
+    // Stage-for-stage replay of the composed pipeline: t25's metric CTEs,
+    // the survivor join, the arg_min keeper dedup, t26's integer gate over
+    // post-dedup counts, and the census.
+    "e6_curation_pipeline" ->
+      s"""$repetitionOracleCtes,
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN m ON d.doc_id = m.doc_id AND m.keep = 1
+         |),
+         |dedup AS MATERIALIZED (
+         |  SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+         |         arg_min(text, doc_id) AS text
+         |  FROM kept GROUP BY md5(text)
+         |),
+         |counts AS (SELECT lang, COUNT(*) AS n_docs FROM dedup GROUP BY lang),
+         |mn AS (SELECT MIN(n_docs) AS min_n FROM counts),
+         |sampled AS (
+         |  SELECT dd.lang, dd.doc_id, dd.text
+         |  FROM dedup dd JOIN counts c ON dd.lang = c.lang CROSS JOIN mn
+         |  WHERE CAST(CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DECIMAL(38,0))
+         |        * (CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
+         |        * c.n_docs < CAST(mn.min_n AS DECIMAL(38,0)) * 1000000000000
+         |)
+         |SELECT lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t28_token_mixture" ->
       """WITH docs AS (
