@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, MonotonicallyIncreasingID, Multiply, Rand, Randn, Sqrt, Uuid}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Divide, Expression, ExpressionInfo, MonotonicallyIncreasingID, Multiply, Rand, Randn, Sqrt, Uuid, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the native vector functions into the session's
@@ -48,6 +49,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
           evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
       }))
+
+    // Bloom-filter pre-join pruning, exposed as first-class functions. These
+    // compose Spark's OWN runtime-filter machinery (the expressions behind
+    // spark.sql.optimizer.runtime.bloomFilter, normally analyzer-injected
+    // and not user-callable) so a query can place the bloom pass exactly
+    // where the pipeline wants it: sketch the small side once
+    // (`graft_bloom_agg`, an order/merge-insensitive OR of bits — safe as a
+    // deterministic scalar subquery), then drop non-candidate probe rows
+    // BEFORE the shuffle with `graft_might_contain`. False positives are
+    // killed by the exact join that follows, so results stay oracle-exact;
+    // the win is (1 - fp)·|non-matching| rows never entering the Exchange.
+    // Both sides hash through the same XxHash64(seed 42) the builtin
+    // runtime filter uses, applied here at build time so callers pass raw
+    // values and can never mismatch hash functions between the two calls.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(v[, est_items]) - binary bloom-filter sketch over xxhash64(v)"),
+      (args: Seq[Expression]) => {
+        val hashed = new XxHash64(Seq(args(0)))
+        args match {
+          case Seq(_)    => new BloomFilterAggregate(hashed)
+          case Seq(_, n) => new BloomFilterAggregate(hashed, n,
+            Multiply(n, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg takes 1 or 2 arguments")
+        }
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, v) - membership probe; false => definitely absent"),
+      (args: Seq[Expression]) =>
+        BloomFilterMightContain(args(0), new XxHash64(Seq(args(1))))))
 
     ext.injectCheckRule { session => plan =>
       if (session.conf.get("spark.graft.determinismGuard", "true") == "true") {

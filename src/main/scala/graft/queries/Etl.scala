@@ -507,6 +507,41 @@ object Etl extends QueryPack {
           coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
           coalesce(col("segments"), lit("")).as("segments"))
         .orderBy("n_name")
+    },
+
+    // S18: CDC changelog APPLY (merge-on-read compaction) — the lakehouse
+    // primitive behind Delta/Hudi/Iceberg change feeds: a base snapshot
+    // plus an ordered change log (version, op ∈ {U,D}) collapses to
+    // latest-writer-wins state with delete tombstones masking everything
+    // earlier. The log is derived deterministically from orders so the
+    // oracle can replay it:
+    //   v0  every order as the base insert
+    //   v1  keys ≡ 0 (mod 7)  → price bump (+10)
+    //   v2  keys ≡ 0 (mod 21) → second bump (+20; proves LAST wins, not any)
+    //   v3  keys ≡ 0 (mod 35) → tombstone (proves deletes mask updates)
+    // The apply is ONE hash aggregation — max(struct(version, op, price))
+    // per key, version leading so struct ordering IS changelog ordering —
+    // no window sort, no secondary shuffle. At 100 TB base and log are
+    // bucketed by key, making the union co-partitioned and the agg
+    // Exchange-free; cost scales with |base|+|log| linearly.
+    "s18_cdc_apply" -> { (s, d) =>
+      val dec = DecimalType(18, 2)
+      val k = col("o_orderkey")
+      def slice(version: Long, op: String, pred: Column, price: Column) =
+        Tables.orders(s, d).filter(pred)
+          .select(k.as("k"), lit(version).as("version"), lit(op).as("op"),
+            price.cast(dec).as("price"))
+      val log = slice(0L, "U", lit(true), col("o_totalprice"))
+        .union(slice(1L, "U", k % 7 === 0, col("o_totalprice").cast(dec) + 10))
+        .union(slice(2L, "U", k % 21 === 0, col("o_totalprice").cast(dec) + 20))
+        .union(slice(3L, "D", k % 35 === 0, lit(null)))
+      log.groupBy(col("k"))
+        .agg(max(struct(col("version"), col("op"), col("price"))).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("k").as("o_orderkey"),
+          col("last.version").as("version"),
+          col("last.price").cast(dec).as("price"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -860,6 +895,29 @@ object Etl extends QueryPack {
         |  COALESCE(segments, '') AS segments
         |FROM nation LEFT JOIN sup ON n_nationkey = s_nationkey
         |LEFT JOIN cus ON n_nationkey = c_nationkey
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+
+    // Replays the same synthetic changelog and resolves latest-writer-wins
+    // via ROW_NUMBER (the oracle may sort; the engine must not need to).
+    "s18_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS version, 'U' AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', CAST(o_totalprice AS DECIMAL(18,2)) + 10
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', CAST(o_totalprice AS DECIMAL(18,2)) + 20
+        |  FROM orders WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL
+        |  FROM orders WHERE o_orderkey % 35 = 0
+        |), latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM log
+        |)
+        |SELECT k AS o_orderkey, version, CAST(price AS DECIMAL(18,2)) AS price
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

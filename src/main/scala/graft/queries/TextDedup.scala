@@ -1166,6 +1166,62 @@ object TextDedup extends QueryPack {
         .select("doc_id", "n_tokens", "uniq_ratio", "top_tok_frac",
           "top2_frac", "keep")
         .orderBy("doc_id")
+    },
+
+    // T30: BPE-training pair census — the inner statistic of byte-pair
+    // encoding: count adjacent symbol pairs across the corpus, take the
+    // top merges. The corpus-scale trick is collapsing to the DISTINCT
+    // WORD VOCABULARY first (one linear hash-agg; Zipf makes the vocab
+    // orders of magnitude smaller than the token stream) and exploding
+    // character pairs only over vocab entries with their multiplicity
+    // carried — pair-generation cost is Σ|word| over the VOCAB, not the
+    // corpus. Two shuffles (vocab census, pair census), both map-side
+    // combined; the top-100 is TakeOrderedAndProject, never a global sort.
+    // A full BPE trainer iterates this census↔merge loop; each round is
+    // exactly this plan over the rewritten vocab.
+    "t30_bpe_pairs" -> { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "" && length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      vocab
+        .select(explode(transform(
+            sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2)))).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("pair").asc)
+        .limit(100)
+    },
+
+    // T31: t11's contamination check with the BLOOM PRE-PASS t11's own
+    // comment promises (the 100 TB fallback plan made concrete): sketch
+    // the held-out n-gram hashes once (graft_bloom_agg scalar subquery —
+    // one small broadcastable binary), drop non-candidate corpus grams
+    // with graft_might_contain BEFORE the semi-join shuffle, then the
+    // exact semi-join runs over survivors only to kill false positives.
+    // Result is bit-identical to t11 (same oracle); the plan difference
+    // is that (1-fp)·|clean grams| rows never reach the Exchange — at
+    // 100 TB that is the difference between shuffling the corpus and
+    // shuffling ~the contamination.
+    "t31_bloom_contamination" -> { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), 4)
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val bench  = sh.filter(col("doc_id") % 7 === 0).select(col("h").as("bh")).distinct()
+      val corpus = sh.filter(col("doc_id") % 7 =!= 0)
+      val bloom  = bench.agg(
+        call_function("graft_bloom_agg", col("bh"), lit(1000000L)).as("bf"))
+      val pre    = corpus.filter(
+        call_function("graft_might_contain", bloom.scalar(), col("h")))
+      val sizes  = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      val hits   = pre.join(bench, col("h") === col("bh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      hits.join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_ngrams"), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1873,6 +1929,44 @@ object TextDedup extends QueryPack {
         |)
         |SELECT doc_id, u.lang FROM u JOIN counts ON u.lang = counts.lang CROSS JOIN mn
         |WHERE CAST(u AS DECIMAL(38,0)) * u * n_docs < CAST(min_n AS DECIMAL(38,0)) * 1000000000000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the vocab-first structure: pair generation over DISTINCT
+    // words with multiplicity, exactly like the Spark plan.
+    "t30_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), wf AS (
+        |  SELECT word, COUNT(*) AS n FROM words
+        |  WHERE word <> '' AND length(word) >= 2 GROUP BY word
+        |), pairs AS (
+        |  SELECT unnest([substring(word, i, 2) for i in generate_series(1, length(word)-1)]) AS pair, n
+        |  FROM wf
+        |)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs FROM pairs
+        |GROUP BY pair ORDER BY n_pairs DESC, pair ASC LIMIT 100""".stripMargin,
+
+    // Identical to t11's oracle BY DESIGN: the bloom pre-pass is a pure
+    // pruning optimization (false positives re-checked by the exact semi
+    // join), so the gate proves result-invariance of the optimized plan.
+    "t31_bloom_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')))) AS sh
+        |  FROM tok WHERE len(t) >= 4
+        |), h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM sh
+        |), bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, h FROM h WHERE doc_id % 7 != 0),
+        |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_contaminated FROM corpus
+        |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, n_ngrams, n_contaminated,
+        |  round(CAST(n_contaminated AS DOUBLE) / n_ngrams, 6) AS contamination
+        |FROM hits JOIN sizes s ON s.doc_id = hits.doc_id
+        |ORDER BY s.doc_id""".stripMargin
   )
 }

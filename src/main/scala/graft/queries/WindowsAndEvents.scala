@@ -537,6 +537,54 @@ object WindowsAndEvents extends QueryPack {
         rightCols = Seq("o_orderkey", "o_totalprice"))
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
         .orderBy("event_id")
+    },
+
+    // W10: calendar GAP-FILL with forward fill — the time-series
+    // regularization operator (resample-to-daily): per user, a dense day
+    // spine from first to last active day (sequence+explode — output-linear,
+    // the inherent cost of gap-fill), daily aggregates left-joined on, gaps
+    // 0-filled for additive metrics and LOCF-filled (last() ignoreNulls
+    // window) for state-like ones. Spine build, join, and window all key on
+    // user_id; the spine side arrives already partitioned by user_id from
+    // its groupBy, so AQE reuses that Exchange — the marginal shuffles are
+    // the (user_id, day) join re-key and nothing else. Per-user window
+    // state is one carried value — no frame buffering.
+    "w10_gapfill" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("event_type")).as("day_max_type"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_max_type"), ignoreNulls = true)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("day")))
+            .as("carried_type"))
+        .orderBy("user_id", "day")
+    },
+
+    // W11: gaps-and-islands — collapse each user's active days into maximal
+    // consecutive runs via the classic day − row_number() group key (a
+    // constant within a run, strictly decreasing across gaps). One shuffle
+    // on user_id serves both the distinct and the window; the island
+    // collapse is a hash agg on (user_id, grp). The streak/retention
+    // primitive at any scale — no self-join, no spine.
+    "w11_activity_islands" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("grp", date_sub(col("day"),
+          row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("day")))))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("island_start"),
+          max(col("day")).as("island_end"),
+          count(lit(1)).as("n_days"))
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
     }
   )
 
@@ -868,6 +916,38 @@ object WindowsAndEvents extends QueryPack {
         |)
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "w10_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |    MAX(event_type) AS day_max_type
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |)
+        |SELECT s.user_id, s.day,
+        |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+        |  last_value(d.day_max_type IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.day) AS carried_type
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "w11_activity_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), grps AS (
+        |  SELECT user_id, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |  FROM days
+        |)
+        |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+        |  COUNT(*) AS n_days
+        |FROM grps GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin
   )
 }
