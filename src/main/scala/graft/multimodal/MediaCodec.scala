@@ -8,14 +8,23 @@ import java.util.zip.CRC32
   */
 case class ImageHeader(width: Int, height: Int, headerLen: Int)
 
-/** PNG / JPEG container-header arithmetic — pure byte work against the
-  * PUBLIC format specs (PNG: ISO/IEC 15948 §5.2/§11.2.2 signature + IHDR;
-  * JPEG: ITU-T T.81 §B.2 marker segments, JFIF APP0), no codec
-  * dependencies. Builders emit spec-valid headers (PNG IHDR carries its
-  * real CRC-32); parsers do what a production header sniffer does — verify
-  * magic, walk segments big-endian, extract dimensions — so the
-  * oracle-gated mm queries exercise genuine binary decode arithmetic even
-  * though nothing here decompresses pixel data.
+/** Parsed RIFF/WAVE container header: PCM stream parameters plus how many
+  * leading bytes the container occupies (payload = sample data starts there).
+  */
+case class WavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+    dataBytes: Int, headerLen: Int)
+
+/** PNG / JPEG / WAV container-header arithmetic — pure byte work against
+  * the PUBLIC format specs (PNG: ISO/IEC 15948 §5.2/§11.2.2 signature +
+  * IHDR; JPEG: ITU-T T.81 §B.2 marker segments, JFIF APP0; WAV: RIFF
+  * chunks per the Microsoft/IBM Multimedia Programming Interface spec —
+  * little-endian chunk sizes, PCM `fmt ` layout), no codec dependencies.
+  * Builders emit spec-valid headers (PNG IHDR carries its real CRC-32, WAV
+  * carries a consistent byte-rate/block-align); parsers do what a
+  * production header sniffer does — verify magic, walk segments in the
+  * format's endianness, extract stream parameters — so the oracle-gated mm
+  * queries exercise genuine binary decode arithmetic even though nothing
+  * here decompresses sample data.
   */
 object MediaCodec {
 
@@ -87,6 +96,75 @@ object MediaCodec {
     if (crc.getValue.toInt != be32(b, 29)) return None
     val (w, h) = (be32(b, 16), be32(b, 20))
     if (w <= 0 || h <= 0) None else Some(ImageHeader(w, h, 33))
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Canonical PCM WAV prefix (44 bytes; 56 with `padChunk` — an extra
+    * LIST/INFO chunk between `fmt ` and `data` so parsers must genuinely
+    * WALK chunks rather than assume fixed offsets). The sample data of
+    * `dataBytes` bytes is expected to follow immediately after.
+    */
+  def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataBytes: Int, padChunk: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0 && dataBytes >= 0)
+    val blockAlign = channels * bitsPerSample / 8
+    val padLen = if (padChunk) 12 else 0
+    val riffSize = 4 + 24 + padLen + 8 + dataBytes
+    val b = ByteBuffer.allocate(44 + padLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)                                  // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign)              // byte rate
+    b.putShort(blockAlign.toShort)
+    b.putShort(bitsPerSample.toShort)
+    if (padChunk) {
+      b.put("LIST".getBytes("US-ASCII")).putInt(4)
+      b.put("INFO".getBytes("US-ASCII"))
+    }
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    b.array()
+  }
+
+  /** WAV: verify RIFF/WAVE magic and the RIFF size against the actual
+    * byte count, then walk chunks little-endian (word-aligned per spec)
+    * collecting PCM `fmt ` parameters and the `data` offset/size. Rejects
+    * non-PCM streams, inconsistent byte-rate/block-align (corrupt or
+    * malicious headers), and truncated data chunks.
+    */
+  def parseWav(b: Array[Byte]): Option[WavHeader] = {
+    if (b.length < 44) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    if (le32(b, 4) != b.length - 8) return None
+    var p = 12
+    var rate, ch, bits = -1
+    while (p + 8 <= b.length) {
+      val size = le32(b, p + 4)
+      if (size < 0 || p + 8 + size > b.length) return None
+      val id = new String(b, p, 4, "US-ASCII")
+      if (id == "fmt ") {
+        if (size < 16 || le16(b, p + 8) != 1) return None // PCM only
+        ch = le16(b, p + 10); rate = le32(b, p + 12); bits = le16(b, p + 22)
+        val blockAlign = le16(b, p + 20)
+        if (ch <= 0 || rate <= 0 || bits <= 0 || bits % 8 != 0) return None
+        if (blockAlign != ch * bits / 8) return None
+        if (le32(b, p + 16) != rate * blockAlign) return None
+      } else if (id == "data") {
+        if (rate <= 0) return None // fmt must precede data
+        return Some(WavHeader(rate, ch, bits, size, p + 8))
+      }
+      p += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
   }
 
   /** JPEG: verify SOI, walk marker segments (each FF xx + 2-byte length

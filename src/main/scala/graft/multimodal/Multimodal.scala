@@ -47,6 +47,10 @@ object Multimodal {
   /** Sampled "frame" of a video row. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
 
+  /** PCM stream parameters parsed out of a WAV container. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, data_bytes: Long, duration_ms: Long)
+
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
@@ -72,17 +76,47 @@ object Multimodal {
             width = h.width,
             height = h.height,
             duration_ms = 0L)
-        case None =>
-          MediaFeatures(
-            doc_id = m.doc_id,
-            media_type = m.media_type,
-            n_bytes = n,
-            fingerprint = md5Hex(m.content),
-            width = (64 + n % 1024).toInt,
-            height = (64 + (n * 7) % 1024).toInt,
-            duration_ms = if (m.media_type == "image") 0L else n * 3)
+        case None => MediaCodec.parseWav(m.content) match {
+          case Some(wav) =>
+            // REAL RIFF parse: stream params come from the bytes; duration
+            // is the PCM identity data/(rate·frame), all-integer. The stub
+            // width/height arithmetic stays keyed to the PAYLOAD size so
+            // audio "dimensions" are container-invariant.
+            val db = wav.dataBytes.toLong
+            MediaFeatures(
+              doc_id = m.doc_id,
+              media_type = m.media_type,
+              n_bytes = n,
+              fingerprint = md5Hex(java.util.Arrays.copyOfRange(
+                m.content, wav.headerLen, m.content.length)),
+              width = (64 + db % 1024).toInt,
+              height = (64 + (db * 7) % 1024).toInt,
+              duration_ms = db * 1000L /
+                (wav.sampleRate.toLong * wav.channels * (wav.bitsPerSample / 8)))
+          case None =>
+            MediaFeatures(
+              doc_id = m.doc_id,
+              media_type = m.media_type,
+              n_bytes = n,
+              fingerprint = md5Hex(m.content),
+              width = (64 + n % 1024).toInt,
+              height = (64 + (n * 7) % 1024).toInt,
+              duration_ms = if (m.media_type == "image") 0L else n * 3)
+        }
       }
     }
+
+    /** Audio-only deep decode: the PCM stream parameters a media pipeline
+      * filters/buckets on (resample decisions, duration caps). None for
+      * rows that are not parseable WAV.
+      */
+    def decodeAudio(m: MediaRow): Option[AudioMeta] =
+      MediaCodec.parseWav(m.content).map { w =>
+        AudioMeta(m.doc_id, w.sampleRate, w.channels, w.bitsPerSample,
+          w.dataBytes.toLong,
+          w.dataBytes.toLong * 1000L /
+            (w.sampleRate.toLong * w.channels * (w.bitsPerSample / 8)))
+      }
   }
 
   /** Synthetic media table derived from `documents`: UTF-8 text bytes stand
@@ -102,16 +136,40 @@ object Multimodal {
       encode(col("text"), "utf-8").as("content"))
       .as[MediaRow]
       .map { m =>
-        if (m.media_type != "image") m
-        else {
-          val w = (100 + m.doc_id % 900).toInt
-          val h = (100 + (m.doc_id * 7) % 900).toInt
-          val header =
-            if (m.doc_id % 6 == 0) MediaCodec.pngHeader(w, h)
-            else MediaCodec.jpegHeader(w, h)
-          m.copy(content = header ++ m.content)
+        m.media_type match {
+          case "image" =>
+            val w = (100 + m.doc_id % 900).toInt
+            val h = (100 + (m.doc_id * 7) % 900).toInt
+            val header =
+              if (m.doc_id % 6 == 0) MediaCodec.pngHeader(w, h)
+              else MediaCodec.jpegHeader(w, h)
+            m.copy(content = header ++ m.content)
+          case "audio" =>
+            // Real RIFF/WAVE container: PCM parameters follow the same
+            // oracle-predictable formulas the image dimensions use; every
+            // 4th audio row carries an extra LIST chunk so the parser's
+            // chunk WALK (not a fixed 44-byte offset) is what the gate
+            // proves.
+            val rate = (8000 + (m.doc_id % 8) * 1000).toInt
+            val ch = (1 + m.doc_id % 2).toInt
+            val header = MediaCodec.wavHeader(rate, ch, 16,
+              m.content.length, padChunk = m.doc_id % 4 == 1)
+            m.copy(content = header ++ m.content)
+          case _ => m
         }
       }
+  }
+
+  /** Audio deep-decode over the media table: WAV rows → typed PCM stream
+    * parameters (per-partition decoder instance, same batching shape as
+    * [[extractFeatures]]); non-audio and unparseable rows drop out.
+    */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new MediaDecoder
+      rows.flatMap(decoder.decodeAudio)
+    }
   }
 
   /** Batched feature extraction: ONE decoder per partition, rows streamed

@@ -525,25 +525,93 @@ object Etl extends QueryPack {
     // bucketed by key, making the union co-partitioned and the agg
     // Exchange-free; cost scales with |base|+|log| linearly.
     "s18_cdc_apply" -> { (s, d) =>
-      val dec = DecimalType(18, 2)
-      val k = col("o_orderkey")
-      def slice(version: Long, op: String, pred: Column, price: Column) =
-        Tables.orders(s, d).filter(pred)
-          .select(k.as("k"), lit(version).as("version"), lit(op).as("op"),
-            price.cast(dec).as("price"))
-      val log = slice(0L, "U", lit(true), col("o_totalprice"))
-        .union(slice(1L, "U", k % 7 === 0, col("o_totalprice").cast(dec) + 10))
-        .union(slice(2L, "U", k % 21 === 0, col("o_totalprice").cast(dec) + 20))
-        .union(slice(3L, "D", k % 35 === 0, lit(null)))
-      log.groupBy(col("k"))
-        .agg(max(struct(col("version"), col("op"), col("price"))).as("last"))
-        .filter(col("last.op") =!= "D")
-        .select(col("k").as("o_orderkey"),
-          col("last.version").as("version"),
-          col("last.price").cast(dec).as("price"))
-        .orderBy("o_orderkey")
+      cdcFinal(cdcResolve(cdcLog(Tables.orders(s, d)))).orderBy("o_orderkey")
+    },
+
+    // ST12: the SAME CDC apply as a REAL STREAM — the lakehouse streaming
+    // upsert sink: the changelog arrives in micro-batches (file-stream
+    // source → foreachBatch), each batch resolves against the STANDING
+    // snapshot (tombstones retained in state so a delete keeps masking
+    // late-arriving lower versions) and republishes atomically via
+    // SnapshotSink. max-by-version is associative/commutative, so the
+    // result is batch-boundary invariant BY CONSTRUCTION and the stream
+    // shares s18's oracle — the stream-must-equal-batch contract t17/t27
+    // carry, here for mutation streams. Per-batch cost is
+    // O(|state| + |batch|) rewrite — the merge-on-read tradeoff a real
+    // table format amortizes with log segments + compaction, same
+    // resolution arithmetic.
+    "st12_stream_cdc_apply" -> { (s, d) =>
+      val base = scratchDir(s, d, "st12_sink")
+      val snap = s"$base/snapshot"
+      val stream = s.readStream.schema(Tables.orders(s, d).schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(d)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          applyCdcBatch(batch, snap)
+        }
+        .start()
+      q.awaitTermination()
+      cdcFinal(s.read.parquet(snap)).orderBy("o_orderkey")
     }
   )
+
+  /** Synthetic versioned changelog over `orders` (shared by the s18 batch
+    * apply, the st12 streaming apply, and their specs): v0 base inserts,
+    * v1/v2 price updates on nested key slices, v3 tombstones.
+    */
+  private[graft] def cdcLog(orders: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val k = col("o_orderkey")
+    def slice(version: Long, op: String, pred: Column, price: Column) =
+      orders.filter(pred)
+        .select(k.as("k"), lit(version).as("version"), lit(op).as("op"),
+          price.cast(dec).as("price"))
+    slice(0L, "U", lit(true), col("o_totalprice"))
+      .union(slice(1L, "U", k % 7 === 0, col("o_totalprice").cast(dec) + 10))
+      .union(slice(2L, "U", k % 21 === 0, col("o_totalprice").cast(dec) + 20))
+      .union(slice(3L, "D", k % 35 === 0, lit(null)))
+  }
+
+  /** Latest-writer-wins resolution of a (k, version, op, price) changelog:
+    * ONE hash aggregation — max(struct(version, op, price)), version
+    * leading so struct ordering IS changelog ordering. Tombstones are
+    * RETAINED (op = 'D' rows survive as state) so that incremental
+    * re-resolution against future batches keeps masking lower versions;
+    * [[cdcFinal]] drops them at read time.
+    */
+  private[graft] def cdcResolve(log: DataFrame): DataFrame =
+    log.groupBy(col("k"))
+      .agg(max(struct(col("version"), col("op"), col("price"))).as("last"))
+      .select(col("k"), col("last.version").as("version"),
+        col("last.op").as("op"), col("last.price").as("price"))
+
+  /** Read-time view of resolved CDC state: tombstones masked, price
+    * re-normalized to the storage decimal type.
+    */
+  private[graft] def cdcFinal(state: DataFrame): DataFrame =
+    state.filter(col("op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("version"),
+        col("price").cast(DecimalType(18, 2)).as("price"))
+
+  /** One micro-batch of the streaming CDC apply: derive the batch's
+    * changelog slice, union the standing snapshot (itself a resolved
+    * changelog — idempotent under re-delivery because max-by-version is),
+    * re-resolve, publish atomically. The prior snapshot stays readable
+    * until the new version is live (SnapshotSink swap protocol).
+    */
+  private[graft] def applyCdcBatch(batch: DataFrame, snapshotPath: String): Unit = {
+    val s = batch.sparkSession
+    val incoming = cdcLog(batch)
+    val merged =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(snapshotPath)))
+        s.read.parquet(snapshotPath)
+          .select(col("k"), col("version"), col("op"), col("price"))
+          .union(incoming)
+      else incoming
+    graft.sources.SnapshotSink.overwrite(cdcResolve(merged), snapshotPath)
+  }
 
   private val htmlSql =
     """'<p><a href="/pmwiki.php/Main/' || t[1] || '">l1</a>' ||
@@ -899,7 +967,14 @@ object Etl extends QueryPack {
 
     // Replays the same synthetic changelog and resolves latest-writer-wins
     // via ROW_NUMBER (the oracle may sort; the engine must not need to).
-    "s18_cdc_apply" ->
+    "s18_cdc_apply" -> cdcOracleSql,
+
+    // Stream-must-equal-batch: the micro-batched apply is gated against
+    // the very same replay as the one-shot batch apply.
+    "st12_stream_cdc_apply" -> cdcOracleSql
+  )
+
+  private lazy val cdcOracleSql: String =
       """WITH log AS (
         |  SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS version, 'U' AS op,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
@@ -919,5 +994,4 @@ object Etl extends QueryPack {
         |SELECT k AS o_orderkey, version, CAST(price AS DECIMAL(18,2)) AS price
         |FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin
-  )
 }

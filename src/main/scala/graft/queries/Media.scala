@@ -67,6 +67,20 @@ object Media extends QueryPack {
           Multimodal.mediaTable(s, Tables.documents(s, d))))
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // MM5: audio deep decode — PCM stream parameters read out of REAL
+    // RIFF/WAVE bytes (chunk walk, little-endian fields, byte-rate
+    // consistency check; every 4th row carries an extra LIST chunk so a
+    // fixed-offset "parser" would go red). The oracle predicts the fixture
+    // formulas, so green means the engine recovered rate/channels/width
+    // from the container itself. Same per-partition decoder batching as
+    // mm1.
+    "mm5_audio_meta" -> { (s, d) =>
+      Multimodal.audioMeta(
+        Multimodal.mediaTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -80,13 +94,18 @@ object Media extends QueryPack {
     """SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |    CAST(octet_length(encode(text))
-      |      + CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 33 WHEN 3 THEN 39 ELSE 0 END AS BIGINT) AS n_bytes,
+      |      + CASE WHEN doc_id % 6 = 0 THEN 33 WHEN doc_id % 6 = 3 THEN 39
+      |             WHEN doc_id % 3 = 1 THEN 44 + CASE WHEN doc_id % 4 = 1 THEN 12 ELSE 0 END
+      |             ELSE 0 END AS BIGINT) AS n_bytes,
       |    md5(text) AS fingerprint,
       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 900
       |              ELSE 64 + octet_length(encode(text)) % 1024 END AS INT) AS width,
       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + (doc_id * 7) % 900
       |              ELSE 64 + (octet_length(encode(text)) * 7) % 1024 END AS INT) AS height,
-      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE octet_length(encode(text)) * 3 END AS BIGINT) AS duration_ms
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+      |              WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) * 1000
+      |                // ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2)
+      |              ELSE octet_length(encode(text)) * 3 END AS BIGINT) AS duration_ms
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -119,6 +138,19 @@ object Media extends QueryPack {
          |SELECT doc_id, CAST(unnest(range(1 + n_bytes % 3)) AS INT) AS frame_idx,
          |  md5(fingerprint || '#' || CAST(unnest(range(1 + n_bytes % 3)) AS VARCHAR)) AS frame_hash
          |FROM f WHERE media_type = 'video'
-         |ORDER BY doc_id, frame_idx""".stripMargin
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Audio rows only; every field the formula the builder wrote into the
+    // RIFF header, so the hash proves a genuine chunk-walking parse.
+    "mm5_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+        |  CAST(octet_length(encode(text)) * 1000
+        |    // ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

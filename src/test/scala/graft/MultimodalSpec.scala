@@ -14,8 +14,11 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def features = Multimodal.extractFeatures(
-    Multimodal.mediaTable(spark, Tables.documents(spark, dir)))
+  private def docs = Tables.documents(spark, dir)
+
+  private def media = Multimodal.mediaTable(spark, docs)
+
+  private def features = Multimodal.extractFeatures(media)
 
   test("PNG header roundtrip: build → parse recovers dimensions, CRC checked") {
     val b = MediaCodec.pngHeader(640, 480) ++ "payload".getBytes("UTF-8")
@@ -94,5 +97,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byDoc.values.forall(f => f.map(_.frame_hash).distinct.size == f.size))
     val videoIds = features.filter(_.media_type == "video").collect().map(_.doc_id).toSet
     assert(byDoc.keySet.subsetOf(videoIds))
+  }
+
+  test("WAV header roundtrip: build → parse recovers PCM params, with and without pad chunk") {
+    for (pad <- Seq(false, true)) {
+      val payload = Array.fill[Byte](1000)(7)
+      val bytes = MediaCodec.wavHeader(44100, 2, 16, payload.length, pad) ++ payload
+      val h = MediaCodec.parseWav(bytes).getOrElse(fail(s"parse failed (pad=$pad)"))
+      assert(h.sampleRate == 44100 && h.channels == 2 && h.bitsPerSample == 16)
+      assert(h.dataBytes == 1000)
+      assert(h.headerLen == (if (pad) 56 else 44))
+    }
+  }
+
+  test("WAV parse rejects corrupt headers: bad byte-rate, truncation, non-PCM, bad RIFF size") {
+    val payload = Array.fill[Byte](100)(3)
+    val good = MediaCodec.wavHeader(8000, 1, 16, payload.length) ++ payload
+    assert(MediaCodec.parseWav(good).isDefined)
+    // Byte-rate field inconsistent with rate·blockAlign (offset 28, LE).
+    val badRate = good.clone(); badRate(28) = (badRate(28) + 1).toByte
+    assert(MediaCodec.parseWav(badRate).isEmpty)
+    // Truncated data chunk (declared 100 bytes, only 50 present).
+    assert(MediaCodec.parseWav(good.dropRight(50)).isEmpty)
+    // Non-PCM audio format tag (offset 20, LE16 = 1 for PCM).
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(MediaCodec.parseWav(nonPcm).isEmpty)
+    // RIFF size not matching the actual byte count (offset 4, LE32).
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
+    assert(MediaCodec.parseWav(badSize).isEmpty)
+  }
+
+  test("audio rows decode real WAV params; fingerprint excludes the container") {
+    import spark.implicits._
+    val audio = Multimodal.audioMeta(media).collect()
+    assert(audio.nonEmpty)
+    audio.foreach { a =>
+      assert(a.doc_id % 3 == 1)
+      assert(a.sample_rate == 8000 + (a.doc_id % 8) * 1000)
+      assert(a.channels == 1 + a.doc_id % 2)
+      assert(a.bits_per_sample == 16)
+      assert(a.duration_ms ==
+        a.data_bytes * 1000 / (a.sample_rate.toLong * a.channels * 2))
+    }
+    // Two containers over the same payload dedup together: the features
+    // fingerprint of an audio row equals md5(text), header excluded.
+    val fps = features.filter(_.media_type == "audio")
+      .select($"doc_id", $"fingerprint").as[(Long, String)].collect().toMap
+    val expect = docs.select($"doc_id", md5($"text")).as[(Long, String)]
+      .filter($"doc_id" % 3 === 1).collect().toMap
+    fps.foreach { case (id, fp) => assert(fp == expect(id), s"doc $id") }
   }
 }

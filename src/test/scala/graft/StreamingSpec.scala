@@ -408,4 +408,37 @@ class StreamingSpec extends AnyFunSuite {
       batch.map(_.toString).sorted.toSeq,
       s"stream landed ${streamed.length} rows, batch kept ${batch.length}")
   }
+
+  test("ST12: CDC apply across 3 real micro-batches equals the one-shot batch apply") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, dir)
+    val base = Files.createTempDirectory("st12_spec_").toString
+    graft.sources.ArtifactStore.registerExitCleanup(base)
+    // Land the changelog source in three disjoint files so
+    // maxFilesPerTrigger=1 forces three genuine micro-batches, each
+    // carrying an arbitrary key slice (boundary-invariance is the claim).
+    (0 until 3).foreach { i =>
+      orders.filter(col("o_orderkey") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val snap = s"$base/snapshot"
+    val q = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        queries.Etl.applyCdcBatch(b, snap)
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 3, s"expected >=3 micro-batches, saw ${batches.get()}")
+    val streamed = queries.Etl.cdcFinal(spark.read.parquet(snap))
+      .orderBy("o_orderkey").collect()
+    val oneShot = queries.Etl.queries("s18_cdc_apply")(spark, dir).collect()
+    assert(streamed.map(_.toString).toSeq == oneShot.map(_.toString).toSeq,
+      "micro-batched CDC state diverged from the batch apply")
+  }
 }
