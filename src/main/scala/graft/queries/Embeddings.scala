@@ -491,6 +491,99 @@ object Embeddings extends QueryPack {
         .unionByName(appended.select("vec_id", "lid", "emb", "nrm"))
       graft.operators.IvfIndex.search(merged, cents, probes(c), k = 5, nprobe = 1)
         .orderBy("qid", "rn")
+    },
+
+    // V13: PRODUCT QUANTIZATION (PQ) with exact rescore — the
+    // highest-compression ANN memory path (FAISS PQ recipe): the 64-dim
+    // space splits into m=4 orthogonal 16-dim SUBSPACES, each with its own
+    // K=16-entry codebook; a vector stores 4 code ids (4 bytes — 16×
+    // smaller than v11's SQ8 codes, 128× smaller than the float64 working
+    // form) and reconstructs as the concatenation of its chosen codewords.
+    // Codebooks are trained per subspace: K distinct subvectors with
+    // smallest owner vec_id seed one Lloyd's round (assign → decimal-exact
+    // means, the same arithmetic the v5 IVF quantizer gates multi-round),
+    // and the corpus is coded against the refined centroids.
+    // Assignment is argmin L2 in the algebraic dot form
+    // |s|² − 2·s·c + |c|² (three dot products, no per-element subtract
+    // HOF), rounded to 6 with cid tiebreak so the CODES — not just the
+    // final scores — are engine-identical. Approximate scoring then runs
+    // against reconstructions (dot(q, recon) ≡ Σₘ dot(qₘ, codewordₘ) —
+    // the ADC lookup-table identity), cuts the top-32 per probe, and only
+    // those touch full-precision vectors for the exact-cosine top-10.
+    // Scale shape: codebook is 64 rows (broadcast); assignment is a
+    // map-side broadcast join + 16-way argmin per (vec, subspace); the
+    // codes table is what a deployment persists — at 100 TB the scan I/O
+    // for ADC is 4 bytes/vector plus the shared codebook.
+    "v13_pq_rescore" -> { (s, d) =>
+      val mSub = 4; val subD = 16; val kCodes = 16
+      val c = corpus(s, d)
+      def subSlices(v: Column) =
+        array((0 until mSub).map(j => slice(v, j * subD + 1, subD)): _*)
+      val subs = c.select(col("vec_id"),
+        posexplode(subSlices(col("emb")))).toDF("vec_id", "m", "sub")
+      // Per-subspace codebook: distinct subvectors seeded by min owner id.
+      // A vec_id owns exactly one subvector per subspace, so the min-owner
+      // is unique within a subspace and the ROW_NUMBER order is total.
+      val seeds = subs.groupBy(col("m"), col("sub"))
+        .agg(min(col("vec_id")).as("sv"))
+        .withColumn("cid", row_number().over(
+          Window.partitionBy(col("m")).orderBy(col("sv"))) - 1)
+        .filter(col("cid") < kCodes)
+        .select(col("m"), col("cid"), col("sub").as("csub"),
+          dotNative(col("sub"), col("sub")).as("cn"))
+      // Nearest-codeword assignment against codebook `cb` (m, cid, csub,
+      // cn): argmin as a hash agg (no per-(vec,m) window sort) — struct
+      // ordering is (l2 asc, cid asc), the deterministic tiebreak. The
+      // codebook is 64 rows, always broadcast.
+      def pqAssign(cb: DataFrame): DataFrame = subs.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("cid"),
+          round(dotNative(col("sub"), col("sub"))
+            - lit(2.0) * dotNative(col("sub"), col("csub")) + col("cn"), 6)
+            .as("l2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("l2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+      // One Lloyd's update: per-(subspace, code) decimal-exact means of
+      // the assigned subvectors (DECIMAL(28,10) partial sums are
+      // order-independent → bit parity with the oracle replay), packed
+      // back into csub arrays in dimension order.
+      val refined = pqAssign(seeds)
+        .join(subs, Seq("vec_id", "m"))
+        .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("csub"))
+        .select(col("m"), col("cid"), col("csub"),
+          dotNative(col("csub"), col("csub")).as("cn"))
+        .localCheckpoint() // codes + reconstruction both read it
+      val codes = pqAssign(refined)
+      // Reconstruction: codewords concatenated in subspace order (the
+      // v11 stats-pack idiom keeps the fold order engine-identical).
+      val coded = codes.join(broadcast(refined.select(col("m"), col("cid"), col("csub"))),
+          Seq("m", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(col("m"), col("csub")))),
+          x => x.getField("csub"))).as("dq"))
+        .select(col("vec_id"), col("dq"),
+          sqrt(dotNative(col("dq"), col("dq"))).as("dqn"))
+      val q = broadcast(probes(c))
+      val adc = q.join(coded, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dotNative(col("dq"), col("qe")) /
+            (col("dqn") * col("qnrm")), 6).as("q_sim"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("q_sim").desc, col("vec_id").asc)
+      val cand = adc.withColumn("crn", row_number().over(wq)).filter(col("crn") <= 64)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      cand.join(c, "vec_id")
+        .join(q.select(col("qid"), col("qe"), col("qnrm")), "qid")
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .orderBy("qid", "rn")
     }
   )
 
@@ -752,6 +845,74 @@ object Embeddings extends QueryPack {
          |)
          |SELECT qid, vec_id, cos_sim, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
-         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors the PQ chain stage-for-stage: 4×16-dim subspace slices,
+    // min-owner-seeded 16-entry codebooks, ONE Lloyd's refinement round
+    // (assign → DECIMAL(28,10) means, the ivfMeansSql arithmetic keyed by
+    // (m, cid)), the algebraic-L2 rounded assignment with cid tiebreak
+    // (codes engine-identical, not just scores), codeword-concatenation
+    // reconstruction in subspace order, then v11's ADC cut at 32 and
+    // exact rescore top-10. CTEs referenced more than once are
+    // MATERIALIZED.
+    "v13_pq_rescore" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |subs AS MATERIALIZED (
+         |  SELECT vec_id, m, emb[m*16+1 : m*16+16] AS sub
+         |  FROM v CROSS JOIN (VALUES (0),(1),(2),(3)) AS ms(m)),
+         |sv AS (SELECT m, sub, MIN(vec_id) AS sv FROM subs GROUP BY m, sub),
+         |cb0 AS MATERIALIZED (
+         |  SELECT m, cid, sub AS csub, list_dot_product(sub, sub) AS cn FROM (
+         |    SELECT m, sub, sv,
+         |      ROW_NUMBER() OVER (PARTITION BY m ORDER BY sv) - 1 AS cid
+         |    FROM sv
+         |  ) WHERE cid < 16),
+         |asg0 AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY round(list_dot_product(s.sub, s.sub)
+         |          - 2.0 * list_dot_product(s.sub, c.csub) + c.cn, 6) ASC,
+         |          c.cid ASC) AS arn
+         |    FROM subs s JOIN cb0 c USING (m)
+         |  ) WHERE arn = 1),
+         |md AS (
+         |  SELECT m, cid, dim,
+         |    CAST(SUM(CAST(vv AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM (SELECT a.m, a.cid, generate_subscripts(s.sub, 1) AS dim, unnest(s.sub) AS vv
+         |        FROM asg0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m)
+         |  GROUP BY m, cid, dim),
+         |cb AS MATERIALIZED (
+         |  SELECT m, cid, list(cv ORDER BY dim) AS csub,
+         |    list_dot_product(list(cv ORDER BY dim), list(cv ORDER BY dim)) AS cn
+         |  FROM md GROUP BY m, cid),
+         |asg AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY round(list_dot_product(s.sub, s.sub)
+         |          - 2.0 * list_dot_product(s.sub, c.csub) + c.cn, 6) ASC,
+         |          c.cid ASC) AS arn
+         |    FROM subs s JOIN cb c USING (m)
+         |  ) WHERE arn = 1),
+         |dec AS MATERIALIZED (
+         |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS dq
+         |  FROM asg JOIN cb USING (m, cid) GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 100 = 0),
+         |adc AS (
+         |  SELECT qid, vec_id,
+         |    round(list_dot_product(dq, qe)/(sqrt(list_dot_product(dq, dq))*sqrt(list_dot_product(qe, qe))), 6) AS q_sim
+         |  FROM q, dec WHERE vec_id != qid),
+         |cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY q_sim DESC, vec_id ASC) AS crn
+         |    FROM adc) WHERE crn <= 64),
+         |sc AS (
+         |  SELECT c.qid, c.vec_id, round(${cosSql("qe", "v.emb")}, 6) AS cos_sim
+         |  FROM cand c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.qid = c.qid)
+         |SELECT qid, vec_id, cos_sim, rn FROM (
+         |  SELECT qid, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |  FROM sc) WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin
   )
 }

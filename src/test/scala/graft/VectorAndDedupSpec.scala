@@ -118,6 +118,35 @@ class VectorAndDedupSpec extends AnyFunSuite {
       s"SQ8 recall@10 = $hits/$total — quantizer or rescore regressed")
   }
 
+  test("v13 PQ search returns full exact-rescored top-10 with positive recall floor") {
+    val brute = graft.queries.Embeddings.queries("v1_knn_brute")(spark, dir)
+      .select("qid", "vec_id")
+    val pq = graft.queries.Embeddings.queries("v13_pq_rescore")(spark, dir)
+    // Structure: every probe gets exactly 10 ranked rows; cos_sim is the
+    // EXACT cosine (rescore), so for any (qid, vec_id) also in the brute
+    // result the scores must agree bit-for-bit.
+    val perProbe = pq.groupBy("qid").count().collect()
+    assert(perProbe.nonEmpty && perProbe.forall(_.getLong(1) == 10L))
+    val exact = graft.queries.Embeddings.queries("v1_knn_brute")(spark, dir)
+      .select(org.apache.spark.sql.functions.col("qid"),
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cos_sim").as("brute_sim"))
+    assert(pq.join(exact, Seq("qid", "vec_id"))
+      .filter(org.apache.spark.sql.functions.col("cos_sim") =!=
+        org.apache.spark.sql.functions.col("brute_sim")).count() == 0L,
+      "rescored cosine diverged from the exact cosine")
+    // 4-byte codes are a LOSSY 128× compression; the refined codebook at
+    // this tiny sf still has to put a meaningful share of true neighbors
+    // into the 64-candidate rescore pool (measured 0.28 at crn<=32, higher
+    // at 64). This is a degeneracy guard, not a quality target — a
+    // collapsed codebook (all vectors on one code) would sit near the
+    // random-candidate baseline 64/|corpus| ≈ 0.13.
+    val total = brute.count()
+    val hits = brute.intersect(pq.select("qid", "vec_id")).count()
+    assert(hits.toDouble / total >= 0.2,
+      s"PQ recall@10 = $hits/$total — codebook likely degenerate")
+  }
+
   test("t22 block dedup: census invariants + surviving blocks = distinct blocks") {
     val census = graft.queries.TextDedup.queries("t22_block_dedup")(spark, dir)
       .cache()
