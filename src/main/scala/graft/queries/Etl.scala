@@ -519,11 +519,16 @@ object Etl extends QueryPack {
     //   v1  keys ≡ 0 (mod 7)  → price bump (+10)
     //   v2  keys ≡ 0 (mod 21) → second bump (+20; proves LAST wins, not any)
     //   v3  keys ≡ 0 (mod 35) → tombstone (proves deletes mask updates)
-    // The apply is ONE hash aggregation — max(struct(version, op, price))
-    // per key, version leading so struct ordering IS changelog ordering —
-    // no window sort, no secondary shuffle. At 100 TB base and log are
-    // bucketed by key, making the union co-partitioned and the agg
-    // Exchange-free; cost scales with |base|+|log| linearly.
+    // The apply is ONE aggregation — max(struct(version, op, price)) per
+    // key, version leading so struct ordering IS changelog ordering — no
+    // window function, no self-join, no secondary shuffle. Struct max is
+    // not hash-aggregable, so the plan is a partition-local sort +
+    // SortAggregate (audits/s18_cdc_apply.txt); the PARTIAL aggregate
+    // still collapses to one row per key before the single key Exchange —
+    // the same sort-merge-by-key shape Hudi/Delta compaction runs. At
+    // 100 TB base and log are bucketed by key, making the union
+    // co-partitioned and the agg Exchange-free; cost scales with
+    // |base|+|log| linearly.
     "s18_cdc_apply" -> { (s, d) =>
       cdcFinal(cdcResolve(cdcLog(Tables.orders(s, d)))).orderBy("o_orderkey")
     },
@@ -575,8 +580,9 @@ object Etl extends QueryPack {
   }
 
   /** Latest-writer-wins resolution of a (k, version, op, price) changelog:
-    * ONE hash aggregation — max(struct(version, op, price)), version
-    * leading so struct ordering IS changelog ordering. Tombstones are
+    * ONE aggregation — max(struct(version, op, price)), version leading
+    * so struct ordering IS changelog ordering (SortAggregate physically;
+    * partial agg collapses per-key before the shuffle). Tombstones are
     * RETAINED (op = 'D' rows survive as state) so that incremental
     * re-resolution against future batches keeps masking lower versions;
     * [[cdcFinal]] drops them at read time.

@@ -568,22 +568,35 @@ object WindowsAndEvents extends QueryPack {
     },
 
     // W11: gaps-and-islands — collapse each user's active days into maximal
-    // consecutive runs via the classic day − row_number() group key (a
-    // constant within a run, strictly decreasing across gaps). One shuffle
-    // on user_id serves both the distinct and the window; the island
-    // collapse is a hash agg on (user_id, grp). The streak/retention
-    // primitive at any scale — no self-join, no spine.
+    // consecutive runs. The textbook form (distinct days → day −
+    // row_number() window → re-group) costs TWO key exchanges plus a
+    // window sort ((user_id, day) for the distinct, user_id again for the
+    // window). Here the ONLY shuffle is one user_id hash agg:
+    // collect_set(day) partial-aggregates map-side, and the island split
+    // is a per-row fold over the sorted day array (start a new island when
+    // the day gap exceeds 1) — no window, no second exchange. The fold's
+    // accumulator-copy cost is quadratic in the PER-USER island count,
+    // which the calendar bounds (a user-day table spans thousands of days
+    // at most — never corpus-scale). n_days = island span because every
+    // day inside an island is present by construction.
     "w11_activity_islands" -> { (s, d) =>
       Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .withColumn("grp", date_sub(col("day"),
-          row_number().over(
-            Window.partitionBy(col("user_id")).orderBy(col("day")))))
-        .groupBy(col("user_id"), col("grp"))
-        .agg(min(col("day")).as("island_start"),
-          max(col("day")).as("island_end"),
-          count(lit(1)).as("n_days"))
-        .select("user_id", "island_start", "island_end", "n_days")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("day"))).as("days"))
+        .select(col("user_id"), explode(expr(
+          """aggregate(
+            |  slice(days, 2, size(days) - 1),
+            |  array(named_struct('s', days[0], 'e', days[0])),
+            |  (acc, d) -> CASE WHEN datediff(d, element_at(acc, -1).e) = 1
+            |    THEN concat(slice(acc, 1, size(acc) - 1),
+            |                array(named_struct('s', element_at(acc, -1).s, 'e', d)))
+            |    ELSE concat(acc, array(named_struct('s', d, 'e', d))) END)""".stripMargin))
+          .as("isl"))
+        .select(col("user_id"),
+          col("isl.s").as("island_start"),
+          col("isl.e").as("island_end"),
+          (datediff(col("isl.e"), col("isl.s")) + 1).cast("long").as("n_days"))
         .orderBy("user_id", "island_start")
     }
   )
