@@ -591,6 +591,42 @@ object Graph extends QueryPack {
             (col("deg") * (col("deg") - 1)), 6).as("cc"))
         .orderBy(col("cc").desc, col("o").asc)
         .limit(50)
+    },
+
+    // G15: DETERMINISTIC random walks — the DeepWalk/node2vec corpus
+    // sampling step (walks feed a skip-gram trainer), with the engine's
+    // seeded-randomness contract: step t from a node of degree g moves to
+    // sorted-neighbor index H(seed, t) mod g, H = md5 — replayable,
+    // repartition-stable, oracle-mirrorable (the determinism guard bans
+    // rand(); this is the sanctioned pattern, same as g5/t9). Adjacency =
+    // sorted neighbor arrays aggregated once from the maintained bucketed
+    // edge table (per-src agg, Exchange-free on the bucketed scan); each
+    // step is one join of the walker frontier (small, broadcast) against
+    // it. At 100 TB: frontier ∝ seeds, adjacency scan is partition-pruned
+    // by the join — walk cost is steps × |seeds|, never corpus-shaped.
+    "g15_random_walks" -> { (s, d) =>
+      val adj = symEdgesTable(s, d).groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val seeds = edges(s, d).select((col("o") * 2).as("node")).distinct()
+        .filter(col("node") % 100 === 0)
+        .select(col("node").as("seed"), col("node"),
+          array(col("node")).as("path"))
+      def step(cur: DataFrame, t: Int): DataFrame = {
+        val h = conv(substring(
+          md5(concat(col("seed").cast("string"), lit("#" + t))), 1, 8), 16, 10)
+          .cast("long")
+        cur.join(adj, cur("node") === adj("src"))
+          .withColumn("nxt",
+            element_at(col("nbrs"), ((h % size(col("nbrs"))) + 1).cast("int")))
+          .select(col("seed"), col("nxt").as("node"),
+            concat(col("path"), array(col("nxt"))).as("path"))
+      }
+      (1 to 3).foldLeft(seeds)(step)
+        .select(col("seed"), expr(
+          "array_join(transform(path, x -> CASE WHEN x % 2 = 0 " +
+            "THEN concat('o', CAST(x DIV 2 AS STRING)) " +
+            "ELSE concat('p', CAST(x DIV 2 AS STRING)) END), '->')").as("walk"))
+        .orderBy("seed")
     }
   )
 
@@ -1025,6 +1061,36 @@ object Graph extends QueryPack {
          |    CAST(SUM(n_pairs) OVER () AS BIGINT) AS n_total
          |  FROM census)
          |ORDER BY dist""".stripMargin
+    },
+
+    // Walk replay: 3 unrolled step CTEs, each picking
+    // nbrs[1 + H(seed, t) % degree] from the sorted adjacency — the
+    // engine's md5 arithmetic byte-for-byte.
+    "g15_random_walks" -> {
+      def idx(t: Int): String =
+        s"CAST(1 + CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#$t'), 1, 8)) AS BIGINT) % len(nbrs) AS INT)"
+      def stepSql(prev: String, out: String, t: Int): String =
+        s"""$out AS (
+           |  SELECT w.seed, nbrs[${idx(t)}] AS node,
+           |    list_append(w.path, nbrs[${idx(t)}]) AS path
+           |  FROM $prev w JOIN adj ON adj.src = w.node
+           |)""".stripMargin
+      s"""WITH e AS ($edgesSql),
+         |edges AS (
+         |  $symEdgesSql
+         |),
+         |adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs FROM edges GROUP BY src),
+         |w0 AS (
+         |  SELECT DISTINCT o * 2 AS seed, o * 2 AS node, [o * 2] AS path
+         |  FROM e WHERE (o * 2) % 100 = 0
+         |),
+         |${stepSql("w0", "w1", 1)},
+         |${stepSql("w1", "w2", 2)},
+         |${stepSql("w2", "w3", 3)}
+         |SELECT seed, array_to_string(list_transform(path, x ->
+         |    CASE WHEN x % 2 = 0 THEN 'o' || CAST(x // 2 AS VARCHAR)
+         |         ELSE 'p' || CAST(x // 2 AS VARCHAR) END), '->') AS walk
+         |FROM w3 ORDER BY seed""".stripMargin
     }
   )
 }

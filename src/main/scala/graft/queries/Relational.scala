@@ -485,6 +485,23 @@ object Relational extends QueryPack {
         .orderBy("rn")
     },
 
+    // O6: top-k WITH TIES — FETCH FIRST k ROWS WITH TIES semantics, which
+    // row_number-based top-k silently breaks on tied sort keys: rank()
+    // keeps EVERY row tying with the k-th. p_size ties heavily, so the
+    // tie path genuinely executes. The rank()<=k filter is recognized by
+    // the optimizer as a group-limit (WindowGroupLimit): each partition
+    // keeps only its local candidates BEFORE the single-partition window
+    // sort — the plan stays top-k-shaped at any scale rather than
+    // globally sorting the table.
+    "o6_topk_with_ties" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.part(s, d)
+        .withColumn("rnk", rank().over(Window.orderBy(col("p_size").desc)))
+        .filter(col("rnk") <= 3)
+        .select("p_partkey", "p_size", "rnk")
+        .orderBy(col("rnk").asc, col("p_partkey").asc)
+    },
+
     // U1: intersect — customers active in both 1995 and 2000.
     "u1_intersect" -> { (s, d) =>
       val o = Tables.orders(s, d)
@@ -821,6 +838,12 @@ object Relational extends QueryPack {
         |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders
         |) WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin,
+
+    "o6_topk_with_ties" ->
+      """SELECT p_partkey, p_size, rnk FROM (
+        |  SELECT p_partkey, p_size, RANK() OVER (ORDER BY p_size DESC) AS rnk
+        |  FROM part
+        |) WHERE rnk <= 3 ORDER BY rnk ASC, p_partkey ASC""".stripMargin,
 
     // The OFFSET form of the same page: keyset must reproduce it exactly.
     "o5_keyset_pagination" ->

@@ -86,8 +86,12 @@ object TextDedup extends QueryPack {
     * produced. Consecutive pairs of minhashes form bands (classic LSH
     * banding); docs sharing any band key are near-dup candidates.
     */
-  private def bandKeys(sh: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
-    require(nHashes % bandSize == 0 && nHashes <= 8 && bandSize == 2)
+  /** Per-doc minhash signature (doc_id, mh0..mh{nHashes−1}) — the md5-slice
+    * derivation documented at [[bandKeys]]; shared by the banding stage and
+    * the t32 estimate-vs-truth audit.
+    */
+  private def signatures(sh: DataFrame, nHashes: Int): DataFrame = {
+    require(nHashes <= 8)
     val m0 = md5(col("sh"))
     val m1 = md5(concat(lit("x"), col("sh")))
     def slice(i: Int): Column = {
@@ -95,7 +99,12 @@ object TextDedup extends QueryPack {
       conv(substring(src, 1 + 8 * (i % 4), 8), 16, 10).cast("long")
     }
     val mins = (0 until nHashes).map(i => min(slice(i)).as(s"mh$i"))
-    val perDoc = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def bandKeys(sh: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
+    require(nHashes % bandSize == 0 && nHashes <= 8 && bandSize == 2)
+    val perDoc = signatures(sh, nHashes)
     val bands = (0 until nHashes / bandSize).map { b =>
       struct(lit(b.toLong).as("band"),
         concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
@@ -1222,6 +1231,38 @@ object TextDedup extends QueryPack {
           round(col("n_contaminated").cast("double") / col("n_ngrams"), 6)
             .as("contamination"))
         .orderBy("doc_id")
+    },
+
+    // T32: MinHash estimate-vs-truth AUDIT — the sketch-quality metric a
+    // dedup deployment monitors (v8_ann_recall's sibling for the text
+    // stack): for every LSH candidate pair, the signature-agreement
+    // estimate (matching minhashes / 8 — the unbiased Jaccard estimator)
+    // next to the TRUE shingle Jaccard and the absolute error. Tuning
+    // nHashes/bands is a tradeoff read straight off this table. Cost is
+    // one signature join per candidate pair (the estimate side is 8 long
+    // comparisons, fixed-order sum) on top of the exact-Jaccard join t4
+    // already pays; at 100 TB the audit runs on a sampled candidate
+    // stream, same plan.
+    "t32_minhash_estimate" -> { (s, d) =>
+      val (sh, capped) = lsh3(s, d)
+      val pairs = candidatePairs(capped)
+      val sig = signatures(sh, 8)
+      val sa = sig.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
+      val sb = sig.toDF("doc_b" +: (0 until 8).map(i => s"b$i"): _*)
+      val nMatch = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val truth = jaccard(pairs, sh, 0.0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("true_jaccard"))
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+        .join(truth, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_match"),
+          round(col("n_match") / 8.0, 6).as("est_jaccard"),
+          col("true_jaccard"),
+          round(abs(round(col("n_match") / 8.0, 6) - col("true_jaccard")), 6)
+            .as("abs_err"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -1967,6 +2008,21 @@ object TextDedup extends QueryPack {
         |SELECT s.doc_id, n_ngrams, n_contaminated,
         |  round(CAST(n_contaminated AS DOUBLE) / n_ngrams, 6) AS contamination
         |FROM hits JOIN sizes s ON s.doc_id = hits.doc_id
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // Reuses the full t4 CTE chain (the `mh` CTE carries the signatures)
+    // and appends the agreement count + error columns.
+    "t32_minhash_estimate" ->
+      s"""${neardupCtes(n = 3, nHashes = 8, bandSize = 2)},
+         |est AS (
+         |  SELECT j.doc_a, j.doc_b,
+         |    (${(0 until 8).map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) AS n_match,
+         |    round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS true_jaccard
+         |  FROM jac j JOIN mh a ON a.doc_id = j.doc_a JOIN mh b ON b.doc_id = j.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_match,
+         |  round(n_match / 8.0, 6) AS est_jaccard, true_jaccard,
+         |  round(abs(round(n_match / 8.0, 6) - true_jaccard), 6) AS abs_err
+         |FROM est ORDER BY doc_a, doc_b""".stripMargin
   )
 }

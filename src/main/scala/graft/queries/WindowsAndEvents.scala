@@ -598,6 +598,56 @@ object WindowsAndEvents extends QueryPack {
           col("isl.e").as("island_end"),
           (datediff(col("isl.e"), col("isl.s")) + 1).cast("long").as("n_days"))
         .orderBy("user_id", "island_start")
+    },
+
+    // W12: exponential moving average — the order-dependent recursion
+    // (ema_i = ½·ema_{i−1} + ½·x_i, seeded at the first observation) that
+    // no window frame expresses: a frame aggregates the frame's ROWS, EMA
+    // depends on its own previous OUTPUT. Per user: daily exact-decimal
+    // mean values (dq3's determinism idiom), then ONE chronological fold
+    // over the sorted day array — one user_id shuffle total (collect_list
+    // partial-aggregates map-side), fold cost linear in per-user days
+    // (calendar-bounded). DuckDB's list_reduce seeds with the first
+    // element and folds left exactly like the slice+element_at form here,
+    // and ½-weights are exact in binary, so the recursion is
+    // bit-identical cross-engine.
+    "w12_ema" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg((sum(dec2(col("value"))).cast("double") / count(lit(1))).as("v"))
+      daily.groupBy(col("user_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("day"), col("v")))),
+            x => x.getField("v")).as("vs"),
+          count(lit(1)).as("n_days"),
+          max(col("day")).as("last_day"))
+        .select(col("user_id"), col("n_days"), col("last_day"),
+          round(expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1)," +
+              " (acc, x) -> acc * 0.5D + x * 0.5D)"), 6).as("ema"))
+        .orderBy("user_id")
+    },
+
+    // W13: sliding-window DISTINCT count — trailing-7-day active users per
+    // day. SQL cannot express this as a window function
+    // (COUNT(DISTINCT) OVER RANGE is unsupported in every engine — frames
+    // aggregate rows, distinctness needs set state); the scalable shape is
+    // the contribute-explode: dedup to (user, day) — the heavy stream
+    // collapses here, map-side combinable — then each user-day contributes
+    // to the ≤7 windows it falls in (bounded fan-out = window span) and
+    // one (win_end) hash agg counts distinct users. Cost is
+    // 7 × |user-days|, never 7 × |events|, and never a per-window rescan.
+    "w13_sliding_distinct" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val mx = ud.agg(max(col("day")).as("mday"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("win_end"))
+        .crossJoin(broadcast(mx))
+        .filter(col("win_end") <= col("mday"))
+        .groupBy(col("win_end"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("win_end")
     }
   )
 
@@ -961,6 +1011,35 @@ object WindowsAndEvents extends QueryPack {
         |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
         |  COUNT(*) AS n_days
         |FROM grps GROUP BY user_id, grp
-        |ORDER BY user_id, island_start""".stripMargin
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    // list_reduce folds left seeded with the first element — the same
+    // recursion order as the engine's slice+element_at aggregate().
+    "w12_ema" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2
+        |), arr AS (
+        |  SELECT user_id, list(v ORDER BY day) AS vs, COUNT(*) AS n_days,
+        |    MAX(day) AS last_day
+        |  FROM daily GROUP BY user_id
+        |)
+        |SELECT user_id, n_days, last_day,
+        |  round(list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ema
+        |FROM arr ORDER BY user_id""".stripMargin,
+
+    "w13_sliding_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), mx AS (SELECT MAX(day) AS mday FROM ud),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS win_end
+        |  FROM ud
+        |)
+        |SELECT win_end, COUNT(DISTINCT user_id) AS n_active
+        |FROM w CROSS JOIN mx WHERE win_end <= mday
+        |GROUP BY win_end ORDER BY win_end""".stripMargin
   )
 }

@@ -46,7 +46,14 @@ object ScaleCurve {
     // linear repetition filter + temperature sampler, and incremental IVF
     // append (search cost is probes × list size, the v-family shape).
     "t24_simhash_band", "t25_repetition_filter", "t26_temperature_sample",
-    "v12_ivf_append")
+    "v12_ivf_append",
+    // round-8 (this session): bloom-prefiltered contamination (prune
+    // before the semi-join Exchange — should track t11 or better), PQ
+    // train+code+ADC+rescore (probes×corpus ADC, the v11 shape), CDC
+    // sort-agg apply and the output-linear gap-fill, and the vocab-census
+    // BPE pair count (sub-linear in corpus via the vocab collapse).
+    "t31_bloom_contamination", "v13_pq_rescore", "s18_cdc_apply",
+    "w10_gapfill", "t30_bpe_pairs")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()
@@ -68,6 +75,14 @@ object ScaleCurve {
     shifted(Tables.embeddings(s, src),
       Seq("vec_id"), None)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // Orders (s18's changelog base): disjoint key ranges per copy, so the
+    // synthetic changelog's %-keyed slices stay deterministic per copy.
+    shifted(Tables.orders(s, src), Seq("o_orderkey", "o_custkey"), None)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    // Events (w10's user-day stream): 5× the users over the same
+    // calendar — gap-fill's honest shape (output scales with user-days).
+    shifted(Tables.events(s, src), Seq("event_id", "user_id"), None)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
   }
 
   /** (build+first, warm) seconds. The FIRST run pays every one-time cost —

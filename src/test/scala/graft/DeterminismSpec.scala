@@ -59,7 +59,14 @@ class DeterminismSpec extends AnyFunSuite {
     "t20_rarity",             // integer-idf mean, rarity-ranked cut
     "e4_embedding_pipeline",  // IVF assign → dedup → decimal-exact census
     "w9_attribution",         // ignoreNulls last_value frame + decimal rollup
-    "st11_stream_alerts")     // stateless alert stream vs published profile
+    "st11_stream_alerts",     // stateless alert stream vs published profile
+    // Round-8 (this session):
+    "t31_bloom_contamination", // bloom partial sketches bit-OR merge — order-free
+    "v13_pq_rescore",         // PQ codebook train (decimal means) + argmin codes
+    "w11_activity_islands",   // collect_set → sorted fold (set order must not leak)
+    "w10_gapfill",            // spine explode + LOCF window
+    "s18_cdc_apply",          // max(struct) sort-agg resolution
+    "t30_bpe_pairs")          // vocab-multiplicity pair census + top-100 cut
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
