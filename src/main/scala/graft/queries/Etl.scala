@@ -545,6 +545,39 @@ object Etl extends QueryPack {
     // O(|state| + |batch|) rewrite — the merge-on-read tradeoff a real
     // table format amortizes with log segments + compaction, same
     // resolution arithmetic.
+    // S19: snapshot TIME TRAVEL — read a table "as of version N": the
+    // SnapshotSink's versioned publish ([[graft.sources.SnapshotSink
+    // .overwriteVersioned]]) retains every prior version dir and flips
+    // the live symlink atomically, so historical reads are a pointer
+    // lookup (the local-filesystem analogue of a table format's snapshot
+    // log — as-of is NEVER a data rewrite). Version 1 is the orders
+    // snapshot before a cutoff date, version 2 the full table; the query
+    // is the snapshot-diff audit every backfill review runs: per-status
+    // counts of both versions side by side with the delta. The oracle
+    // derives both versions from the raw table, so the gate proves the
+    // as-of read returns exactly the version-1 rows (no leakage from the
+    // later publish).
+    "s19_time_travel" -> { (s, d) =>
+      import graft.sources.SnapshotSink
+      val path = s"${scratchDir(s, d, "s19_tt")}/orders_snap"
+      if (SnapshotSink.latestVersion(path).getOrElse(0) < 2) {
+        SnapshotSink.overwriteVersioned(
+          Tables.orders(s, d).filter(col("o_orderdate") < lit("1995-01-01")), path)
+        SnapshotSink.overwriteVersioned(Tables.orders(s, d), path)
+      }
+      val v1 = SnapshotSink.readVersion(s, path, 1)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_v1"))
+      val v2 = SnapshotSink.readVersion(s, path, 2)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_v2"))
+      v2.join(v1, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+          (coalesce(col("n_v2"), lit(0L)) - coalesce(col("n_v1"), lit(0L)))
+            .as("delta"))
+        .orderBy("o_orderstatus")
+    },
+
     "st12_stream_cdc_apply" -> { (s, d) =>
       val base = scratchDir(s, d, "st12_sink")
       val snap = s"$base/snapshot"
@@ -977,7 +1010,23 @@ object Etl extends QueryPack {
 
     // Stream-must-equal-batch: the micro-batched apply is gated against
     // the very same replay as the one-shot batch apply.
-    "st12_stream_cdc_apply" -> cdcOracleSql
+    "st12_stream_cdc_apply" -> cdcOracleSql,
+
+    // Both versions derived from the raw table: the as-of-v1 read must
+    // return exactly the pre-cutoff rows.
+    "s19_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_v1 FROM orders
+        |  WHERE o_orderdate < DATE '1995-01-01' GROUP BY 1
+        |), v2 AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_v2 FROM orders GROUP BY 1
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(COALESCE(n_v1, 0) AS BIGINT) AS n_v1,
+        |  CAST(COALESCE(n_v2, 0) AS BIGINT) AS n_v2,
+        |  CAST(COALESCE(n_v2, 0) - COALESCE(n_v1, 0) AS BIGINT) AS delta
+        |FROM v1 FULL OUTER JOIN v2 USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin
   )
 
   private lazy val cdcOracleSql: String =

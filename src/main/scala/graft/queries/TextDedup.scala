@@ -1233,6 +1233,51 @@ object TextDedup extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // E7: curation LINEAGE census — "where did my data go", the question
+    // every pipeline debugging session starts with: each document gets a
+    // FATE label through e6's production ordering (quality gate → exact
+    // dedup → √-temperature sampling) — quality_drop / dup_drop /
+    // sampled_out / kept — and the census counts docs and tokens per
+    // (lang, fate). Fates partition the corpus exactly (spec-pinned), so
+    // per-lang fate totals reconcile to raw counts and the 'kept' row
+    // reconciles to e6's output. Plan shape: the per-doc stages are e6's
+    // own (one metrics pass, one fp hash-agg, broadcast count/min rows);
+    // the only additions are LEFT joins of per-doc rows onto the keeper
+    // and count tables and one (lang, fate) hash agg — lineage costs one
+    // extra join pass, not a pipeline re-run per stage. CASE arms are
+    // ordered so gate columns are only consulted on keeper rows, where
+    // the LEFT joins are guaranteed to have matched.
+    "e7_curation_lineage" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val metrics = repetitionMetrics(docs).select(col("doc_id").as("mid"), col("keep"))
+      val base = docs.join(metrics, col("doc_id") === col("mid")).drop("mid")
+        .withColumn("fp", md5(col("text")))
+      val keepers = base.filter(col("keep") === 1)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"),
+          min(struct(col("doc_id"), col("lang"))).as("kr"))
+      val counts = keepers.groupBy(col("kr.lang").as("klang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min(col("n_docs")).as("min_n"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val gatePass = u.cast(dec) * u * col("n_docs") <
+        col("min_n").cast(dec) * lit(1000000000000L)
+      base
+        .join(keepers.select(col("fp"), col("keeper_id")), Seq("fp"), "left")
+        .join(broadcast(counts), col("lang") === col("klang"), "left")
+        .crossJoin(broadcast(minN))
+        .withColumn("fate",
+          when(col("keep") === 0, "quality_drop")
+            .when(col("doc_id") =!= col("keeper_id"), "dup_drop")
+            .when(!gatePass, "sampled_out")
+            .otherwise("kept"))
+        .groupBy(col("lang"), col("fate"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .orderBy("lang", "fate")
+    },
+
     // T32: MinHash estimate-vs-truth AUDIT — the sketch-quality metric a
     // dedup deployment monitors (v8_ann_recall's sibling for the text
     // stack): for every LSH candidate pair, the signature-agreement
@@ -1940,6 +1985,38 @@ object TextDedup extends QueryPack {
          |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS first_doc
          |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same stage arithmetic as e6's oracle; the CASE arms are ordered so
+    // gate columns are only consulted where the LEFT joins matched.
+    "e7_curation_lineage" ->
+      s"""$repetitionOracleCtes,
+         |ldocs AS (
+         |  SELECT d.doc_id, d.lang, d.text, m.keep, md5(d.text) AS fp
+         |  FROM documents d JOIN m ON d.doc_id = m.doc_id
+         |),
+         |keepers AS MATERIALIZED (
+         |  SELECT fp, MIN(doc_id) AS keeper_id, arg_min(lang, doc_id) AS klang
+         |  FROM ldocs WHERE keep = 1 GROUP BY fp
+         |),
+         |counts AS (SELECT klang, COUNT(*) AS n_docs FROM keepers GROUP BY klang),
+         |mn AS (SELECT MIN(n_docs) AS min_n FROM counts),
+         |fates AS (
+         |  SELECT b.lang,
+         |    CASE WHEN b.keep = 0 THEN 'quality_drop'
+         |         WHEN b.doc_id <> k.keeper_id THEN 'dup_drop'
+         |         WHEN NOT (CAST(CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DECIMAL(38,0))
+         |                   * (CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
+         |                   * c.n_docs < CAST(mn.min_n AS DECIMAL(38,0)) * 1000000000000)
+         |           THEN 'sampled_out'
+         |         ELSE 'kept' END AS fate,
+         |    len(string_split(b.text, ' ')) AS ntok
+         |  FROM ldocs b
+         |  LEFT JOIN keepers k ON b.fp = k.fp
+         |  LEFT JOIN counts c ON b.lang = c.klang
+         |  CROSS JOIN mn
+         |)
+         |SELECT lang, fate, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         |FROM fates GROUP BY lang, fate ORDER BY lang, fate""".stripMargin,
 
     "t28_token_mixture" ->
       """WITH docs AS (

@@ -54,4 +54,53 @@ object SnapshotSink {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
     }
+
+  /** VERSIONED publish — the TIME-TRAVEL form of [[overwrite]]: every
+    * publish lands as `<path>.versions/v<N>` (N monotonically increasing,
+    * derived from the existing version dirs) and `path` flips to the new
+    * version with the same atomic symlink swap; PRIOR VERSIONS ARE
+    * RETAINED, so `readVersion` serves any historical snapshot — the
+    * local-filesystem analogue of a table format's snapshot log, where
+    * "as of version N" is a manifest-pointer lookup, never a data
+    * rewrite. Returns the version number written. Retention policy is the
+    * caller's (a deployment expires versions by age/count; nothing here
+    * deletes them).
+    */
+  def overwriteVersioned(df: DataFrame, path: String): Int = synchronized {
+    val versionsDir = Paths.get(path + ".versions")
+    Files.createDirectories(versionsDir)
+    val next = 1 + latestVersion(path).getOrElse(0)
+    val target = versionsDir.resolve(s"v$next")
+    // Stage then atomic-rename INTO the versions dir: a crash mid-write
+    // leaves a stage dir, never a half-visible version.
+    val stage = Paths.get(path + s".stage-${java.util.UUID.randomUUID()}")
+    try df.write.parquet(stage.toString)
+    catch { case e: Throwable => deleteRecursively(stage); throw e }
+    Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    val link = Paths.get(path)
+    require(!Files.exists(link) || Files.isSymbolicLink(link),
+      s"snapshot target $path exists but is not a sink-managed symlink")
+    val tmpLink = Paths.get(path + ".lnk-" + java.util.UUID.randomUUID())
+    Files.createSymbolicLink(tmpLink,
+      Paths.get(path).getParent.relativize(target))
+    Files.move(tmpLink, link, StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** Highest published version at `path`, if any. */
+  def latestVersion(path: String): Option[Int] = {
+    val versionsDir = Paths.get(path + ".versions")
+    if (!Files.isDirectory(versionsDir)) None
+    else {
+      val vs = Files.list(versionsDir).toArray.toSeq
+        .map(_.asInstanceOf[Path].getFileName.toString)
+        .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Read snapshot `path` as of `version` (see [[overwriteVersioned]]). */
+  def readVersion(s: org.apache.spark.sql.SparkSession, path: String,
+      version: Int): DataFrame =
+    s.read.parquet(path + s".versions/v$version")
 }

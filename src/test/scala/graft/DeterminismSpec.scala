@@ -66,7 +66,13 @@ class DeterminismSpec extends AnyFunSuite {
     "w11_activity_islands",   // collect_set → sorted fold (set order must not leak)
     "w10_gapfill",            // spine explode + LOCF window
     "s18_cdc_apply",          // max(struct) sort-agg resolution
-    "t30_bpe_pairs")          // vocab-multiplicity pair census + top-100 cut
+    "t30_bpe_pairs",          // vocab-multiplicity pair census + top-100 cut
+    "g15_random_walks",       // md5-seeded neighbor picks over sorted adjacency
+    "e7_curation_lineage",    // fate CASE over 3 composed stages + left joins
+    "w12_ema",                // collect_list order must not leak into the fold
+    "w13_sliding_distinct",   // explode fan-out + distinct agg
+    "o6_topk_with_ties",      // rank group-limit across partition counts
+    "s19_time_travel")        // versioned publish + as-of read
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {

@@ -76,6 +76,27 @@ class TimeSeriesAndCdcSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("e7 lineage: fates partition the corpus; 'kept' reconciles with e6") {
+    val out = queries.TextDedup.queries("e7_curation_lineage")(spark, sf).cache()
+    try {
+      // Completeness: per-lang fate totals equal the raw corpus counts —
+      // no document is unaccounted for, none double-labeled.
+      val raw = Tables.documents(spark, sf).groupBy("lang").count()
+      assert(out.groupBy("lang").agg(sum("n_docs").as("n"))
+        .join(raw, "lang").filter(col("n") =!= col("count")).count() == 0L,
+        "fates do not partition the corpus")
+      // Consistency: the 'kept' row per lang is exactly e6's n_kept.
+      val kept = out.filter(col("fate") === "kept")
+        .select(col("lang"), col("n_docs"))
+      val e6 = queries.TextDedup.queries("e6_curation_pipeline")(spark, sf)
+        .select(col("lang"), col("n_kept"))
+      assert(kept.join(e6, "lang")
+        .filter(col("n_docs") =!= col("n_kept")).count() == 0L,
+        "lineage 'kept' diverged from the e6 pipeline output")
+      assert(kept.count() == e6.count())
+    } finally out.unpersist()
+  }
+
   test("t30 BPE pairs: pair mass over the vocab equals the corpus token stream's") {
     // Independent recomputation WITHOUT the vocab collapse: per-token
     // character pairs summed over the raw stream must give every top-100
