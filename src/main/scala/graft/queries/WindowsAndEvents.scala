@@ -324,6 +324,36 @@ object WindowsAndEvents extends QueryPack {
       s.read.parquet(s"$base/snapshot").orderBy("window_start", "rn")
     },
 
+    // ST13: CHAINED STATEFUL AGGREGATIONS in one real stream — w13's
+    // sliding distinct-actives as a stream: stage 1 collapses events to
+    // (7-day/1-day sliding window, user) rows, stage 2 re-aggregates BY
+    // THE WINDOW STRUCT to count distinct users — the two-stateful-
+    // operator pipeline (agg → agg) Spark supports natively in append
+    // mode since multiple-stateful-operator support landed; previously
+    // this required a foreachBatch workaround. The window column carries
+    // event time through to stage 2, so both stages finalize against the
+    // same end-of-input watermark and only closed windows land (st2's
+    // non-strict end ≤ wm rule, oracle-encoded). State is bounded:
+    // stage 1 holds (window × active user) counters inside the watermark
+    // horizon, stage 2 one counter per open window.
+    "st13_stream_sliding_active" -> { (s, d) =>
+      val base = scratchDir(s, d, "st13_sink")
+      val perUser = graft.streaming.StreamOps.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val active = perUser
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(col("w.start").as("window_start"), col("n_active"))
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        active, s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot").orderBy("window_start")
+    },
+
     // ST4 as a REAL streaming run: the flatMapGroupsWithState
     // sessionization (EventTimeTimeout, 45-minute gap) executed as an
     // actual stream over the events source, landed via foreachBatch and
@@ -1028,6 +1058,25 @@ object WindowsAndEvents extends QueryPack {
         |SELECT user_id, n_days, last_day,
         |  round(list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ema
         |FROM arr ORDER BY user_id""".stripMargin,
+
+    // Sliding-window assignment mirrored arithmetically: an event at ts
+    // belongs to the 7 windows starting floor_day(ts) − k days, k ∈ 0..6;
+    // append mode lands a window iff its END (start + 7 days) is ≤ the
+    // end-of-input watermark (max ts − 10 min).
+    "st13_stream_sliding_active" ->
+      """WITH wm AS (
+        |  SELECT make_timestamp(((MAX(epoch_us(ts)) // 1000) - 600000) * 1000) AS wm_ts
+        |  FROM events
+        |), starts AS (
+        |  SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 86400000000) * 86400000000 - k.k * 86400000000) AS window_start
+        |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) AS k(k)
+        |), du AS (SELECT DISTINCT user_id, window_start FROM starts),
+        |counts AS (SELECT window_start, COUNT(*) AS n_active FROM du GROUP BY window_start),
+        |final AS (
+        |  SELECT c.* FROM counts c, wm WHERE c.window_start + INTERVAL 7 DAY <= wm.wm_ts
+        |)
+        |SELECT window_start, n_active FROM final ORDER BY window_start""".stripMargin,
 
     "w13_sliding_distinct" ->
       """WITH ud AS (

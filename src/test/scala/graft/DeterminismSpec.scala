@@ -72,7 +72,8 @@ class DeterminismSpec extends AnyFunSuite {
     "w12_ema",                // collect_list order must not leak into the fold
     "w13_sliding_distinct",   // explode fan-out + distinct agg
     "o6_topk_with_ties",      // rank group-limit across partition counts
-    "s19_time_travel")        // versioned publish + as-of read
+    "s19_time_travel",        // versioned publish + as-of read
+    "st13_stream_sliding_active") // chained stateful aggs, checkpoint replay per conf
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
