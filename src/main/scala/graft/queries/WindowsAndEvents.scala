@@ -658,6 +658,31 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id")
     },
 
+    // W14: sequence PATTERN MATCHING (MATCH_RECOGNIZE-lite) — the event
+    // analytics SQL:2016 added a whole clause for: find regex patterns
+    // over each user's ordered event stream. The portable formulation:
+    // render the stream as a per-user symbol string (one char per event
+    // type, (ts, event_id)-ordered — both engines agree on the string
+    // byte-for-byte) and run the pattern as an actual regex —
+    // 'v+cp' = "one or more views, then click, then purchase", counted
+    // non-overlapping left-to-right (Java and RE2 agree for this
+    // pattern class). One user_id shuffle; per-user state is the
+    // symbol string — one byte per event, bounded by per-user activity.
+    // w5's funnel is the existence special case; this is the general
+    // counting machine.
+    "w14_pattern_match" -> { (s, d) =>
+      val seqs = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, " +
+            "substring(event_type, 1, 1) AS c))), x -> x.c)")).as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).as("n_events"),
+          size(expr("regexp_extract_all(seq, 'v+cp', 0)")).as("n_funnels"),
+          size(expr("regexp_extract_all(seq, 'e{2,}', 0)")).as("n_error_bursts"))
+        .orderBy("user_id")
+    },
+
     // W13: sliding-window DISTINCT count — trailing-7-day active users per
     // day. SQL cannot express this as a window function
     // (COUNT(DISTINCT) OVER RANGE is unsupported in every engine — frames
@@ -1077,6 +1102,17 @@ object WindowsAndEvents extends QueryPack {
         |  SELECT c.* FROM counts c, wm WHERE c.window_start + INTERVAL 7 DAY <= wm.wm_ts
         |)
         |SELECT window_start, n_active FROM final ORDER BY window_start""".stripMargin,
+
+    "w14_pattern_match" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v+cp')) AS INT) AS n_funnels,
+        |  CAST(len(regexp_extract_all(seq, 'e{2,}')) AS INT) AS n_error_bursts
+        |FROM seqs ORDER BY user_id""".stripMargin,
 
     "w13_sliding_distinct" ->
       """WITH ud AS (

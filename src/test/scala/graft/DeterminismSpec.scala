@@ -73,7 +73,9 @@ class DeterminismSpec extends AnyFunSuite {
     "w13_sliding_distinct",   // explode fan-out + distinct agg
     "o6_topk_with_ties",      // rank group-limit across partition counts
     "s19_time_travel",        // versioned publish + as-of read
-    "st13_stream_sliding_active") // chained stateful aggs, checkpoint replay per conf
+    "st13_stream_sliding_active", // chained stateful aggs, checkpoint replay per conf
+    "w14_pattern_match",      // collect_list order into the symbol string
+    "s20_incremental_ingest") // manifest-gated multi-run fold
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
