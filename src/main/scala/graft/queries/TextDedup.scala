@@ -1250,8 +1250,18 @@ object TextDedup extends QueryPack {
     "e7_curation_lineage" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val metrics = repetitionMetrics(docs).select(col("doc_id").as("mid"), col("keep"))
+      // Materialized once — it feeds the keeper derivation, the count
+      // derivation THROUGH keepers, and the final fate join; without this
+      // the metrics chain (two explode→count→max aggregations) re-executes
+      // per consumer (plan lint showed 25 exchanges; same rule as t20's
+      // terms materialization). Text is REDUCED OUT before the checkpoint
+      // (fp + token count are all downstream needs) so the materialized
+      // row is ~30 bytes, not the document.
       val base = docs.join(metrics, col("doc_id") === col("mid")).drop("mid")
-        .withColumn("fp", md5(col("text")))
+        .select(col("doc_id"), col("lang"), col("keep"),
+          md5(col("text")).as("fp"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .localCheckpoint()
       val keepers = base.filter(col("keep") === 1)
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"),
           min(struct(col("doc_id"), col("lang"))).as("kr"))
@@ -1274,7 +1284,7 @@ object TextDedup extends QueryPack {
             .otherwise("kept"))
         .groupBy(col("lang"), col("fate"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " "))).as("n_tokens"))
+          sum(col("n_tok")).as("n_tokens"))
         .orderBy("lang", "fate")
     },
 
