@@ -149,6 +149,31 @@ object TextDedup extends QueryPack {
   private val lshCache =
     new graft.operators.BoundedCache[(DataFrame, DataFrame)]()
 
+  /** Session-cached CURATION BASE shared by e6 (pipeline) and e7
+    * (lineage): every document reduced to (doc_id, lang, keep, fp, n_tok)
+    * — the repetition-metrics chain and the text hashing run ONCE per
+    * (session, shuffle-conf, sf dir) and both queries' multiple consumers
+    * read the ~30-byte-row checkpoint instead of re-executing the two
+    * explode→count→max aggregations per reference (plan lint: e6 was 20
+    * exchanges, e7 25, from exactly this recompute). Same key discipline
+    * as [[lshSig]]'s cache.
+    */
+  private val curationCache = new graft.operators.BoundedCache[DataFrame]()
+
+  private def curationBase(s: SparkSession, d: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" +
+      s.conf.get("spark.sql.shuffle.partitions") + "|" + d
+    curationCache.getOrBuild(key) {
+      val docs = Tables.documents(s, d)
+      val metrics = repetitionMetrics(docs).select(col("doc_id").as("mid"), col("keep"))
+      docs.join(metrics, col("doc_id") === col("mid")).drop("mid")
+        .select(col("doc_id"), col("lang"), col("keep"),
+          md5(col("text")).as("fp"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .localCheckpoint()
+    }
+  }
+
   private def lshSig(s: SparkSession, d: String, n: Int, nHashes: Int)
       : (DataFrame, DataFrame) = {
     val key = s.sparkContext.applicationId + "|" +
@@ -1124,16 +1149,15 @@ object TextDedup extends QueryPack {
     // e3 is this pipeline's v1 (quality → dedup → split → pack); e6 is
     // the curation half with the round-8 quality/mixture tiers.
     "e6_curation_pipeline" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val kept = repetitionMetrics(docs).filter(col("keep") === 1)
-        .select(col("doc_id").as("kid"))
-      val survivors = docs.join(kept, col("doc_id") === col("kid")).drop("kid")
-      val deduped = survivors
-        .select(md5(col("text")).as("fp"), col("doc_id"), col("lang"), col("text"))
+      // Keeper identity is min doc_id (unique), so the dedup struct can
+      // carry the REDUCED text (token count) instead of the document. The
+      // [[curationBase]] checkpoint feeds every consumer, so the metrics
+      // chain runs once per session, not per branch.
+      val deduped = curationBase(s, d).filter(col("keep") === 1)
         .groupBy(col("fp"))
-        .agg(min(struct(col("doc_id"), col("lang"), col("text"))).as("r"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
-          col("r.text").as("text"))
+          col("r.n_tok").as("n_tok"))
       val counts = deduped.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       val minN = counts.agg(min(col("n_docs")).as("min_n"))
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1145,7 +1169,7 @@ object TextDedup extends QueryPack {
           col("min_n").cast(dec) * lit(1000000000000L))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"),
-          sum(size(split(col("text"), " "))).as("n_tokens"),
+          sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))
         .orderBy("lang")
     },
@@ -1248,20 +1272,11 @@ object TextDedup extends QueryPack {
     // ordered so gate columns are only consulted on keeper rows, where
     // the LEFT joins are guaranteed to have matched.
     "e7_curation_lineage" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val metrics = repetitionMetrics(docs).select(col("doc_id").as("mid"), col("keep"))
-      // Materialized once — it feeds the keeper derivation, the count
-      // derivation THROUGH keepers, and the final fate join; without this
-      // the metrics chain (two explode→count→max aggregations) re-executes
-      // per consumer (plan lint showed 25 exchanges; same rule as t20's
-      // terms materialization). Text is REDUCED OUT before the checkpoint
-      // (fp + token count are all downstream needs) so the materialized
-      // row is ~30 bytes, not the document.
-      val base = docs.join(metrics, col("doc_id") === col("mid")).drop("mid")
-        .select(col("doc_id"), col("lang"), col("keep"),
-          md5(col("text")).as("fp"),
-          size(split(col("text"), " ")).as("n_tok"))
-        .localCheckpoint()
+      // [[curationBase]]: the session-cached ~30-byte-row checkpoint of
+      // (doc_id, lang, keep, fp, n_tok) — the metrics chain and text
+      // hashing run once per session, and the keeper derivation, counts,
+      // and fate join all read it (plan lint: 25 exchanges before).
+      val base = curationBase(s, d)
       val keepers = base.filter(col("keep") === 1)
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"),
           min(struct(col("doc_id"), col("lang"))).as("kr"))
