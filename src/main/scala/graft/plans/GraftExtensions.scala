@@ -71,8 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val hashed = new XxHash64(Seq(args(0)))
         args match {
           case Seq(_)    => new BloomFilterAggregate(hashed)
-          case Seq(_, n) => new BloomFilterAggregate(hashed, n,
-            Multiply(n, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
+          case Seq(_, n) =>
+            // SQL integer literals arrive as INT; the aggregate's type
+            // check wants BIGINT — widen so both call surfaces work.
+            val nL = org.apache.spark.sql.catalyst.expressions.Cast(
+              n, org.apache.spark.sql.types.LongType)
+            new BloomFilterAggregate(hashed, nL,
+              Multiply(nL, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
           case _ => throw new IllegalArgumentException(
             "graft_bloom_agg takes 1 or 2 arguments")
         }

@@ -110,6 +110,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV roundtrip property: parse inverts build across the parameter space") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      rate <- Gen.choose(1, 384000)
+      ch <- Gen.choose(1, 8)
+      bits <- Gen.oneOf(8, 16, 24, 32)
+      dataLen <- Gen.choose(0, 512)
+      pad <- Gen.oneOf(true, false)
+    } yield (rate, ch, bits, dataLen, pad)
+    (0 until 300).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { case (rate, ch, bits, dataLen, pad) =>
+        val payload = Array.tabulate[Byte](dataLen)(j => (j % 251).toByte)
+        val bytes = MediaCodec.wavHeader(rate, ch, bits, dataLen, pad) ++ payload
+        val h = MediaCodec.parseWav(bytes)
+          .getOrElse(fail(s"parse failed for ($rate,$ch,$bits,$dataLen,$pad)"))
+        assert(h.sampleRate == rate && h.channels == ch &&
+          h.bitsPerSample == bits && h.dataBytes == dataLen)
+        assert(h.headerLen == (if (pad) 56 else 44))
+      }
+  }
+
   test("WAV parse rejects corrupt headers: bad byte-rate, truncation, non-PCM, bad RIFF size") {
     val payload = Array.fill[Byte](100)(3)
     val good = MediaCodec.wavHeader(8000, 1, 16, payload.length) ++ payload

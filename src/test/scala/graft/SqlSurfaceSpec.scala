@@ -46,4 +46,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .filter(abs(col("c") - 1.0) > 1e-12).count()
     assert(n === 0)
   }
+
+  test("bloom functions compose in plain SQL with a scalar subquery sketch") {
+    Tables.registerAll(spark, dir)
+    // Sketch the benchmark side in a scalar subquery, probe the corpus
+    // side in WHERE — the SQL-text form of t31's prefilter. Every doc_id
+    // divisible by 10 is in the sketched set, so the no-false-negatives
+    // contract means the filtered count must be >= the true member count.
+    val members = spark.sql(
+      "SELECT COUNT(*) AS n FROM documents WHERE doc_id % 10 = 0")
+      .head().getLong(0)
+    val passed = spark.sql(
+      """SELECT COUNT(*) AS n FROM documents
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(doc_id, 100000) FROM documents WHERE doc_id % 10 = 0),
+        |  doc_id)""".stripMargin)
+      .head().getLong(0)
+    assert(passed >= members, "bloom dropped a true member through SQL")
+    val total = spark.sql("SELECT COUNT(*) FROM documents").head().getLong(0)
+    assert(passed < total, "bloom pruned nothing")
+  }
 }
