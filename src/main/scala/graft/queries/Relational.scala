@@ -568,6 +568,34 @@ object Relational extends QueryPack {
         .orderBy("c_mktsegment")
     },
 
+    // A11: WEIGHTED median — the quantity-weighted price midpoint per
+    // return flag: smallest price p with cumweight(≤p) ≥ total/2. Plain
+    // percentile machinery (a4) can't weight; the exact shape is
+    // tie-collapse first (one (flag, price) hash agg — the window then
+    // runs over DISTINCT prices per flag, not rows), cumulative-sum
+    // window, first crossing. All-integer weights (floored quantities)
+    // and decimal prices — no double comparisons anywhere near the
+    // crossing, so the selected row is engine-exact. At extreme
+    // distinct-price cardinality a deployment switches to the two-pass
+    // histogram refinement; this plan is exact and one window.
+    "a11_weighted_median" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+          floor(col("l_quantity")).cast("long").as("w"))
+      val grouped = li.groupBy(col("flag"), col("price")).agg(sum(col("w")).as("w"))
+      val tot = grouped.groupBy(col("flag")).agg(sum(col("w")).as("total_w"))
+      val cum = grouped.withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("flag")).orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.join(tot, "flag")
+        .filter(col("cw") * 2 >= col("total_w"))
+        .groupBy(col("flag"))
+        .agg(min(col("price")).as("weighted_median"),
+          max(col("total_w")).as("total_w"))
+        .orderBy("flag")
+    },
+
     // J9: NULL-safe equi join (<=>) — the join a lake needs when the key
     // is legitimately nullable and NULL must match NULL (IS NOT DISTINCT
     // FROM), e.g. joining on an optional dimension. Nullable key derived
@@ -883,6 +911,23 @@ object Relational extends QueryPack {
         |)
         |SELECT op, l_partkey, multiplicity FROM census
         |ORDER BY op, multiplicity DESC, l_partkey ASC LIMIT 40""".stripMargin,
+
+    "a11_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS total_w FROM g GROUP BY flag),
+        |c AS (
+        |  SELECT flag, price,
+        |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        |  FROM g
+        |)
+        |SELECT c.flag, MIN(price) AS weighted_median,
+        |  CAST(MAX(total_w) AS BIGINT) AS total_w
+        |FROM c JOIN t ON c.flag = t.flag
+        |WHERE cw * 2 >= total_w
+        |GROUP BY c.flag ORDER BY c.flag""".stripMargin,
 
     "a10_mode" ->
       """WITH counts AS (
