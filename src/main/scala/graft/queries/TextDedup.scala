@@ -1303,6 +1303,40 @@ object TextDedup extends QueryPack {
         .orderBy("lang", "fate")
     },
 
+    // T33: VOCABULARY DRIFT between two corpus slices — the
+    // distribution-shift monitor a training pipeline runs between data
+    // drops (dq6's numeric sibling for text): per language, the total
+    // variation distance ½·Σ|p_tok − q_tok| between the token
+    // distributions of the even-id and odd-id halves. The summation is
+    // EXACT: |n_a·T_b − n_b·T_a| accumulated in DECIMAL(38,0) (order-free
+    // integers; vocab ~10⁶ × counts ~10¹² stays far inside 38 digits),
+    // with ONE double division at the very end — no per-token double
+    // sums whose order could diverge between engines. Two hash aggs
+    // (token census, per-lang fold) + a broadcast totals join; map-side
+    // combine does the heavy lifting at any scale.
+    "t33_vocab_drift" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), (col("doc_id") % 2 === 0).as("is_a"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val counts = toks.groupBy(col("lang"), col("tok"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val tots = counts.groupBy(col("lang"))
+        .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      counts.join(broadcast(tots), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+          sum(abs(col("na").cast(dec) * col("tb") -
+            col("nb").cast(dec) * col("ta"))).as("num"))
+        .select(col("lang"), col("ta"), col("tb"),
+          round(col("num").cast("double") /
+            (lit(2.0) * col("ta").cast("double") * col("tb").cast("double")), 6)
+            .as("tvd"))
+        .orderBy("lang")
+    },
+
     // T32: MinHash estimate-vs-truth AUDIT — the sketch-quality metric a
     // dedup deployment monitors (v8_ann_recall's sibling for the text
     // stack): for every LSH candidate pair, the signature-agreement
@@ -2111,6 +2145,29 @@ object TextDedup extends QueryPack {
         |  round(CAST(n_contaminated AS DOUBLE) / n_ngrams, 6) AS contamination
         |FROM hits JOIN sizes s ON s.doc_id = hits.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Exact-integer TVD numerator, one double division at the end —
+    // mirrored term-for-term.
+    "t33_vocab_drift" ->
+      """WITH toks AS (
+        |  SELECT lang, (doc_id % 2 = 0) AS is_a,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, tok,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM toks WHERE tok <> '' GROUP BY lang, tok
+        |), t AS (
+        |  SELECT lang, CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+        |  FROM c GROUP BY lang
+        |)
+        |SELECT c.lang, MAX(t.ta) AS ta, MAX(t.tb) AS tb,
+        |  round(CAST(SUM(abs(CAST(na AS DECIMAL(38,0)) * t.tb
+        |      - CAST(nb AS DECIMAL(38,0)) * t.ta)) AS DOUBLE)
+        |    / (2.0 * CAST(MAX(t.ta) AS DOUBLE) * CAST(MAX(t.tb) AS DOUBLE)), 6) AS tvd
+        |FROM c JOIN t ON c.lang = t.lang
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
 
     // Reuses the full t4 CTE chain (the `mh` CTE carries the signatures)
     // and appends the agreement count + error columns.

@@ -75,7 +75,9 @@ class DeterminismSpec extends AnyFunSuite {
     "s19_time_travel",        // versioned publish + as-of read
     "st13_stream_sliding_active", // chained stateful aggs, checkpoint replay per conf
     "w14_pattern_match",      // collect_list order into the symbol string
-    "s20_incremental_ingest") // manifest-gated multi-run fold
+    "s20_incremental_ingest", // manifest-gated multi-run fold
+    "a11_weighted_median",    // tie-collapse + cum-sum crossing
+    "t33_vocab_drift")        // decimal TVD numerator fold
 
   for (name <- tricky) {
     test(s"$name is invariant under shuffle-partition count") {
