@@ -584,12 +584,17 @@ object Relational extends QueryPack {
           col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
           floor(col("l_quantity")).cast("long").as("w"))
       val grouped = li.groupBy(col("flag"), col("price")).agg(sum(col("w")).as("w"))
-      val tot = grouped.groupBy(col("flag")).agg(sum(col("w")).as("total_w"))
-      val cum = grouped.withColumn("cw", sum(col("w")).over(
-        Window.partitionBy(col("flag")).orderBy(col("price"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      cum.join(tot, "flag")
-        .filter(col("cw") * 2 >= col("total_w"))
+      // Cumulative weight AND the per-flag total come from TWO frames of
+      // the SAME flag-partitioned window sort — no separate totals agg,
+      // no join back: two exchanges end to end ((flag, price) tie
+      // collapse, flag window).
+      val byFlag = Window.partitionBy(col("flag")).orderBy(col("price"))
+      val cum = grouped
+        .withColumn("cw", sum(col("w")).over(
+          byFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total_w", sum(col("w")).over(
+          byFlag.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      cum.filter(col("cw") * 2 >= col("total_w"))
         .groupBy(col("flag"))
         .agg(min(col("price")).as("weighted_median"),
           max(col("total_w")).as("total_w"))
