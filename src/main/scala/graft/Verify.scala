@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Schema rules every ORACLE-GATED output must satisfy before it is dumped
+  * for the driver's compare. Round-8 lesson: the driver hashes STRINGIFIED
+  * cells, fetching the Spark parquet through arrow (decimals keep their
+  * declared scale — `Decimal('154665.40')`) and the DuckDB oracle through a
+  * float path (`154665.4`), so ANY DecimalType column whose data ever has a
+  * trailing-zero fraction hash-mismatches despite exactly equal values
+  * (s18/st12 went red on 1,502/14,571 such prices; a11 was green only
+  * because its 3 medians happened to end in non-zero cents). Decimals are
+  * fine INSIDE a plan — exact money math is the point — but the gated
+  * output surface must cast them to double. `tools/driver_parity.py`
+  * replicates the driver's asymmetric fetch for local pre-checks.
+  */
+object GateSchema {
+  import org.apache.spark.sql.types._
+  /** All paths in `dt` (dotted into structs/arrays/maps) typed Decimal. */
+  def decimalPaths(dt: DataType, path: String = ""): Seq[String] = dt match {
+    case _: DecimalType => Seq(if (path.isEmpty) "<root>" else path)
+    case s: StructType =>
+      s.fields.toSeq.flatMap(f =>
+        decimalPaths(f.dataType, if (path.isEmpty) f.name else s"$path.${f.name}"))
+    case a: ArrayType => decimalPaths(a.elementType, s"$path[]")
+    case m: MapType =>
+      decimalPaths(m.keyType, s"$path{key}") ++ decimalPaths(m.valueType, s"$path{value}")
+    case _ => Nil
+  }
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -15,7 +43,14 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (nameFilter.findFirstIn(name).isDefined) {
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          val df = fn(spark, sfDir)
+          if (SparkEntry.oracleSql.contains(name)) {
+            val dec = GateSchema.decimalPaths(df.schema)
+            require(dec.isEmpty, s"gated output has DecimalType at " +
+              s"${dec.mkString(", ")} — stringified-hash hazard " +
+              "(see GateSchema scaladoc); cast to double on BOTH sides")
+          }
+          df.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           // Oracle-margin guards (e.g. t13's 16-round unroll bound) run
           // against the written result — a violation must fail the dump

