@@ -55,7 +55,10 @@ object Bench {
     // Millisecond precision keeps the single JSON line compact (~2.5 KB at
     // 160 queries instead of ~5 KB) — resilient to line-length caps in
     // downstream log capture, and sub-ms digits are noise anyway.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT pins the decimal separator: a comma-decimal default
+    // locale (de_DE, fr_FR) would emit `1,234` and corrupt the JSON line.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum

@@ -149,7 +149,11 @@ object MediaCodec {
     var rate, ch, bits = -1
     while (p + 8 <= b.length) {
       val size = le32(b, p + 4)
-      if (size < 0 || p + 8 + size > b.length) return None
+      // Long arithmetic: a crafted size near Int.MaxValue would wrap
+      // `p + 8 + size` negative and slip past an int-typed bounds check
+      // (then either AIOOBE out of the task or accept a truncated data
+      // chunk) — exactly the corrupt-header class this parser rejects.
+      if (size < 0 || p.toLong + 8L + size > b.length) return None
       val id = new String(b, p, 4, "US-ASCII")
       if (id == "fmt ") {
         if (size < 16 || le16(b, p + 8) != 1) return None // PCM only

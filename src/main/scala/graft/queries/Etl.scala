@@ -551,8 +551,11 @@ object Etl extends QueryPack {
     // the persisted PROCESSED-FILES manifest, folds ONLY the new files
     // into the standing partial-aggregate snapshot (s13's count +
     // exact-decimal-sum monoid — merge cost is O(|new| + |agg|), the
-    // already-ingested files are never re-read), then publishes data and
-    // manifest. The fixture replays the lifecycle inside the builder:
+    // already-ingested files are never re-read), STAGES the merged agg as
+    // an immutable version, and commits by publishing the manifest that
+    // names it (single atomic swap — see ingestSlices; the crash window
+    // between stage and commit leaves only an unnamed orphan version).
+    // The fixture replays the lifecycle inside the builder:
     // slices {0,1} land → run 1; slice 2 lands → run 2 (re-processing an
     // old slice would double its counts and break the hash); run 3 with
     // nothing new must be a no-op (idempotent re-run). The manifest read
@@ -562,43 +565,18 @@ object Etl extends QueryPack {
     // over the raw table.
     "s20_incremental_ingest" -> { (s, d) =>
       import graft.sources.SnapshotSink
-      import s.implicits._
       val base = scratchDir(s, d, "s20_inc")
       val o = Tables.orders(s, d)
-      def slicePath(i: Int) = s"$base/in/slice$i"
       def land(i: Int): Unit =
-        if (!new java.io.File(slicePath(i)).exists())
+        if (!new java.io.File(ingestSlicePath(base, i)).exists())
           o.filter(col("o_orderkey") % 3 === i)
-            .write.mode("overwrite").parquet(slicePath(i))
-      def partials(df: DataFrame): DataFrame =
-        df.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n_partial"),
-            sum(col("o_totalprice").cast(DecimalType(28, 4))).as("rev_partial"))
-      val manifest = s"$base/manifest"
-      val aggPath = s"$base/agg"
-      def ingest(avail: Seq[Int]): Unit = {
-        val done: Set[String] =
-          if (new java.io.File(manifest).exists())
-            s.read.parquet(manifest).as[String].collect().toSet
-          else Set.empty
-        val fresh = avail.map(slicePath).filterNot(done)
-        if (fresh.nonEmpty) {
-          val newParts = partials(s.read.parquet(fresh: _*))
-          val merged =
-            if (new java.io.File(aggPath).exists())
-              s.read.parquet(aggPath).unionByName(newParts)
-                .groupBy(col("o_orderstatus"))
-                .agg(sum(col("n_partial")).as("n_partial"),
-                  sum(col("rev_partial")).as("rev_partial"))
-            else newParts
-          SnapshotSink.overwrite(merged, aggPath)
-          SnapshotSink.overwrite((done ++ fresh).toSeq.sorted.toDF("path"), manifest)
-        }
-      }
-      land(0); land(1); ingest(Seq(0, 1))
-      land(2); ingest(Seq(0, 1, 2))
-      ingest(Seq(0, 1, 2)) // nothing new: provably a no-op
-      s.read.parquet(aggPath)
+            .write.mode("overwrite").parquet(ingestSlicePath(base, i))
+      land(0); land(1); ingestSlices(s, base, Seq(0, 1))
+      land(2); ingestSlices(s, base, Seq(0, 1, 2))
+      ingestSlices(s, base, Seq(0, 1, 2)) // nothing new: provably a no-op
+      val aggVer = ingestCommitted(s, base)._2.getOrElse(
+        sys.error("s20: manifest missing after ingest"))
+      SnapshotSink.readVersion(s, s"$base/agg", aggVer)
         .select(col("o_orderstatus"), col("n_partial").as("n_orders"),
           col("rev_partial").cast("double").as("revenue"))
         .orderBy("o_orderstatus")
@@ -619,11 +597,9 @@ object Etl extends QueryPack {
     "s19_time_travel" -> { (s, d) =>
       import graft.sources.SnapshotSink
       val path = s"${scratchDir(s, d, "s19_tt")}/orders_snap"
-      if (SnapshotSink.latestVersion(path).getOrElse(0) < 2) {
-        SnapshotSink.overwriteVersioned(
-          Tables.orders(s, d).filter(col("o_orderdate") < lit("1995-01-01")), path)
-        SnapshotSink.overwriteVersioned(Tables.orders(s, d), path)
-      }
+      // Crash-safe bootstrap: a partial (v1-only) history is wiped and
+      // rebuilt, never "topped up" — see ensureTimeTravelVersions.
+      ensureTimeTravelVersions(s, d, path)
       val v1 = SnapshotSink.readVersion(s, path, 1)
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_v1"))
       val v2 = SnapshotSink.readVersion(s, path, 2)
@@ -653,6 +629,85 @@ object Etl extends QueryPack {
       cdcFinal(s.read.parquet(snap)).orderBy("o_orderkey")
     }
   )
+
+  // ---- s20 machinery, factored for crash-injection tests --------------
+  // The manifest is the single COMMIT POINT: it records both the folded
+  // slice paths AND the agg VERSION those folds produced. The merged agg
+  // is STAGED first as a new immutable version (never overwriting the
+  // committed one); publishing the manifest — one atomic symlink swap —
+  // is what makes that version live. A crash between stage and commit
+  // leaves only an orphan agg version the manifest never names: the next
+  // ingest re-derives the same fold against the LAST COMMITTED version,
+  // so nothing double-counts. The manifest read is a KB-scale
+  // control-plane lookup (file names, not data) — the one place a
+  // driver-side collect is the right tool, exactly like a table format
+  // reading its snapshot log.
+
+  private[graft] def ingestSlicePath(base: String, i: Int): String =
+    s"$base/in/slice$i"
+
+  /** (processed slice paths, committed agg version) per the manifest. */
+  private[graft] def ingestCommitted(
+      s: SparkSession, base: String): (Set[String], Option[Int]) =
+    if (new java.io.File(s"$base/manifest").exists()) {
+      val rows = s.read.parquet(s"$base/manifest")
+        .select(col("path"), col("agg_version")).collect()
+      (rows.map(_.getString(0)).toSet, rows.map(_.getInt(1)).maxOption)
+    } else (Set.empty, None)
+
+  private[graft] def ingestPartials(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_partial"),
+        sum(col("o_totalprice").cast(DecimalType(28, 4))).as("rev_partial"))
+
+  /** One manifest-gated ingest round. `crashBeforeCommit` aborts after
+    * the agg stage but before the manifest publish — the test hook for
+    * the exact crash window the commit protocol must survive.
+    */
+  private[graft] def ingestSlices(s: SparkSession, base: String,
+      avail: Seq[Int], crashBeforeCommit: Boolean = false): Unit = {
+    import graft.sources.SnapshotSink
+    import s.implicits._
+    val aggPath = s"$base/agg"
+    val (done, lastVer) = ingestCommitted(s, base)
+    val fresh = avail.map(ingestSlicePath(base, _)).filterNot(done)
+    if (fresh.nonEmpty) {
+      val newParts = ingestPartials(s.read.parquet(fresh: _*))
+      val merged = lastVer match {
+        case Some(v) =>
+          SnapshotSink.readVersion(s, aggPath, v).unionByName(newParts)
+            .groupBy(col("o_orderstatus"))
+            .agg(sum(col("n_partial")).as("n_partial"),
+              sum(col("rev_partial")).as("rev_partial"))
+        case None => newParts
+      }
+      val staged = SnapshotSink.overwriteVersioned(merged, aggPath)
+      if (!crashBeforeCommit)
+        SnapshotSink.overwrite(
+          (done ++ fresh).toSeq.sorted.toDF("path")
+            .withColumn("agg_version", lit(staged)), s"$base/manifest")
+    }
+  }
+
+  /** s19 snapshot bootstrap: v1 = pre-cutoff orders, v2 = full table.
+    * latest == 1 means a prior run crashed between the two publishes:
+    * "publish until 2" would land the FILTERED snapshot again as v2 and
+    * the full table as v3 — v1-vs-v2 then compares filtered vs filtered
+    * (wrong delta) and, with latest now 3, never self-heals. Partial
+    * history is corrupt under this fixed v1/v2 contract: wipe and
+    * republish both versions from scratch.
+    */
+  private[graft] def ensureTimeTravelVersions(
+      s: SparkSession, d: String, path: String): Unit = {
+    import graft.sources.SnapshotSink
+    val latest = SnapshotSink.latestVersion(path).getOrElse(0)
+    if (latest < 2) {
+      if (latest > 0) SnapshotSink.reset(path)
+      SnapshotSink.overwriteVersioned(
+        Tables.orders(s, d).filter(col("o_orderdate") < lit("1995-01-01")), path)
+      SnapshotSink.overwriteVersioned(Tables.orders(s, d), path)
+    }
+  }
 
   /** Synthetic versioned changelog over `orders` (shared by the s18 batch
     * apply, the st12 streaming apply, and their specs): v0 base inserts,

@@ -51,8 +51,9 @@ object SnapshotSink {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally st.close() // directory-stream fd, leaked per call otherwise
     }
 
   /** VERSIONED publish — the TIME-TRAVEL form of [[overwrite]]: every
@@ -87,14 +88,33 @@ object SnapshotSink {
     next
   }
 
+  /** Remove a VERSIONED snapshot entirely — live link plus the whole
+    * `.versions` history. The recovery path for a publisher that finds a
+    * half-initialized history (e.g. a fixed multi-version contract where
+    * only some versions landed before a crash): naive "publish the
+    * missing ones" would shift version numbers off the contract forever,
+    * so the correct move is wipe-and-rebuild from source.
+    */
+  def reset(path: String): Unit = synchronized {
+    Files.deleteIfExists(Paths.get(path))
+    deleteRecursively(Paths.get(path + ".versions"))
+  }
+
   /** Highest published version at `path`, if any. */
   def latestVersion(path: String): Option[Int] = {
     val versionsDir = Paths.get(path + ".versions")
     if (!Files.isDirectory(versionsDir)) None
     else {
-      val vs = Files.list(versionsDir).toArray.toSeq
-        .map(_.asInstanceOf[Path].getFileName.toString)
-        .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+      val st = Files.list(versionsDir)
+      // try/finally: the stream holds a directory fd; parse defensively so
+      // a stray non-`v<int>` entry (temp dir, editor droppings) is skipped
+      // rather than blowing up every publish with NumberFormatException.
+      val vs =
+        try st.toArray.toSeq
+          .map(_.asInstanceOf[Path].getFileName.toString)
+          .collect { case s if s.startsWith("v") => s.drop(1) }
+          .flatMap(n => scala.util.Try(n.toInt).toOption)
+        finally st.close()
       if (vs.isEmpty) None else Some(vs.max)
     }
   }

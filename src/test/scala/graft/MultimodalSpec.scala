@@ -147,6 +147,14 @@ class MultimodalSpec extends AnyFunSuite {
     // RIFF size not matching the actual byte count (offset 4, LE32).
     val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
     assert(MediaCodec.parseWav(badSize).isEmpty)
+    // Crafted chunk size near Int.MaxValue: int arithmetic would wrap
+    // `p + 8 + size` negative and slip past the bounds check (AIOOBE or a
+    // truncated data chunk accepted); the long-arith check must reject it.
+    val overflow = good.clone()
+    val dataSizeOff = 44 - 4 // 'data' chunk size field, LE32 at offset 40
+    overflow(dataSizeOff) = 0xf0.toByte; overflow(dataSizeOff + 1) = 0xff.toByte
+    overflow(dataSizeOff + 2) = 0xff.toByte; overflow(dataSizeOff + 3) = 0x7f.toByte
+    assert(MediaCodec.parseWav(overflow).isEmpty)
   }
 
   test("audio rows decode real WAV params; fingerprint excludes the container") {

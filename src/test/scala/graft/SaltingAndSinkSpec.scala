@@ -76,4 +76,70 @@ class SaltingAndSinkSpec extends AnyFunSuite {
       assert(v.select("tag").distinct().as[String].collect().toSeq == Seq(s"v$i"))
     }
   }
+
+  test("latestVersion skips stray non-v<int> entries in the .versions dir") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sink_stray_")
+    graft.sources.ArtifactStore.registerExitCleanup(base.toString)
+    val path = base.resolve("tbl").toString
+    SnapshotSink.overwriteVersioned(Seq((1, "a")).toDF("id", "v"), path)
+    // Editor droppings / temp dirs must not blow up version discovery.
+    Files.createDirectory(java.nio.file.Paths.get(path + ".versions/vtmp"))
+    Files.createDirectory(java.nio.file.Paths.get(path + ".versions/junk"))
+    assert(SnapshotSink.latestVersion(path).contains(1))
+    assert(SnapshotSink.overwriteVersioned(Seq((2, "b")).toDF("id", "v"), path) == 2)
+  }
+
+  test("s19 recovery: a partial (v1-only) history is wiped and rebuilt, not topped up") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft_s19_rec_")
+    graft.sources.ArtifactStore.registerExitCleanup(base.toString)
+    val path = base.resolve("orders_snap").toString
+    // Simulate a crash after the FIRST publish: only the filtered
+    // snapshot landed. Naive "publish until 2" would then compare
+    // filtered-vs-filtered forever (delta all zero).
+    SnapshotSink.overwriteVersioned(
+      Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderdate") < "1995-01-01"),
+      path)
+    assert(SnapshotSink.latestVersion(path).contains(1))
+    graft.queries.Etl.ensureTimeTravelVersions(spark, dir, path)
+    assert(SnapshotSink.latestVersion(path).contains(2))
+    val n1 = SnapshotSink.readVersion(spark, path, 1).count()
+    val n2 = SnapshotSink.readVersion(spark, path, 2).count()
+    assert(n2 == Tables.orders(spark, dir).count(), "v2 must be the FULL table")
+    assert(n1 < n2, "v1 must remain the filtered snapshot")
+    // Idempotent once healthy: no further publishes.
+    graft.queries.Etl.ensureTimeTravelVersions(spark, dir, path)
+    assert(SnapshotSink.latestVersion(path).contains(2))
+  }
+
+  test("s20 recovery: crash between agg stage and manifest commit never double-counts") {
+    import graft.queries.Etl
+    val dir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft_s20_rec_").toString
+    graft.sources.ArtifactStore.registerExitCleanup(base)
+    val o = Tables.orders(spark, dir)
+    def land(i: Int): Unit =
+      o.filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 === i)
+        .write.mode("overwrite").parquet(Etl.ingestSlicePath(base, i))
+    land(0); land(1); land(2)
+    Etl.ingestSlices(spark, base, Seq(0, 1))
+    // CRASH WINDOW: slice 2's fold is staged as a new agg version but the
+    // manifest publish never happens — the orphan version must be ignored.
+    Etl.ingestSlices(spark, base, Seq(0, 1, 2), crashBeforeCommit = true)
+    val (doneAfterCrash, verAfterCrash) = Etl.ingestCommitted(spark, base)
+    assert(doneAfterCrash.size == 2, "crashed fold must not be committed")
+    // Recovery run re-folds slice 2 against the last COMMITTED version.
+    Etl.ingestSlices(spark, base, Seq(0, 1, 2))
+    val (done, ver) = Etl.ingestCommitted(spark, base)
+    assert(done.size == 3)
+    assert(ver.get > verAfterCrash.get)
+    val got = SnapshotSink.readVersion(spark, s"$base/agg", ver.get)
+      .select("o_orderstatus", "n_partial")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = o.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "counts after crash recovery must equal full recompute")
+  }
 }
