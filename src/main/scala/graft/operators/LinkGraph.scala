@@ -160,6 +160,43 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     visited.filter(col("dist") > 0)
   }
 
+  /** HyperBall neighborhood-function census (ANF): per-node HLL sketches
+    * of the h-hop ball, iterated `rounds` times —
+    * `b_h(v) = b_{h-1}(v) ∪ ⋃_{v→w} b_{h-1}(w)` — then
+    * `N(h) = Σ_v |b_h(v)|` estimated from the sketches. THE tractable way
+    * to measure reachable-pair growth / effective diameter at 100 TB:
+    * state is one ~KB sketch per node (the exact census carries a
+    * (source, node) PAIR frontier, quadratic in reach), each round is ONE
+    * edge join + ONE sketch-union HashAggregate, and the error is the
+    * standard HLL bound (~1.6% at lgK = 12; exact in sparse mode for
+    * small balls). Engine-specific sketch bytes — like a3_approx_distinct
+    * this cannot cross the DuckDB oracle gate, so the accuracy contract
+    * is spec-pinned against the exact census (LinkGraphSpec) and the
+    * query ships rows-only. Returns `(h, est_pairs)` for h = 0..rounds.
+    */
+  def hyperBallCensus(rounds: Int, lgK: Int = 12): DataFrame = {
+    val e = edges.localCheckpoint()
+    var balls = new LinkGraph(e).nodeIds
+      .groupBy(col("id"))
+      .agg(expr(s"hll_sketch_agg(id, $lgK)").as("ball"))
+      .localCheckpoint()
+    def census(h: Int, b: DataFrame): DataFrame =
+      b.agg(round(sum(expr("hll_sketch_estimate(ball)")), 0)
+          .cast("long").as("est_pairs"))
+        .select(lit(h).as("h"), col("est_pairs"))
+    var out = census(0, balls)
+    for (h <- 1 to rounds) {
+      val contrib = e.join(balls, e("dst") === balls("id"))
+        .select(e("src").as("id"), col("ball"))
+      balls = contrib.union(balls.select(col("id"), col("ball")))
+        .groupBy(col("id"))
+        .agg(expr("hll_union_agg(ball)").as("ball"))
+        .localCheckpoint()
+      out = out.union(census(h, balls))
+    }
+    out
+  }
+
   /** Fixed-point PageRank: `iters` rounds of
     * `r'(v) = (15*scale + 85 * Σ_{u→v} (r(u) DIV deg_out(u))) DIV 100`,
     * ranks starting at `scale`. All arithmetic is integer → deterministic.

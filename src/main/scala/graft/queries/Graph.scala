@@ -554,6 +554,20 @@ object Graph extends QueryPack {
         .orderBy("dist")
     },
 
+    // G13b (rows-only): the OTHER tractable neighborhood-function
+    // estimator — HyperBall per-node HLL ball sketches over the whole
+    // graph ([[graft.operators.LinkGraph.hyperBallCensus]]), completing
+    // the pair g13's comment promises: (a) source sample + exact BFS
+    // (g13, oracle-gated), (b) HLL sketches (this query — engine-specific
+    // sketch bytes, so like a3_approx_distinct it ships rows-only; its
+    // accuracy contract is spec-pinned against the exact census in
+    // LinkGraphSpec). Output: cumulative reachable-pair estimate per hop
+    // h = 0..3 over ALL nodes — the global N(h) an effective-diameter
+    // estimate reads, which the sampled-exact form can only approximate.
+    "g13_neighborhood_hll" -> { (s, d) =>
+      symGraph(s, d).hyperBallCensus(3).orderBy("h")
+    },
+
     // G14: LOCAL CLUSTERING COEFFICIENT over the co-occurrence projection —
     // cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the per-node density measure
     // behind community/spam detection (a node whose neighbors all know each

@@ -354,6 +354,35 @@ object WindowsAndEvents extends QueryPack {
       s.read.parquet(s"$base/snapshot").orderBy("window_start")
     },
 
+    // ST14: the SAME tumbling-window pipeline as st1, fed through the
+    // KAFKA-SHAPED source adapter (SURVEY S8's format("kafka") gap): the
+    // events table lands in the Kafka wire schema (binary key/value,
+    // topic/partition/offset/timestamp), the stream consumes it
+    // rate-limited (maxFilesPerTrigger=1 — one "partition fetch" per
+    // micro-batch, 4 micro-batches end to end) and decodes value with
+    // from_json exactly as a format("kafka") consumer would. The oracle
+    // is st1's tumbling aggregate restricted to watermark-finalized
+    // windows (st2/st10's non-strict end ≤ wm rule) — proving the
+    // pipeline is source-agnostic: pacing and wire format change NOTHING
+    // in what lands.
+    "st14_kafka_shaped_source" -> { (s, d) =>
+      val base = scratchDir(s, d, "st14_sink")
+      val src = graft.streaming.StreamOps.eventsSource(s, d, "kafka", base)
+      val windowed = src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"),
+          col("total_value"))
+      val q = graft.streaming.StreamOps.parquetAppendSink(
+        windowed, s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      graft.sources.SnapshotSink.overwrite(
+        s.read.parquet(s"$base/staging"), s"$base/snapshot")
+      s.read.parquet(s"$base/snapshot").orderBy("ws", "event_type")
+    },
+
     // ST4 as a REAL streaming run: the flatMapGroupsWithState
     // sessionization (EventTimeTimeout, 45-minute gap) executed as an
     // actual stream over the events source, landed via foreachBatch and
@@ -878,6 +907,22 @@ object WindowsAndEvents extends QueryPack {
         |  FROM final
         |) WHERE rn <= 3
         |ORDER BY window_start, rn""".stripMargin,
+
+    // st1's tumbling aggregate over only the watermark-finalized windows
+    // (hour end ≤ ms-truncated max event time − 10 min, the st10 rule).
+    // Identical regardless of source pacing — that's the point of st14.
+    "st14_kafka_shaped_source" ->
+      """WITH wm AS (
+        |  SELECT make_timestamp(((MAX(epoch_us(ts)) // 1000) - 600000) * 1000) AS wm_ts
+        |  FROM events
+        |), agg AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.ws, a.event_type, a.n, a.total_value FROM agg a, wm
+        |WHERE a.ws + INTERVAL 1 HOUR <= wm.wm_ts
+        |ORDER BY ws, event_type""".stripMargin,
 
     "st2_stream_roundtrip" ->
       """WITH marked AS (

@@ -265,6 +265,120 @@ object StreamOps {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** JSON timestamp format for the kafka-shaped wire payload: the default
+    * (`...SSSXXX`) truncates to milliseconds and the fixture carries
+    * microsecond event times — the round-trip must be lossless.
+    */
+  private val WireTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Kafka WIRE-SHAPED landing of the events table: one record per event
+    * in the exact schema a `format("kafka")` source yields — binary
+    * `key` (the partitioning id), binary `value` (the payload as JSON
+    * bytes), `topic`, `partition`, per-partition monotone `offset`,
+    * broker `timestamp`. The landing is laid out as `chunk=i` dirs — one
+    * OFFSET-RANGE FETCH each, i.e. a time slice of EVERY partition, the
+    * unit a `maxOffsetsPerTrigger` Kafka consumer actually advances by —
+    * with file mtimes set in chunk order so the file source's
+    * oldest-first listing replays them as they "arrived". Pacing by
+    * whole partitions instead would feed the watermark one partition's
+    * full history at a time and late-drop every subsequent partition —
+    * the wrong model: a Kafka trigger advances all partitions together.
+    * The sandbox has no broker, so this landing IS the Kafka record
+    * shape; everything downstream of the source line is thereby proven
+    * source-agnostic (swap in a real broker and only the
+    * `readStream.format("kafka")` line changes — see [[eventsSource]]).
+    * Published atomically (SnapshotSink swap), idempotent per landing
+    * path.
+    */
+  def kafkaShapedLanding(s: SparkSession, dir: String, landing: String,
+      partitions: Int = 4, chunks: Int = 4): Unit =
+    if (!java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(landing))) {
+      val ev = graft.Tables.events(s, dir)
+      val payloadCols = ev.columns.map(col)
+      val byPartition = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("partition")).orderBy(col("ts"), col("event_id"))
+      // Chunk = fixed time slice of [min ts, max ts] (broadcast scalar
+      // bounds — no global sort); within a partition, offsets ascend with
+      // ts, so chunk i's offsets precede chunk i+1's: a chunk is exactly
+      // an offset-range advance on every partition at once.
+      val bounds = ev.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        (max(unix_micros(col("ts"))) + 1L).as("hi"))
+      val wire = ev.crossJoin(broadcast(bounds))
+        .withColumn("partition", pmod(col("user_id"), lit(partitions)).cast("int"))
+        .withColumn("key", col("user_id").cast("string").cast("binary"))
+        .withColumn("value", to_json(struct(payloadCols: _*),
+          Map("timestampFormat" -> WireTsFormat)).cast("binary"))
+        .withColumn("offset", row_number().over(byPartition).cast("long") - 1L)
+        .withColumn("chunk", least(lit(chunks - 1),
+          floor(lit(chunks) * (unix_micros(col("ts")) - col("lo")) /
+            (col("hi") - col("lo")))).cast("int"))
+        .select(col("key"), col("value"), lit("events").as("topic"),
+          col("partition"), col("offset"), col("ts").as("timestamp"),
+          col("chunk"))
+        // One file per chunk dir: the hash repartition co-locates each
+        // chunk value on one task, so each dir gets exactly one file =
+        // one paced fetch per trigger.
+        .repartition(chunks, col("chunk"))
+      graft.sources.SnapshotSink.overwrite(wire, landing, Seq("chunk"))
+      // Deterministic arrival order: chunk i's file predates chunk i+1's.
+      val root = java.nio.file.Paths.get(landing).toRealPath()
+      for (i <- 0 until chunks) {
+        val d = root.resolve(s"chunk=$i")
+        if (java.nio.file.Files.isDirectory(d)) {
+          val st = java.nio.file.Files.list(d)
+          try st.forEach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(1_600_000_000_000L + i * 60_000L)))
+          finally st.close()
+        }
+      }
+    }
+
+  /** Kafka-shaped streaming source over a [[kafkaShapedLanding]] dir:
+    * incremental and rate-limited (`maxFilesPerTrigger = 1`), records
+    * decoded exactly the way a `format("kafka")` consumer decodes them —
+    * cast `value` to string, `from_json` against the payload schema. The
+    * returned frame has the same schema as [[eventsStream]].
+    */
+  def eventsStreamKafkaShaped(s: SparkSession, landing: String): DataFrame = {
+    val wireSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.TimestampType),
+      // chunk is the landing's offset-range dir column, not Kafka wire —
+      // declared so partition discovery binds it, dropped by the decode.
+      org.apache.spark.sql.types.StructField("chunk", org.apache.spark.sql.types.IntegerType)))
+    s.readStream
+      .schema(wireSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .select(from_json(col("value").cast("string"), graft.Schemas.events,
+        Map("timestampFormat" -> WireTsFormat)).as("e"))
+      .select(col("e.*"))
+  }
+
+  /** S8 source switch: the SAME downstream pipeline over either source
+    * form. `"files"` = the direct file stream ([[eventsStream]]);
+    * `"kafka"` = the Kafka-wire-shaped, rate-limited adapter (`scratch`
+    * hosts the landing; required for that format). A real deployment adds
+    * a `case "kafka" => s.readStream.format("kafka")...` arm — no
+    * downstream change.
+    */
+  def eventsSource(s: SparkSession, dir: String, format: String,
+      scratch: String = ""): DataFrame = format match {
+    case "files" => eventsStream(s, dir)
+    case "kafka" =>
+      require(scratch.nonEmpty, "kafka-shaped source needs a scratch dir")
+      val landing = s"$scratch/kafka_landing"
+      kafkaShapedLanding(s, dir, landing)
+      eventsStreamKafkaShaped(s, landing)
+    case other => throw new IllegalArgumentException(
+      s"unknown events source format '$other' (files|kafka)")
+  }
+
   /** Streaming source over the events parquet (ST8-of-sorts: file stream
     * source with the same schema as the batch accessor).
     */

@@ -222,6 +222,31 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(cums.map(c => c * 10 >= total * 9) === Seq(false, false, false, true))
   }
 
+  test("hyperBallCensus matches the exact neighborhood function on a known graph") {
+    import spark.implicits._
+    // 12 nodes: a 6-cycle (1..6) with a 3-node tail off 1 (7,8,9) and one
+    // off 4 (10,11,12) — varied ball growth per hop, symmetrized.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (1L, 7L), (7L, 8L), (8L, 9L), (4L, 10L), (10L, 11L), (11L, 12L))
+    val sym = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val got = new LinkGraph(sym).hyperBallCensus(3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val adj = (base ++ base.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, h: Int): Set[Long] =
+      (0 until h).foldLeft(Set(v))((s, _) => s ++ s.flatMap(adj.getOrElse(_, Set.empty)))
+    for (h <- 0 to 3) {
+      val exact = adj.keySet.toSeq.map(v => ball(v, h).size.toLong).sum
+      // Balls this small sit in the sketch's exact (sparse) regime; allow
+      // 2% slack so the pin is about the algorithm, not datasketches
+      // internals.
+      assert(math.abs(got(h) - exact) <= math.max(1L, exact / 50),
+        s"h=$h est=${got(h)} exact=$exact")
+    }
+    // Cumulative census must be monotone in h.
+    assert((0 to 2).forall(h => got(h) <= got(h + 1)))
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),

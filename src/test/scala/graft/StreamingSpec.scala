@@ -337,6 +337,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === expected)
   }
 
+  test("S8 kafka-shaped source: wire schema lands, decode is lossless, pacing is per-partition-file") {
+    val dir = "/root/testdata/sf0.001"
+    val scratch = Files.createTempDirectory("graft_kafka_").toString
+    graft.sources.ArtifactStore.registerExitCleanup(scratch)
+    val landing = s"$scratch/kafka_landing"
+    StreamOps.kafkaShapedLanding(spark, dir, landing, partitions = 4)
+    // Wire shape: the exact columns a format("kafka") source yields, laid
+    // out chunk=i per offset-range fetch (a time slice of EVERY
+    // partition — the unit a maxOffsetsPerTrigger consumer advances by),
+    // one file per dir so maxFilesPerTrigger=1 paces 4 micro-batches in
+    // arrival (mtime) order.
+    val wire = spark.read.parquet(landing)
+    assert(wire.columns.toSet ===
+      Set("key", "value", "topic", "partition", "offset", "timestamp", "chunk"))
+    assert(wire.schema("key").dataType === org.apache.spark.sql.types.BinaryType)
+    assert(wire.schema("value").dataType === org.apache.spark.sql.types.BinaryType)
+    val chunkDirs = new java.io.File(landing).listFiles()
+      .filter(_.getName.startsWith("chunk="))
+    assert(chunkDirs.length === 4, "one landing dir per offset-range chunk")
+    chunkDirs.foreach { cd =>
+      assert(cd.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"exactly one file per chunk dir, got ${cd.getName}")
+    }
+    // Chunks advance offsets monotonically on every partition (the Kafka
+    // fetch contract): max offset per partition in chunk i < min in i+1.
+    val ranges = wire.groupBy("partition", "chunk")
+      .agg(min("offset").as("lo"), max("offset").as("hi"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    for (((p, c), (lo, _)) <- ranges; prev <- ranges.get((p, c - 1)))
+      assert(prev._2 < lo, s"partition $p chunk $c offsets must follow chunk ${c - 1}")
+    // Offsets are per-partition monotone from 0 (Kafka's contract).
+    val offs = wire.groupBy("partition")
+      .agg(min("offset").as("lo"), max("offset").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    offs.foreach { r =>
+      assert(r.getLong(1) === 0L)
+      assert(r.getLong(2) === r.getLong(3) - 1)
+    }
+    // Run the decoded stream to a sink; every row round-trips losslessly.
+    val out = Files.createTempDirectory("graft_kafka_out_").toString
+    val ckpt = Files.createTempDirectory("graft_kafka_ckpt_").toString
+    val q = StreamOps.parquetAppendSink(
+      StreamOps.eventsSource(spark, dir, "kafka", scratch), out, ckpt)
+    q.awaitTermination()
+    // Rate limit honored: at least 4 micro-batches committed (one per file).
+    val batches = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 paced micro-batches, saw $batches")
+    val got = spark.read.parquet(out)
+    val want = Tables.events(spark, dir)
+    assert(got.count() === want.count())
+    assert(got.schema === want.schema)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "kafka-wire JSON round-trip must be lossless")
+  }
+
   test("ST7 recovery: killed mid-stream after a side effect, restart from checkpoint is exactly-once") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
