@@ -14,10 +14,17 @@ hash-mismatches even when the values are numerically identical — exactly
 the round-8 `s18_cdc_apply`/`st12_stream_cdc_apply` red.
 
 This tool reproduces that asymmetry on purpose:
-  spark side : pyarrow.parquet -> to_pylist()  (Decimal objects survive)
+  spark side : pyarrow.parquet -> to_pandas(date_as_object=False)
+               (decimal128 stays object dtype => Decimal objects survive;
+               dates become datetime64, null ints become NaN — matching
+               the driver's observed equalities on those classes)
   oracle side: duckdb .df()    -> pandas       (DECIMAL -> float64)
   compare    : sort cols by name, sort rows by stringified tuple,
                md5 over the stringified cells — like the driver's hash.
+
+Calibrated against CORRECTNESS_r08 ground truth: decimal trailing zeros
+MISMATCH (s18/st12 red), date32-vs-datetime64 and None-vs-NaN/NaT MATCH
+(s11/s16/w2/w10..w13/st9 green), int64-vs-float64 MISMATCH.
 
 A query green here is green under the driver's gate; a query green only
 under check_oracle.py may still be red there. Dev tool only — NOT part of
@@ -64,19 +71,16 @@ def table_hash(cols, rows):
 
 
 def spark_side(path):
-    """Arrow fetch: decimals stay decimal.Decimal with declared scale."""
+    """Arrow->pandas fetch: decimals stay decimal.Decimal (object dtype)
+    with declared scale; dates coerce to datetime64 and null ints to NaN,
+    same as the oracle's pandas path."""
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet"))
-    cols, rows = None, []
-    for f in files:
-        t = pq.read_table(f)
-        cols = t.column_names
-        rows.extend(zip(*(t.column(c).to_pylist() for c in cols)))
-    if cols is None:
-        t = pq.read_table(path)
-        cols = t.column_names
-        rows = list(zip(*(t.column(c).to_pylist() for c in cols)))
-    return cols, rows
+    import pyarrow as pa
+    t = (pa.concat_tables([pq.read_table(f) for f in files]) if files
+         else pq.read_table(path))
+    df = t.to_pandas(date_as_object=False)
+    return list(df.columns), [tuple(r) for r in df.itertuples(index=False)]
 
 
 def oracle_side(con, sql):
