@@ -138,7 +138,7 @@ object ScaleCurve {
     }
 
     val md = new StringBuilder
-    md.append("# Bench scale curve — 5× synthesized data (round 8)\n\n")
+    md.append("# Bench scale curve — 5× synthesized data (round 9)\n\n")
     md.append("5× dataset: union of sf0.1 with per-copy shifted keys ")
     md.append("(disjoint graph replicas; document copies carry a one-token\n")
     md.append("suffix so near-dup candidates cross copies; see ")
