@@ -175,8 +175,15 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * query ships rows-only. Returns `(h, est_pairs)` for h = 0..rounds.
     */
   def hyperBallCensus(rounds: Int, lgK: Int = 12): DataFrame = {
-    val e = edges.localCheckpoint()
-    var balls = new LinkGraph(e).nodeIds
+    // Edges pre-partitioned on dst ONCE: every round's contribution join
+    // probes balls (already hash(id)-partitioned by its groupBy) against
+    // edges on dst — materializing the dst layout here removes a per-round
+    // edge shuffle (localCheckpoint preserves outputPartitioning).
+    val e = edges.repartition(col("dst")).localCheckpoint()
+    // No distinct before the sketch build: hll_sketch_agg dedups by
+    // construction, so union(src, dst) feeds the groupBy directly.
+    var balls = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .groupBy(col("id"))
       .agg(expr(s"hll_sketch_agg(id, $lgK)").as("ball"))
       .localCheckpoint()

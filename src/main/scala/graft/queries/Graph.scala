@@ -564,8 +564,13 @@ object Graph extends QueryPack {
     // LinkGraphSpec). Output: cumulative reachable-pair estimate per hop
     // h = 0..3 over ALL nodes — the global N(h) an effective-diameter
     // estimate reads, which the sampled-exact form can only approximate.
+    // lgK = 10 (1024 registers, ~3.3% standard error): the census reads
+    // an aggregate N(h), where per-node errors average out further —
+    // HyperBall itself ships b=4..8 registers on billion-node graphs.
+    // Sketch bytes scale linearly with 2^lgK and dominate the round
+    // shuffle, so this is the cost knob.
     "g13_neighborhood_hll" -> { (s, d) =>
-      symGraph(s, d).hyperBallCensus(3).orderBy("h")
+      symGraph(s, d).hyperBallCensus(3, lgK = 10).orderBy("h")
     },
 
     // G14: LOCAL CLUSTERING COEFFICIENT over the co-occurrence projection —
