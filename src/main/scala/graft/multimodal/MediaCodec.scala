@@ -14,6 +14,13 @@ case class ImageHeader(width: Int, height: Int, headerLen: Int)
 case class WavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
     dataBytes: Int, headerLen: Int)
 
+/** Integer statistics over a decoded 16-bit PCM sample stream — the
+  * sample-domain quantities a quality/silence filter reads. All-integer so
+  * an oracle can replay the identical math from the source bytes.
+  */
+case class PcmStats(nSamples: Long, sumAbs: Long, sumSq: Long,
+    peakAbs: Int, zeroCrossings: Long)
+
 /** PNG / JPEG / WAV container-header arithmetic — pure byte work against
   * the PUBLIC format specs (PNG: ISO/IEC 15948 §5.2/§11.2.2 signature +
   * IHDR; JPEG: ITU-T T.81 §B.2 marker segments, JFIF APP0; WAV: RIFF
@@ -169,6 +176,36 @@ object MediaCodec {
       p += 8 + size + (size & 1) // chunks are word-aligned
     }
     None
+  }
+
+  /** REAL sample decode: the WAV data chunk as 16-bit little-endian PCM
+    * (channel-interleaved; stats run over the raw interleaved stream).
+    * PCM needs NO codec — this is pure byte arithmetic, which is why the
+    * audio branch of the multimodal decode is not stubbed, unlike
+    * image/video pixel decode (compression libraries absent from this
+    * container). A trailing odd byte is ignored (not a full sample);
+    * non-16-bit streams return None (the fixture is always 16-bit; a
+    * production decoder adds 8/24/32-bit branches with the same shape).
+    */
+  def pcmStats(b: Array[Byte], h: WavHeader): Option[PcmStats] = {
+    if (h.bitsPerSample != 16) return None
+    val n = math.min(h.dataBytes, b.length - h.headerLen) / 2
+    var i = 0
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+    var prevNeg = false
+    while (i < n) {
+      val off = h.headerLen + 2 * i
+      val v = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+      val a = math.abs(v)
+      sumAbs += a
+      sumSq += v.toLong * v
+      if (a > peak) peak = a
+      val neg = v < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    Some(PcmStats(n.toLong, sumAbs, sumSq, peak, zc))
   }
 
   /** JPEG: verify SOI, walk marker segments (each FF xx + 2-byte length

@@ -493,6 +493,37 @@ object Embeddings extends QueryPack {
         .orderBy("qid", "rn")
     },
 
+    // ST15: STREAMING index maintenance — v12's append as a REAL stream:
+    // embedding micro-batches arrive through a file stream, each
+    // foreachBatch assigns the batch to the BASE centers (broadcast
+    // argmax, cost ∝ |batch| × K — no Lloyd's re-run, no standing-corpus
+    // re-read) and atomically republishes the standing inverted file
+    // (SnapshotSink swap — searches see the old file until the new one is
+    // live). Because per-row assignment is independent of batching, the
+    // final file is IDENTICAL to the one-shot batch append — the oracle
+    // is v12's SQL VERBATIM (stream-must-equal-batch, the st12 pattern).
+    // This is the production shape for embedding ingest at 100 TB: the
+    // index absorbs arrivals at O(batch) cost and rebuilds only when
+    // drift warrants new centers.
+    "st15_stream_ivf_append" -> { (s, d) =>
+      val base = scratchDir(s, d, "st15_sink")
+      val standing = s"$base/lists"
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$d/embeddings.parquet").schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .filter(col("vec_id") % 7 === 0)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          appendBatchToStanding(batch, d, standing)
+        }
+        .start()
+      q.awaitTermination()
+      searchStanding(s, d, standing)
+    },
+
     // V13: PRODUCT QUANTIZATION (PQ) with exact rescore — the
     // highest-compression ANN memory path (FAISS PQ recipe): the 64-dim
     // space splits into m=4 orthogonal 16-dim SUBSPACES, each with its own
@@ -586,6 +617,88 @@ object Embeddings extends QueryPack {
         .orderBy("qid", "rn")
     }
   )
+
+  /** st15 machinery, factored so StreamingSpec can replay it under forced
+    * multi-batch pacing: bootstrap the standing inverted file from the
+    * base index if absent, then fold ONE micro-batch in — assignment to
+    * the base centers (broadcast argmax, O(|batch| × K)) and an atomic
+    * republish of the standing file (SnapshotSink swap: searches see the
+    * old file until the new one is live). The base index artifacts are
+    * keyed snapshots shared with v12, so stream and batch provably read
+    * the same centers.
+    */
+  private[graft] def appendBatchToStanding(batch: DataFrame, d: String,
+      standing: String): Unit = {
+    import graft.sources.{ArtifactStore, SnapshotSink}
+    val s = batch.sparkSession
+    val baseCorpus = corpus(s, d).filter(col("vec_id") % 7 =!= 0)
+    lazy val m = graft.operators.IvfIndex.build(baseCorpus, nLists, ivfIters)
+    val lists = ArtifactStore.snapshot(s, d, "ivf_lists_base", Seq("lid"))(m.lists)
+    val cents = ArtifactStore.snapshot(s, d, "ivf_centers_base")(m.centers)
+    if (!java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(standing)))
+      SnapshotSink.overwrite(lists.select("vec_id", "lid", "emb", "nrm"), standing)
+    val vecs = batch
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dotNative(col("emb"), col("emb"))))
+    val appended = graft.operators.IvfIndex.assignTo(vecs, cents)
+    SnapshotSink.overwrite(
+      s.read.parquet(standing)
+        .unionByName(appended.select("vec_id", "lid", "emb", "nrm")),
+      standing)
+  }
+
+  /** Search the standing inverted file with the shared base centers. */
+  private[graft] def searchStanding(s: SparkSession, d: String,
+      standing: String): DataFrame = {
+    import graft.sources.ArtifactStore
+    val c = corpus(s, d)
+    val cents = ArtifactStore.snapshot(s, d, "ivf_centers_base")(
+      graft.operators.IvfIndex
+        .build(c.filter(col("vec_id") % 7 =!= 0), nLists, ivfIters).centers)
+    graft.operators.IvfIndex.search(
+        s.read.parquet(standing), cents, probes(c), k = 5, nprobe = 1)
+      .orderBy("qid", "rn")
+  }
+
+  /** Shared by v12 (batch append) and st15 (streaming append): the
+    * from-scratch recompute of the appended index — train on the base
+    * subset only, assign the held-out batch to the final centers with the
+    * same argmax tiebreak, search the union. One SQL string because the
+    * two engines' results must be identical BY CONSTRUCTION (per-row
+    * assignment is batch-boundary invariant).
+    */
+  private lazy val v12AppendOracle: String =
+    s"""WITH ${ivfSqlFor("WHERE vec_id % 7 <> 0")},
+       |vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |       FROM embeddings WHERE vec_id % 7 = 0),
+       |appended AS (
+       |  SELECT vec_id, emb, csid AS lid FROM (
+       |    SELECT vb.vec_id, vb.emb, c.csid,
+       |      ROW_NUMBER() OVER (PARTITION BY vb.vec_id
+       |        ORDER BY round(${cosSql("vb.emb", "c.cemb")}, 6) DESC, c.csid ASC) AS arn
+       |    FROM vb, cent c
+       |  ) WHERE arn = 1
+       |),
+       |merged AS MATERIALIZED (
+       |  SELECT vec_id, emb, lid FROM lists
+       |  UNION ALL SELECT vec_id, emb, lid FROM appended
+       |),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |      FROM embeddings WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT qid, qe, csid FROM (
+       |    SELECT qid, qe, csid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
+       |    FROM q, cent
+       |  ) WHERE arn = 1
+       |),
+       |sc AS (
+       |  SELECT qid, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
+       |  FROM assigned a JOIN merged l ON l.lid = a.csid AND l.vec_id != a.qid
+       |)
+       |SELECT qid, vec_id, cos_sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+       |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "v1_knn_brute" ->
@@ -814,38 +927,12 @@ object Embeddings extends QueryPack {
     // the final centers with the same argmax tiebreak, and the search runs
     // over the union. Probes come from the FULL corpus (`embeddings`, not
     // the training view `v`), matching the engine.
-    "v12_ivf_append" ->
-      s"""WITH ${ivfSqlFor("WHERE vec_id % 7 <> 0")},
-         |vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |       FROM embeddings WHERE vec_id % 7 = 0),
-         |appended AS (
-         |  SELECT vec_id, emb, csid AS lid FROM (
-         |    SELECT vb.vec_id, vb.emb, c.csid,
-         |      ROW_NUMBER() OVER (PARTITION BY vb.vec_id
-         |        ORDER BY round(${cosSql("vb.emb", "c.cemb")}, 6) DESC, c.csid ASC) AS arn
-         |    FROM vb, cent c
-         |  ) WHERE arn = 1
-         |),
-         |merged AS MATERIALIZED (
-         |  SELECT vec_id, emb, lid FROM lists
-         |  UNION ALL SELECT vec_id, emb, lid FROM appended
-         |),
-         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-         |      FROM embeddings WHERE vec_id % 100 = 0),
-         |assigned AS (
-         |  SELECT qid, qe, csid FROM (
-         |    SELECT qid, qe, csid,
-         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
-         |    FROM q, cent
-         |  ) WHERE arn = 1
-         |),
-         |sc AS (
-         |  SELECT qid, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
-         |  FROM assigned a JOIN merged l ON l.lid = a.csid AND l.vec_id != a.qid
-         |)
-         |SELECT qid, vec_id, cos_sim, rn FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
-         |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "v12_ivf_append" -> v12AppendOracle,
+
+    // Stream-must-equal-batch: the streaming append's final standing file
+    // is batch-boundary invariant (per-row assignment), so st15's oracle
+    // is v12's from-scratch recompute VERBATIM.
+    "st15_stream_ivf_append" -> v12AppendOracle,
 
     // Mirrors the PQ chain stage-for-stage: 4×16-dim subspace slices,
     // min-owner-seeded 16-entry codebooks, ONE Lloyd's refinement round

@@ -81,6 +81,21 @@ object Media extends QueryPack {
         Multimodal.mediaTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM6: REAL PCM sample decode — the WAV data chunk re-interpreted as
+    // 16-bit LE samples, reduced to integer sample-domain stats (energy,
+    // peak, zero crossings — the silence/clipping filter a speech
+    // pipeline runs). No codec involved: PCM decode is byte arithmetic,
+    // so unlike image pixels this branch is NOT stubbed. The oracle
+    // replays the identical math from the source bytes in SQL — hex() the
+    // payload, strpos-nibble each byte, reassemble signed LE16 — so a
+    // green hash proves the engine's decoder recovered every sample.
+    "mm6_audio_pcm_stats" -> { (s, d) =>
+      Multimodal.audioPcmStats(
+        Multimodal.mediaTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -151,6 +166,49 @@ object Media extends QueryPack {
         |  CAST(octet_length(encode(text)) * 1000
         |    // ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id % 3 = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // The data chunk of an audio row is exactly encode(text): rebuild the
+    // 16-bit LE signed samples byte-by-byte (hex + nibble strpos — DuckDB
+    // blobs have no direct byte indexing) and aggregate the same integer
+    // stats the engine's decoder computes. LAG gives the sign-change
+    // census; docs with <2 bytes produce zero-sample rows via LEFT JOIN.
+    "mm6_audio_pcm_stats" ->
+      """WITH audio AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+        |  WHERE doc_id % 3 = 1
+        |), samp AS (
+        |  SELECT a.doc_id, u.i,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        |  FROM audio a,
+        |    LATERAL (SELECT UNNEST(range(length(a.h) // 4)) AS i) u,
+        |    LATERAL (SELECT
+        |      (strpos('0123456789abcdef', substr(a.h, 4 * u.i + 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(a.h, 4 * u.i + 2, 1)) - 1)
+        |      + 256 * ((strpos('0123456789abcdef', substr(a.h, 4 * u.i + 3, 1)) - 1) * 16
+        |               + (strpos('0123456789abcdef', substr(a.h, 4 * u.i + 4, 1)) - 1))
+        |      AS raw) r
+        |), lagged AS (
+        |  SELECT doc_id, i, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM samp
+        |), stats AS (
+        |  SELECT doc_id,
+        |    COUNT(*) AS n_samples,
+        |    SUM(ABS(CAST(v AS BIGINT))) AS sum_abs,
+        |    SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS sum_sq,
+        |    MAX(ABS(v)) AS peak_abs,
+        |    SUM(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+        |             THEN 1 ELSE 0 END) AS zero_crossings
+        |  FROM lagged GROUP BY doc_id
+        |)
+        |SELECT a.doc_id,
+        |  CAST(COALESCE(s.n_samples, 0) AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(s.sum_abs, 0) AS BIGINT) AS sum_abs,
+        |  CAST(COALESCE(s.sum_sq, 0) AS BIGINT) AS sum_sq,
+        |  CAST(COALESCE(s.peak_abs, 0) AS INT) AS peak_abs,
+        |  CAST(COALESCE(s.zero_crossings, 0) AS BIGINT) AS zero_crossings
+        |FROM audio a LEFT JOIN stats s USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin
   )
 }

@@ -157,6 +157,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.parseWav(overflow).isEmpty)
   }
 
+  test("PCM sample decode: hand-computed stats on a crafted stream; odd trailing byte ignored") {
+    val samples = Seq[Short](0, 100, -100, 32767, -32768, 0)
+    val data = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val bytes = MediaCodec.wavHeader(8000, 1, 16, data.length) ++ data
+    val st = MediaCodec.pcmStats(bytes, MediaCodec.parseWav(bytes).get).get
+    assert(st.nSamples === 6L)
+    assert(st.sumAbs === 100L + 100 + 32767 + 32768)
+    assert(st.sumSq === 100L * 100 + 100L * 100 + 32767L * 32767 + 32768L * 32768)
+    assert(st.peakAbs === 32768)
+    // sign flags +,+,-,+,-,+ → four sign changes.
+    assert(st.zeroCrossings === 4L)
+    val odd = MediaCodec.wavHeader(8000, 1, 16, data.length + 1) ++
+      data ++ Array(7.toByte)
+    assert(MediaCodec.pcmStats(odd, MediaCodec.parseWav(odd).get).get.nSamples === 6L)
+  }
+
   test("audio rows decode real WAV params; fingerprint excludes the container") {
     import spark.implicits._
     val audio = Multimodal.audioMeta(media).collect()

@@ -497,4 +497,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toString).toSeq == oneShot.map(_.toString).toSeq,
       "micro-batched CDC state diverged from the batch apply")
   }
+
+  test("ST15: IVF append across 3 real micro-batches equals the one-shot batch append") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = Files.createTempDirectory("st15_spec_").toString
+    graft.sources.ArtifactStore.registerExitCleanup(base)
+    // Land the held-out batch (vec_id % 7 == 0) as three disjoint files so
+    // maxFilesPerTrigger=1 forces three genuine micro-batches — per-row
+    // assignment must make the final standing file batch-boundary
+    // invariant.
+    (0 until 3).foreach { i =>
+      emb.filter(col("vec_id") % 7 === 0 && col("vec_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val batchResult = graft.queries.Embeddings
+      .queries("v12_ivf_append")(spark, dir).collect()
+    // Replay the st15 foreachBatch shape against the staged files. The
+    // base index artifacts are shared with v12 (same keyed snapshot).
+    val q = graft.queries.Embeddings.queries("st15_stream_ivf_append")(spark, dir)
+    val streamedGated = q.collect()
+    assert(streamedGated.map(_.toString).toSeq ==
+      batchResult.map(_.toString).toSeq,
+      "gated streaming append diverged from the batch append")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    import graft.sources.SnapshotSink
+    val standing = s"$base/lists"
+    val sq = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        graft.queries.Embeddings.appendBatchToStanding(b, dir, standing)
+      }
+      .start()
+    sq.awaitTermination()
+    assert(batches.get() >= 3, s"expected >=3 micro-batches, saw ${batches.get()}")
+    val searched = graft.queries.Embeddings
+      .searchStanding(spark, dir, standing).collect()
+    assert(searched.map(_.toString).toSeq == batchResult.map(_.toString).toSeq,
+      "micro-batched append state diverged from the batch append")
+  }
 }
