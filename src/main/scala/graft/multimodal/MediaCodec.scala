@@ -55,6 +55,137 @@ object MediaCodec {
       .array()
   }
 
+  // ---- REAL PNG codec (grayscale-8, all five scanline filters) --------
+  // zlib lives in the JVM (java.util.zip), so PNG needs no external codec
+  // library: a full encode/decode pair is signature + chunk framing +
+  // DEFLATE + per-scanline filter arithmetic (ISO/IEC 15948 §9: None /
+  // Sub / Up / Average / Paeth). Only bit depth 8, color type 0 is
+  // implemented — the documented production extension adds the other
+  // color types with the same reconstruction loop.
+
+  private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val td = ctype.getBytes("US-ASCII") ++ data
+    val crc = new CRC32(); crc.update(td)
+    ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(td).putInt(crc.getValue.toInt).array()
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit grayscale image as a complete, spec-valid PNG.
+    * `filterFor(row)` picks the scanline filter (0..4) — varying it
+    * exercises every reconstruction branch a decoder must implement.
+    */
+  def pngEncode(w: Int, h: Int, pixels: Array[Byte],
+      filterFor: Int => Int = _ => 0): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h)
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      val f = filterFor(y); require(f >= 0 && f <= 4)
+      raw(y * (w + 1)) = f.toByte
+      for (x <- 0 until w) {
+        val cur = pixels(y * w + x) & 0xff
+        val a = if (x > 0) pixels(y * w + x - 1) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * w + x) & 0xff else 0
+        val c = if (x > 0 && y > 0) pixels((y - 1) * w + x - 1) & 0xff else 0
+        val filt = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(y * (w + 1) + 1 + x) = (filt & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decoded grayscale-8 image. */
+  case class PngPixels(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Full PNG pixel decode: verify signature and per-chunk CRCs, parse
+    * IHDR (8-bit grayscale only), concatenate IDAT streams, INFLATE, and
+    * reverse the per-scanline filter (all five types). Returns None on
+    * any structural, CRC, filter, or length violation — malformed bytes
+    * must never crash an executor task.
+    */
+  def pngDecodePixels(b: Array[Byte]): Option[PngPixels] = {
+    if (b.length < 8 + 25 || !b.take(8).sameElements(PngSig)) return None
+    var p = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && p + 12 <= b.length) {
+      val len = be32(b, p)
+      if (len < 0 || p.toLong + 12L + len > b.length) return None
+      val ctype = new String(b, p + 4, 4, "US-ASCII")
+      val crc = new CRC32(); crc.update(b, p + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, p + 8 + len)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(b, p + 8); h = be32(b, p + 12)
+          // 8-bit grayscale, no interlace — the implemented subset.
+          if (w <= 0 || h <= 0 || b(p + 16) != 8 || b(p + 17) != 0 ||
+            b(p + 20) != 0) return None
+        case "IDAT" => idat.write(b, p + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks skipped
+      }
+      p += 12 + len
+    }
+    if (!ended || w < 0) return None
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((w + 1) * h)
+    try {
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h) {
+      val f = raw(y * (w + 1)) & 0xff
+      if (f > 4) return None
+      for (x <- 0 until w) {
+        val filt = raw(y * (w + 1) + 1 + x) & 0xff
+        val a = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val bb = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val cur = f match {
+          case 0 => filt
+          case 1 => filt + a
+          case 2 => filt + bb
+          case 3 => filt + (a + bb) / 2
+          case 4 => filt + paeth(a, bb, c)
+        }
+        px(y * w + x) = (cur & 0xff).toByte
+      }
+    }
+    Some(PngPixels(w, h, px))
+  }
+
   /** 39-byte JPEG prefix: SOI + JFIF APP0 (16-byte segment) + baseline
     * SOF0 (8-bit precision, 3 components, height THEN width per T.81).
     */

@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   * the dimensions from the fixture formula, so a broken parser (or a
   * broken builder) goes red at the hash gate.
   *
-  * The STUB part (clearly marked): pixel/sample decode. This container has
-  * no image/audio codecs, so nothing decompresses the payload past the
-  * header; audio/video "dimensions" remain deterministic arithmetic over
-  * the byte length. A production build swaps the payload branch for a real
-  * codec (javax.imageio / ffmpeg bindings) without touching the
-  * surrounding plumbing.
+  * Decode depth, honestly delimited: PCM audio samples (mm6,
+  * [[MediaCodec.pcmStats]]) and PNG pixels (mm7,
+  * [[MediaCodec.pngDecodePixels]] — inflate + full five-filter scanline
+  * reconstruction; zlib ships with the JVM) are decoded FOR REAL and
+  * oracle-gated sample/pixel-exact. The remaining STUB (clearly marked)
+  * is entropy-coded payloads — JPEG huffman/DCT and video codecs — which
+  * need libraries this container lacks; their "dimensions" stay
+  * deterministic arithmetic over the byte length. A production build
+  * swaps that branch for javax.imageio / ffmpeg bindings without
+  * touching the surrounding plumbing.
   *
   * At 100 TB: binary payloads dominate I/O, so the media table would be
   * stored with content in its own parquet column (column pruning skips it
@@ -54,6 +58,10 @@ object Multimodal {
   /** Sample-domain statistics of a decoded PCM stream (mm6). */
   case class AudioPcmStats(doc_id: Long, n_samples: Long, sum_abs: Long,
       sum_sq: Long, peak_abs: Int, zero_crossings: Long)
+
+  /** Pixel-domain statistics of a decoded image (mm7). */
+  case class ImagePixelStats(doc_id: Long, n_pixels: Long, sum_lum: Long,
+      sum_sq: Long, min_lum: Int, max_lum: Int)
 
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
@@ -173,6 +181,60 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decoder = new MediaDecoder
       rows.flatMap(decoder.decodeAudio)
+    }
+  }
+
+  /** REAL PNG image table (mm7): every 6th document becomes a complete,
+    * spec-valid grayscale PNG — dimensions and every pixel value follow
+    * deterministic formulas of doc_id (g(x,y) = (id + 7x + 13y) mod 256),
+    * the scanline filter cycles through all five PNG filter types by row,
+    * and the IDAT payload is genuinely DEFLATE-compressed
+    * (java.util.zip). The oracle predicts pixel statistics from the
+    * formula alone, so a green hash proves the engine's decoder ran
+    * inflate + full filter reconstruction sample-exactly — pixel decode
+    * here is NOT a stub (zlib ships with the JVM; only formats needing
+    * external codec libraries — JPEG entropy coding, video — remain
+    * header-only).
+    */
+  def realPngTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (16 + (id * 3) % 16).toInt
+          val px = new Array[Byte](w * h)
+          for (y <- 0 until h; x <- 0 until w)
+            px(y * w + x) = ((id + 7L * x + 13L * y) % 256).toByte
+          MediaRow(id, "image",
+            MediaCodec.pngEncode(w, h, px, filterFor = r => ((id + r) % 5).toInt))
+        }
+      }
+  }
+
+  /** Decode real PNGs back to pixels and reduce to integer stats — the
+    * brightness/contrast filter an image-curation pipeline runs. Same
+    * per-partition batching as [[extractFeatures]].
+    */
+  def imagePixelStats(media: Dataset[MediaRow]): Dataset[ImagePixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        MediaCodec.pngDecodePixels(m.content).map { img =>
+          var sum = 0L; var sq = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v; sq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          ImagePixelStats(m.doc_id, img.pixels.length.toLong, sum, sq,
+            if (img.pixels.isEmpty) 0 else mn, mx)
+        }
+      }
     }
   }
 

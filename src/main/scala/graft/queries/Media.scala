@@ -96,6 +96,22 @@ object Media extends QueryPack {
         Multimodal.mediaTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM7: REAL PNG pixel decode — every 6th document rendered as a
+    // complete spec-valid grayscale PNG (formula pixels, DEFLATE-
+    // compressed IDAT, scanline filter cycling through all five PNG
+    // filter types by row), decoded back via inflate + full filter
+    // reconstruction, reduced to integer pixel stats (the brightness/
+    // contrast screen an image-curation pipeline runs). The oracle knows
+    // only the pixel FORMULA — a green hash proves the decoder recovered
+    // every pixel through the real compressed container. Pixel decode is
+    // NOT a stub for PNG: zlib ships with the JVM.
+    "mm7_image_pixel_stats" -> { (s, d) =>
+      Multimodal.imagePixelStats(
+        Multimodal.realPngTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -209,6 +225,29 @@ object Media extends QueryPack {
         |  CAST(COALESCE(s.peak_abs, 0) AS INT) AS peak_abs,
         |  CAST(COALESCE(s.zero_crossings, 0) AS BIGINT) AS zero_crossings
         |FROM audio a LEFT JOIN stats s USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // Pixel truth from the formula alone: g(x,y) = (id + 7x + 13y) % 256
+    // over w = 16 + id%16, h = 16 + 3·id%16 — the engine must arrive at
+    // the same numbers THROUGH the deflated container.
+    "mm7_image_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
+        |    CAST(16 + (doc_id * 3) % 16 AS INT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), px AS (
+        |  SELECT i.doc_id,
+        |    CAST((i.doc_id + 7 * xx.x + 13 * yy.y) % 256 AS BIGINT) AS g
+        |  FROM img i,
+        |    LATERAL (SELECT UNNEST(range(i.w)) AS x) xx,
+        |    LATERAL (SELECT UNNEST(range(i.h)) AS y) yy
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(g) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(g) AS INT) AS min_lum,
+        |  CAST(MAX(g) AS INT) AS max_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

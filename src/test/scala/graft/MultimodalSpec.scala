@@ -157,6 +157,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.parseWav(overflow).isEmpty)
   }
 
+  test("PNG codec: encode/decode round-trips every filter type pixel-exactly") {
+    val rnd = new scala.util.Random(42)
+    for (f <- 0 to 4) {
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val px = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val bytes = MediaCodec.pngEncode(w, h, px, _ => f)
+      val back = MediaCodec.pngDecodePixels(bytes)
+        .getOrElse(fail(s"decode failed for filter $f"))
+      assert(back.width === w && back.height === h)
+      assert(back.pixels.toSeq === px.toSeq, s"filter $f not reconstructed")
+    }
+    // Mixed filters per row — the mm7 fixture shape.
+    val px = Array.tabulate[Byte](37 * 23)(i => (i * 31 % 256).toByte)
+    val mixed = MediaCodec.pngEncode(37, 23, px, r => r % 5)
+    assert(MediaCodec.pngDecodePixels(mixed).get.pixels.toSeq === px.toSeq)
+    // The header-only sniffer agrees with the full decoder on dimensions.
+    val hdr = MediaCodec.parseImageHeader(mixed)
+    assert(hdr.exists(i => i.width == 37 && i.height == 23))
+  }
+
+  test("PNG decode rejects corrupt bytes: CRC damage, truncated IDAT, bad filter, wrong depth") {
+    val px = Array.tabulate[Byte](16 * 16)(i => i.toByte)
+    val good = MediaCodec.pngEncode(16, 16, px, r => r % 5)
+    assert(MediaCodec.pngDecodePixels(good).isDefined)
+    // Flip a byte inside the IDAT payload → chunk CRC must catch it.
+    val crcBad = good.clone(); crcBad(good.length - 20) = (crcBad(good.length - 20) ^ 0x7f).toByte
+    assert(MediaCodec.pngDecodePixels(crcBad).isEmpty)
+    // Truncation (no IEND / missing bytes).
+    assert(MediaCodec.pngDecodePixels(good.dropRight(16)).isEmpty)
+    // RGBA color type (the 33-byte header fixture): full decode must
+    // refuse what it does not implement, never mis-decode.
+    assert(MediaCodec.pngDecodePixels(
+      MediaCodec.pngHeader(5, 5) ++ Array.fill[Byte](40)(1)).isEmpty)
+  }
+
   test("PCM sample decode: hand-computed stats on a crafted stream; odd trailing byte ignored") {
     val samples = Seq[Short](0, 100, -100, 32767, -32768, 0)
     val data = samples.flatMap(s =>
