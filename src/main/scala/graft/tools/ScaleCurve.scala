@@ -53,7 +53,13 @@ object ScaleCurve {
     // sort-agg apply and the output-linear gap-fill, and the vocab-census
     // BPE pair count (sub-linear in corpus via the vocab collapse).
     "t31_bloom_contamination", "v13_pq_rescore", "s18_cdc_apply",
-    "w10_gapfill", "t30_bpe_pairs")
+    "w10_gapfill", "t30_bpe_pairs",
+    // round-9 additions: the HyperBall all-nodes HLL census (sketch-union
+    // agg per round — the round's slowest single query, so its 5× ratio
+    // is the one a scale reviewer asks for) and the two real decode
+    // pipelines (PCM samples / PNG pixels — embarrassingly parallel
+    // per-row decode, should track ~5× on 5× rows).
+    "g13_neighborhood_hll", "mm6_audio_pcm_stats", "mm7_image_pixel_stats")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()
