@@ -1337,6 +1337,56 @@ object TextDedup extends QueryPack {
         .orderBy("lang")
     },
 
+    // T34: BIGRAM LM SURPRISAL — the CCNet/RedPajama-style language-model
+    // quality filter: train an add-half-smoothed bigram model on the
+    // corpus itself, score each document by how improbable its token
+    // sequence is, and surface the most surprising docs (the ones a
+    // perplexity filter would cut as noise/boilerplate/garbled text).
+    // LOG-FREE on purpose (the t18 rule): ln() is libm-dependent across
+    // engines, so instead of Σ log(1/p) the per-bigram surprisal is the
+    // INVERSE probability, floor-scaled to an integer —
+    //   s = floor(1e6 · (2·c1 + V) / (2·c12 + 1))
+    // (add-half smoothing: p = (c12 + ½)/(c1 + ½V), inverted and ×2/2) —
+    // one exact-integer numerator, ONE correctly-rounded IEEE division,
+    // one floor: bit-identical on both engines. Per-doc aggregation then
+    // sums INTEGERS (order-independent, unlike a double Σ), and the mean
+    // is a single rounded division at the end. Scale shape: bigram and
+    // unigram LM tables are corpus aggregates joined back on the bigram
+    // key — at 100 TB the LM table is Zipf-small relative to the corpus
+    // (broadcast when it fits, shuffle join when not) and everything else
+    // is map-side.
+    "t34_bigram_surprisal" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"), size(toks).as("dl"))
+        .filter(col("dl") >= 2)
+      // Adjacent pairs without a self-join: posexplode the first dl−1
+      // tokens, the successor is element_at(t, pos+2) on the same row.
+      val bigrams = docs
+        .select(col("doc_id"), col("t"),
+          posexplode(slice(col("t"), lit(1), size(col("t")) - 1)))
+        .select(col("doc_id"), col("col").as("w1"),
+          element_at(col("t"), col("pos") + 2).as("w2"))
+      val uni = docs.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bi = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      bigrams
+        .join(bi, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("s", floor(
+          (lit(1000000L) * (lit(2L) * col("c1") + col("v"))).cast("double") /
+            (lit(2L) * col("c12") + lit(1L)).cast("double")).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"))
+        .withColumn("mean_surprisal", round(
+          col("sum_surprisal").cast("double") / col("n_bigrams").cast("double"), 6))
+        .orderBy(col("mean_surprisal").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // T32: MinHash estimate-vs-truth AUDIT — the sketch-quality metric a
     // dedup deployment monitors (v8_ann_recall's sibling for the text
     // stack): for every LSH candidate pair, the signature-agreement
@@ -2145,6 +2195,43 @@ object TextDedup extends QueryPack {
         |  round(CAST(n_contaminated AS DOUBLE) / n_ngrams, 6) AS contamination
         |FROM hits JOIN sizes s ON s.doc_id = hits.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Log-free surprisal mirrored term-for-term (the t18 rule): exact
+    // integer numerator, ONE correctly-rounded double division, floor —
+    // bit-identical across engines; per-doc sums are INTEGER (order-
+    // independent), the mean is one rounded division at the end.
+    "t34_bigram_surprisal" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS dl
+        |  FROM documents
+        |), d2 AS (SELECT * FROM docs WHERE dl >= 2),
+        |bigrams AS (
+        |  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+        |  FROM d2, LATERAL (SELECT UNNEST(range(1, dl)) AS i) u
+        |),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |    SELECT UNNEST(t) AS w FROM d2
+        |  ) GROUP BY w
+        |),
+        |vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM bigrams GROUP BY w1, w2
+        |),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    CAST(floor(CAST(1000000 * (2 * u.c1 + vocab.v) AS DOUBLE)
+        |         / CAST(2 * b.c12 + 1 AS DOUBLE)) AS BIGINT) AS s
+        |  FROM bigrams g JOIN bi b USING (w1, w2)
+        |  JOIN uni u ON u.w = g.w1, vocab
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+        |  round(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_surprisal
+        |FROM scored GROUP BY doc_id
+        |ORDER BY mean_surprisal DESC, doc_id ASC LIMIT 25""".stripMargin,
 
     // Exact-integer TVD numerator, one double division at the end —
     // mirrored term-for-term.
