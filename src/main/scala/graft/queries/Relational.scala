@@ -173,6 +173,25 @@ object Relational extends QueryPack {
         .agg(approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))
     },
 
+    // A12: approximate percentile SKETCH — completes the sketch family
+    // (HLL distinct a3, HLL ball census g13b, quantile HERE): Spark's
+    // approx_percentile (KLL-style mergeable summary) per return flag at
+    // accuracy 10000 (max rank error 1/acc = 0.01%). Rows-only like a3 —
+    // sketch internals are engine-specific — with the accuracy contract
+    // spec-pinned against the exact percentile (PipelineInvariantsSpec).
+    // At 100 TB this is the only quantile that runs: exact percentile
+    // sorts every group; the sketch is map-side mergeable bounded state.
+    "a12_approx_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+          .as("ap"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("p50_price_approx"),
+          element_at(col("ap"), 2).as("p90_price_approx"))
+        .orderBy("l_returnflag")
+    },
+
     // A4b: min/max/avg/sum mix per group with HAVING.
     "a4_minmax_having" -> { (s, d) =>
       Tables.part(s, d)

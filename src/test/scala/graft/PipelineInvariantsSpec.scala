@@ -256,4 +256,27 @@ class PipelineInvariantsSpec extends AnyFunSuite {
       assert(planted(r) == 1L, s"$r should fire once: $planted"))
     assert(planted("r6") == 1L) // same (orderkey, linenumber) twice
   }
+
+  test("a12 approx percentile lands within the sketch's rank-error bound of the exact value") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.Relational
+      .queries("a12_approx_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = Tables.lineitem(spark, dir)
+    // Rank-error bound: accuracy 10000 → the returned value's RANK is
+    // within n/10000 of the target rank. Check by rank, not value.
+    for ((flag, (p50, p90)) <- approx) {
+      val grp = li.filter(col("l_returnflag") === flag)
+      val n = grp.count().toDouble
+      def rankOf(v: Double): Double =
+        grp.filter(col("l_extendedprice") <= v).count().toDouble / n
+      val tol = 1.0 / 10000 + 1.0 / n // sketch bound + discrete-rank slack
+      assert(math.abs(rankOf(p50) - 0.5) <= tol + 0.5 / n,
+        s"$flag p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p90) - 0.9) <= tol + 0.5 / n,
+        s"$flag p90 rank ${rankOf(p90)}")
+    }
+    assert(approx.nonEmpty)
+  }
 }
