@@ -63,6 +63,13 @@ object MediaCodec {
   // implemented — the documented production extension adds the other
   // color types with the same reconstruction loop.
 
+  /** Decode-side allocation cap: (w+1)·h scanline bytes must stay under
+    * this before anything is allocated (64 Mpx ≈ 64 MB grayscale — far
+    * above any fixture, far below an executor-killing allocation).
+    * Production knob, same role as the hub cap.
+    */
+  private val MaxPngPixels: Long = 64L * 1024 * 1024
+
   private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
     val td = ctype.getBytes("US-ASCII") ++ data
     val crc = new CRC32(); crc.update(td)
@@ -140,9 +147,19 @@ object MediaCodec {
         case "IHDR" =>
           if (len != 13) return None
           w = be32(b, p + 8); h = be32(b, p + 12)
-          // 8-bit grayscale, no interlace — the implemented subset.
+          // 8-bit grayscale, zlib compression 0, filter method 0, no
+          // interlace — the implemented subset; any other declared
+          // method must REJECT, never mis-decode. Dimension bound in
+          // LONG arithmetic: a crafted CRC-valid IHDR like 46341×46341
+          // would overflow (w+1)*h negative (NegativeArraySizeException
+          // out of the task) or pre-allocate GBs before any IDAT sanity
+          // check — same corrupt-header class parseWav guards against.
+          // The raw scanline buffer is also trivially bounded by the
+          // container itself: it can never legitimately exceed what the
+          // (already length-checked) compressed stream could encode.
           if (w <= 0 || h <= 0 || b(p + 16) != 8 || b(p + 17) != 0 ||
-            b(p + 20) != 0) return None
+            b(p + 18) != 0 || b(p + 19) != 0 || b(p + 20) != 0) return None
+          if ((w.toLong + 1L) * h.toLong > MaxPngPixels) return None
         case "IDAT" => idat.write(b, p + 8, len)
         case "IEND" => ended = true
         case _ => () // ancillary chunks skipped
@@ -157,7 +174,12 @@ object MediaCodec {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // Any zero-progress state is a malformed stream: truncated input
+        // (needsInput), a preset-dictionary demand (FDICT zlib header —
+        // valid zlib, never valid PNG; without this check the loop spins
+        // forever: not finished, input present, nothing inflates), or
+        // any other stall.
+        if (n == 0) return None
         off += n
       }
       if (off != raw.length) return None

@@ -479,13 +479,9 @@ object Embeddings extends QueryPack {
     // file IS the file a rebuild with the same centers would produce —
     // which is what the oracle computes from scratch.
     "v12_ivf_append" -> { (s, d) =>
-      import graft.sources.ArtifactStore
       val c = corpus(s, d)
-      val baseCorpus = c.filter(col("vec_id") % 7 =!= 0)
       val batch = c.filter(col("vec_id") % 7 === 0)
-      lazy val m = graft.operators.IvfIndex.build(baseCorpus, nLists, ivfIters)
-      val lists = ArtifactStore.snapshot(s, d, "ivf_lists_base", Seq("lid"))(m.lists)
-      val cents = ArtifactStore.snapshot(s, d, "ivf_centers_base")(m.centers)
+      val (lists, cents) = baseIndexArtifacts(s, d)
       val appended = graft.operators.IvfIndex.assignTo(batch, cents)
       val merged = lists.select("vec_id", "lid", "emb", "nrm")
         .unionByName(appended.select("vec_id", "lid", "emb", "nrm"))
@@ -627,36 +623,53 @@ object Embeddings extends QueryPack {
     * keyed snapshots shared with v12, so stream and batch provably read
     * the same centers.
     */
-  private[graft] def appendBatchToStanding(batch: DataFrame, d: String,
-      standing: String): Unit = {
-    import graft.sources.{ArtifactStore, SnapshotSink}
-    val s = batch.sparkSession
+  /** THE single definition of the base IVF index artifacts (lists +
+    * centers, trained on the vec_id % 7 ≠ 0 subset): v12's batch append,
+    * st15's streaming append, and the standing-file search all read the
+    * SAME keyed snapshots through this one helper — ArtifactStore keys
+    * are first-writer-wins, so a second inlined copy of the derivation
+    * could silently drift its parameters while still reading the first
+    * writer's artifact. One definition, no drift.
+    */
+  private[graft] def baseIndexArtifacts(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.sources.ArtifactStore
     val baseCorpus = corpus(s, d).filter(col("vec_id") % 7 =!= 0)
     lazy val m = graft.operators.IvfIndex.build(baseCorpus, nLists, ivfIters)
-    val lists = ArtifactStore.snapshot(s, d, "ivf_lists_base", Seq("lid"))(m.lists)
-    val cents = ArtifactStore.snapshot(s, d, "ivf_centers_base")(m.centers)
+    (ArtifactStore.snapshot(s, d, "ivf_lists_base", Seq("lid"))(m.lists),
+      ArtifactStore.snapshot(s, d, "ivf_centers_base")(m.centers))
+  }
+
+  private[graft] def appendBatchToStanding(batch: DataFrame, d: String,
+      standing: String): Unit = {
+    import graft.sources.SnapshotSink
+    val s = batch.sparkSession
+    val (lists, cents) = baseIndexArtifacts(s, d)
     if (!java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(standing)))
       SnapshotSink.overwrite(lists.select("vec_id", "lid", "emb", "nrm"), standing)
     val vecs = batch
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", sqrt(dotNative(col("emb"), col("emb"))))
     val appended = graft.operators.IvfIndex.assignTo(vecs, cents)
+    // dropDuplicates on the PRIMARY KEY makes re-delivery a no-op:
+    // foreachBatch is at-least-once (a crash between the publish and the
+    // checkpoint's offset commit replays the batch), and assignment is
+    // deterministic, so a re-delivered row is byte-identical to the one
+    // already standing and collapses here instead of occupying a second
+    // top-k slot at search time.
     SnapshotSink.overwrite(
       s.read.parquet(standing)
-        .unionByName(appended.select("vec_id", "lid", "emb", "nrm")),
+        .unionByName(appended.select("vec_id", "lid", "emb", "nrm"))
+        .dropDuplicates("vec_id"),
       standing)
   }
 
   /** Search the standing inverted file with the shared base centers. */
   private[graft] def searchStanding(s: SparkSession, d: String,
       standing: String): DataFrame = {
-    import graft.sources.ArtifactStore
-    val c = corpus(s, d)
-    val cents = ArtifactStore.snapshot(s, d, "ivf_centers_base")(
-      graft.operators.IvfIndex
-        .build(c.filter(col("vec_id") % 7 =!= 0), nLists, ivfIters).centers)
+    val cents = baseIndexArtifacts(s, d)._2
     graft.operators.IvfIndex.search(
-        s.read.parquet(standing), cents, probes(c), k = 5, nprobe = 1)
+        s.read.parquet(standing), cents, probes(corpus(s, d)), k = 5, nprobe = 1)
       .orderBy("qid", "rn")
   }
 

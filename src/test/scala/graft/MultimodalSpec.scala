@@ -190,6 +190,34 @@ class MultimodalSpec extends AnyFunSuite {
     // refuse what it does not implement, never mis-decode.
     assert(MediaCodec.pngDecodePixels(
       MediaCodec.pngHeader(5, 5) ++ Array.fill[Byte](40)(1)).isEmpty)
+    // Crafted CRC-valid IHDR with overflow dimensions (46341² wraps
+    // (w+1)*h negative in Int): must return None, not throw or allocate.
+    def ihdrTamper(wBig: Int, hBig: Int): Array[Byte] = {
+      val d = good.clone()
+      val bb = java.nio.ByteBuffer.wrap(d)
+      bb.putInt(16, wBig); bb.putInt(20, hBig)
+      val crc = new java.util.zip.CRC32(); crc.update(d, 12, 17)
+      bb.putInt(29, crc.getValue.toInt)
+      d
+    }
+    assert(MediaCodec.pngDecodePixels(ihdrTamper(46341, 46341)).isEmpty)
+    assert(MediaCodec.pngDecodePixels(ihdrTamper(0x7fffffff, 2)).isEmpty)
+    // Nonzero IHDR compression/filter METHOD fields (spec-invalid): must
+    // reject, never run the method-0 reconstruction over garbage.
+    val badMethod = good.clone(); badMethod(27) = 1 // IHDR filter-method byte
+    val crcBM = new java.util.zip.CRC32(); crcBM.update(badMethod, 12, 17)
+    java.nio.ByteBuffer.wrap(badMethod).putInt(29, crcBM.getValue.toInt)
+    assert(MediaCodec.pngDecodePixels(badMethod).isEmpty)
+    // zlib FDICT flag in the IDAT stream (valid zlib, never valid PNG):
+    // must return None, not spin forever waiting for a dictionary.
+    val idatStart = 8 + 25 // after signature + IHDR chunk
+    assert((good(idatStart + 4) & 0xff) == 'I'.toInt)
+    val fdict = good.clone()
+    fdict(idatStart + 8) = 0x78.toByte; fdict(idatStart + 9) = 0xbb.toByte
+    val len = java.nio.ByteBuffer.wrap(fdict).getInt(idatStart)
+    val crcFd = new java.util.zip.CRC32(); crcFd.update(fdict, idatStart + 4, 4 + len)
+    java.nio.ByteBuffer.wrap(fdict).putInt(idatStart + 8 + len, crcFd.getValue.toInt)
+    assert(MediaCodec.pngDecodePixels(fdict).isEmpty)
   }
 
   test("PCM sample decode: hand-computed stats on a crafted stream; odd trailing byte ignored") {

@@ -539,5 +539,15 @@ class StreamingSpec extends AnyFunSuite {
       .searchStanding(spark, dir, standing).collect()
     assert(searched.map(_.toString).toSeq == batchResult.map(_.toString).toSeq,
       "micro-batched append state diverged from the batch append")
+    // At-least-once tolerance: re-deliver one already-applied batch (the
+    // crash-between-publish-and-offset-commit window) — the standing
+    // file's primary-key collapse must make it a no-op.
+    graft.queries.Embeddings.appendBatchToStanding(
+      emb.filter(col("vec_id") % 7 === 0 && col("vec_id") % 3 === 1), dir, standing)
+    val afterRedelivery = graft.queries.Embeddings
+      .searchStanding(spark, dir, standing).collect()
+    assert(afterRedelivery.map(_.toString).toSeq ==
+      batchResult.map(_.toString).toSeq,
+      "re-delivered micro-batch changed the standing index")
   }
 }
