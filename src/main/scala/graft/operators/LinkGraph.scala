@@ -187,11 +187,18 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       .groupBy(col("id"))
       .agg(expr(s"hll_sketch_agg(id, $lgK)").as("ball"))
       .localCheckpoint()
-    def census(h: Int, b: DataFrame): DataFrame =
-      b.agg(round(sum(expr("hll_sketch_estimate(ball)")), 0)
-          .cast("long").as("est_pairs"))
-        .select(lit(h).as("h"), col("est_pairs"))
-    var out = census(0, balls)
+    // Census per round is EAGER (one 1-row aggregate collect — the
+    // control-plane idiom the iterative loops already use for
+    // convergence checks): a lazy union of per-round censuses would keep
+    // a live reference to EVERY round's checkpointed sketch table until
+    // the final action, pinning rounds × |nodes| sketch blocks in
+    // storage memory — measured as a ~1.6× slowdown on the NEXT query in
+    // a bench sequence. Eager census lets each superseded ball table go
+    // unreferenced so the context cleaner reclaims its blocks.
+    def census(b: DataFrame): Long =
+      b.agg(round(sum(expr("hll_sketch_estimate(ball)")), 0).cast("long"))
+        .head().getLong(0)
+    val rows = scala.collection.mutable.ArrayBuffer(0 -> census(balls))
     for (h <- 1 to rounds) {
       val contrib = e.join(balls, e("dst") === balls("id"))
         .select(e("src").as("id"), col("ball"))
@@ -199,9 +206,11 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .groupBy(col("id"))
         .agg(expr("hll_union_agg(ball)").as("ball"))
         .localCheckpoint()
-      out = out.union(census(h, balls))
+      rows += h -> census(balls)
     }
-    out
+    val s = edges.sparkSession
+    import s.implicits._
+    rows.toSeq.toDF("h", "est_pairs")
   }
 
   /** Fixed-point PageRank: `iters` rounds of
