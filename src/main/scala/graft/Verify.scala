@@ -40,15 +40,23 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Schema-gate violations are tracked SEPARATELY from per-query runtime
+    // failures: the generic catch keeps one broken query from zeroing the
+    // whole dump, but a DecimalType regression slipping through as "just a
+    // missing dump" (driver reds it two steps later) is too quiet — collect
+    // the names and fail the Verify run itself at the end.
+    final class GateViolation(msg: String) extends RuntimeException(msg)
+    val gateViolations = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (nameFilter.findFirstIn(name).isDefined) {
         try {
           val df = fn(spark, sfDir)
           if (SparkEntry.oracleSql.contains(name)) {
             val dec = GateSchema.decimalPaths(df.schema)
-            require(dec.isEmpty, s"gated output has DecimalType at " +
-              s"${dec.mkString(", ")} — stringified-hash hazard " +
-              "(see GateSchema scaladoc); cast to double on BOTH sides")
+            if (dec.nonEmpty) throw new GateViolation(
+              s"gated output has DecimalType at ${dec.mkString(", ")} — " +
+              "stringified-hash hazard (see GateSchema scaladoc); " +
+              "cast to double on BOTH sides")
           }
           df.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
@@ -57,8 +65,12 @@ object Verify {
           // loudly, not surface as a silent oracle mismatch.
           SparkEntry.resultChecks.get(name)
             .foreach(_(spark.read.parquet(s"$outDir/$name")))
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } catch {
+          case g: GateViolation =>
+            gateViolations += name -> g.getMessage
+            System.err.println(s"[verify] $name GATE VIOLATION: ${g.getMessage}")
+          case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
@@ -78,5 +90,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (gateViolations.nonEmpty) {
+      System.err.println(s"[verify] ${gateViolations.size} schema-gate " +
+        s"violation(s): ${gateViolations.keys.mkString(", ")} — failing run")
+      sys.exit(2)
+    }
   }
 }

@@ -29,9 +29,10 @@ case class PcmStats(nSamples: Long, sumAbs: Long, sumSq: Long,
   * Builders emit spec-valid headers (PNG IHDR carries its real CRC-32, WAV
   * carries a consistent byte-rate/block-align); parsers do what a
   * production header sniffer does — verify magic, walk segments in the
-  * format's endianness, extract stream parameters — so the oracle-gated mm
-  * queries exercise genuine binary decode arithmetic even though nothing
-  * here decompresses sample data.
+  * format's endianness, extract stream parameters. Full payload decode
+  * lives alongside: grayscale PNG here (zlib inflate + scanline filters),
+  * baseline grayscale JPEG in [[JpegCodec]] (Huffman + IDCT), 16-bit PCM
+  * in [[pcmStats]].
   */
 object MediaCodec {
 
@@ -145,7 +146,10 @@ object MediaCodec {
       if (crc.getValue.toInt != be32(b, p + 8 + len)) return None
       ctype match {
         case "IHDR" =>
-          if (len != 13) return None
+          // Exactly one IHDR, and it must come first (ISO/IEC 15948 §5.6
+          // chunk ordering): a duplicate would silently overwrite the
+          // dimensions already used for sizing decisions.
+          if (len != 13 || w != -1) return None
           w = be32(b, p + 8); h = be32(b, p + 12)
           // 8-bit grayscale, zlib compression 0, filter method 0, no
           // interlace — the implemented subset; any other declared
@@ -160,13 +164,19 @@ object MediaCodec {
           if (w <= 0 || h <= 0 || b(p + 16) != 8 || b(p + 17) != 0 ||
             b(p + 18) != 0 || b(p + 19) != 0 || b(p + 20) != 0) return None
           if ((w.toLong + 1L) * h.toLong > MaxPngPixels) return None
-        case "IDAT" => idat.write(b, p + 8, len)
-        case "IEND" => ended = true
+        case "IDAT" =>
+          if (w == -1) return None // IDAT before IHDR: malformed ordering
+          idat.write(b, p + 8, len)
+        case "IEND" =>
+          if (len != 0) return None
+          ended = true
         case _ => () // ancillary chunks skipped
       }
       p += 12 + len
     }
-    if (!ended || w < 0) return None
+    // IEND must be present AND terminal: trailing bytes (or whole chunks)
+    // after it are a structural violation, not ignorable slack.
+    if (!ended || w < 0 || p != b.length) return None
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val raw = new Array[Byte]((w + 1) * h)
@@ -183,6 +193,18 @@ object MediaCodec {
         off += n
       }
       if (off != raw.length) return None
+      // The stream must END exactly here: a well-formed PNG's zlib stream
+      // encodes precisely (w+1)*h scanline bytes, so surplus compressed
+      // output (extra pixels) or unconsumed input after the zlib trailer
+      // (junk appended inside IDAT) means the declared dimensions and the
+      // payload disagree — reject rather than silently truncate. One
+      // zero-length drain lets the inflater swallow the adler32 trailer
+      // when the final data block ended exactly at raw.length.
+      if (!inflater.finished()) {
+        val drain = new Array[Byte](1)
+        if (inflater.inflate(drain) != 0 || !inflater.finished()) return None
+      }
+      if (inflater.getRemaining > 0) return None
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()

@@ -22,15 +22,18 @@ import org.apache.spark.sql.functions._
   * broken builder) goes red at the hash gate.
   *
   * Decode depth, honestly delimited: PCM audio samples (mm6,
-  * [[MediaCodec.pcmStats]]) and PNG pixels (mm7,
+  * [[MediaCodec.pcmStats]]), PNG pixels (mm7,
   * [[MediaCodec.pngDecodePixels]] — inflate + full five-filter scanline
-  * reconstruction; zlib ships with the JVM) are decoded FOR REAL and
-  * oracle-gated sample/pixel-exact. The remaining STUB (clearly marked)
-  * is entropy-coded payloads — JPEG huffman/DCT and video codecs — which
-  * need libraries this container lacks; their "dimensions" stay
-  * deterministic arithmetic over the byte length. A production build
-  * swaps that branch for javax.imageio / ffmpeg bindings without
-  * touching the surrounding plumbing.
+  * reconstruction; zlib ships with the JVM) and baseline JPEG pixels
+  * (mm8, [[JpegCodec.jpegDecodePixels]] — T.81 marker walk, canonical
+  * Huffman entropy decode, dequant, IDCT; interop-pinned against the
+  * JDK's independent ImageIO codec) are decoded FOR REAL and oracle-gated
+  * sample/pixel-exact. The remaining STUB (clearly marked) is video
+  * codecs and non-baseline JPEG (progressive, chroma-subsampled color),
+  * which the decoders explicitly REJECT rather than mis-decode; stub
+  * rows keep deterministic arithmetic over the byte length. A production
+  * build swaps those branches for ffmpeg bindings without touching the
+  * surrounding plumbing.
   *
   * At 100 TB: binary payloads dominate I/O, so the media table would be
   * stored with content in its own parquet column (column pruning skips it
@@ -213,6 +216,74 @@ object Multimodal {
       }
   }
 
+  /** REAL baseline JPEG table (mm8): every doc_id ≡ 3 (mod 6) document —
+    * the ids that carry JPEG headers in [[mediaTable]] — becomes a
+    * complete, spec-valid baseline grayscale JPEG (SOI/DQT/SOF0/Annex-K
+    * DHT/SOS/entropy/EOI). Fixtures are built in the QUANTIZED-COEFFICIENT
+    * domain so the lossy pipeline is exactly invertible: each 8×8 block b
+    * holds a flat base v(b) = 28 + (id + 11b) mod 200 (DC only — DC
+    * round-trips exactly: F₀₀ = 8(v−128), q₀ = 8) plus an AC(4,4)
+    * checkerboard of amplitude m(b) = (id + b) mod 8 (the (4,4) basis is
+    * ±1/2 pointwise, so a dequantized 8m contributes EXACTLY ±m per
+    * pixel). Decoded pixels are therefore exact integers v ± m the oracle
+    * can replay from the formula — while the bitstream still exercises
+    * differential DC across blocks, AC run-lengths through two ZRL codes
+    * (38 zeros precede zigzag position 39 = natural (4,4)), EOB, byte
+    * stuffing, and (every 4th image) restart markers. w = 16 + 8·(k mod 3),
+    * h = 16 + 8·(5k mod 3) with k = id/3.
+    */
+  def realJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 3)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 3
+          val w = (16 + 8 * (k % 3)).toInt
+          val h = (16 + 8 * ((k * 5) % 3)).toInt
+          val nb = (w / 8) * (h / 8)
+          val q = Array.fill(64)(16); q(0) = 8; q(36) = 8 // natural (4,4)
+          val blocks = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64)
+            c(0) = (28 + (id + 11L * b) % 200).toInt - 128 // quantized DC
+            c(36) = ((id + b) % 8).toInt                   // quantized AC(4,4)
+            c
+          }
+          MediaRow(id, "image", JpegCodec.jpegEncode(w, h, q, blocks,
+            restartInterval = if (k % 4 == 1) 2 else 0))
+        }
+      }
+  }
+
+  /** Shared gray-8 pixel-stats reduction behind mm7/mm8. */
+  private def grayStats(docId: Long, pixels: Array[Byte]): ImagePixelStats = {
+    var sum = 0L; var sq = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i) & 0xff
+      sum += v; sq += v.toLong * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    ImagePixelStats(docId, pixels.length.toLong, sum, sq,
+      if (pixels.isEmpty) 0 else mn, mx)
+  }
+
+  /** Decode baseline JPEGs back to pixels and reduce to the same integer
+    * stats as [[imagePixelStats]] — mm8's gated surface. Non-decodable
+    * rows drop out (None from the codec, never a throw).
+    */
+  def jpegPixelStats(media: Dataset[MediaRow]): Dataset[ImagePixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        JpegCodec.jpegDecodePixels(m.content).map(img =>
+          grayStats(m.doc_id, img.pixels))
+      }
+    }
+  }
+
   /** Decode real PNGs back to pixels and reduce to integer stats — the
     * brightness/contrast filter an image-curation pipeline runs. Same
     * per-partition batching as [[extractFeatures]].
@@ -221,19 +292,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
-        MediaCodec.pngDecodePixels(m.content).map { img =>
-          var sum = 0L; var sq = 0L; var mn = 255; var mx = 0
-          var i = 0
-          while (i < img.pixels.length) {
-            val v = img.pixels(i) & 0xff
-            sum += v; sq += v.toLong * v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            i += 1
-          }
-          ImagePixelStats(m.doc_id, img.pixels.length.toLong, sum, sq,
-            if (img.pixels.isEmpty) 0 else mn, mx)
-        }
+        MediaCodec.pngDecodePixels(m.content).map(img =>
+          grayStats(m.doc_id, img.pixels))
       }
     }
   }

@@ -195,9 +195,11 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // storage memory — measured as a ~1.6× slowdown on the NEXT query in
     // a bench sequence. Eager census lets each superseded ball table go
     // unreferenced so the context cleaner reclaims its blocks.
+    // coalesce(…, 0): sum over zero rows is NULL — an empty edge frame must
+    // yield a 0-census, not an NPE out of a public method.
     def census(b: DataFrame): Long =
-      b.agg(round(sum(expr("hll_sketch_estimate(ball)")), 0).cast("long"))
-        .head().getLong(0)
+      b.agg(coalesce(round(sum(expr("hll_sketch_estimate(ball)")), 0), lit(0))
+        .cast("long")).head().getLong(0)
     val rows = scala.collection.mutable.ArrayBuffer(0 -> census(balls))
     for (h <- 1 to rounds) {
       val contrib = e.join(balls, e("dst") === balls("id"))

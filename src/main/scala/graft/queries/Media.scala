@@ -112,6 +112,24 @@ object Media extends QueryPack {
         Multimodal.realPngTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM8: REAL baseline JPEG pixel decode (ITU-T T.81) — every doc_id ≡ 3
+    // (mod 6) document rendered as a complete spec-valid grayscale JPEG
+    // whose quantized coefficients follow doc_id formulas chosen so the
+    // lossy pipeline is EXACTLY invertible (flat DC base ± an AC(4,4)
+    // checkerboard; see Multimodal.realJpegTable). The engine must run
+    // marker walk, DQT/DHT parse, canonical Huffman decode (differential
+    // DC, AC run-lengths incl. double-ZRL, EOB), byte destuffing, restart
+    // markers (every 4th image), dequantization, de-zigzag and IDCT to
+    // reproduce the oracle's formula stats — pixel decode for JPEG is no
+    // longer a stub. Interop with the JDK's independent ImageIO codec is
+    // pinned in MultimodalSpec in both encode and decode directions.
+    "mm8_jpeg_pixel_stats" -> { (s, d) =>
+      Multimodal.jpegPixelStats(
+        Multimodal.realJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -248,6 +266,35 @@ object Media extends QueryPack {
         |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,
         |  CAST(MIN(g) AS INT) AS min_lum,
         |  CAST(MAX(g) AS INT) AS max_lum
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Pixel truth from the per-block formulas alone: with k = id/3,
+    // w = 16 + 8·(k%3), h = 16 + 8·(5k%3); block b (row-major MCU order)
+    // holds 32 pixels of v+m and 32 of v−m where v = 28 + (id+11b) % 200,
+    // m = (id+b) % 8 — so per block sum = 64v, sum_sq = 64v² + 64m²,
+    // min = v−m, max = v+m. The engine must arrive at the same numbers
+    // THROUGH the entropy-coded bitstream.
+    "mm8_jpeg_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 3 AS k FROM documents WHERE doc_id % 6 = 3
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * (k % 3) AS BIGINT) AS w,
+        |    CAST(16 + 8 * ((k * 5) % 3) AS BIGINT) AS h
+        |  FROM img
+        |), blk AS (
+        |  SELECT d.doc_id,
+        |    28 + (d.doc_id + 11 * bb.b) % 200 AS v,
+        |    (d.doc_id + bb.b) % 8 AS m
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(64 * v * v + 64 * m * m) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(v - m) AS INT) AS min_lum,
+        |  CAST(MAX(v + m) AS INT) AS max_lum
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

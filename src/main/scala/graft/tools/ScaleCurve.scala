@@ -59,7 +59,17 @@ object ScaleCurve {
     // is the one a scale reviewer asks for) and the two real decode
     // pipelines (PCM samples / PNG pixels — embarrassingly parallel
     // per-row decode, should track ~5× on 5× rows).
-    "g13_neighborhood_hll", "mm6_audio_pcm_stats", "mm7_image_pixel_stats")
+    "g13_neighborhood_hll", "mm6_audio_pcm_stats", "mm7_image_pixel_stats",
+    // round-10 additions (VERDICT r9 ask #5): the remaining round-9 ops —
+    // bigram-LM surprisal (posexplode bigrams + broadcast LM join, linear),
+    // the Kafka-shaped source adapter (stream landing ∝ events), streaming
+    // IVF append (per-batch broadcast argmax ∝ arrivals), the KLL-style
+    // percentile sketch (single-pass, map-side combinable) — plus this
+    // round's baseline-JPEG pixel decode (per-row entropy decode + IDCT,
+    // embarrassingly parallel, should track ~5×).
+    "t34_bigram_surprisal", "st14_kafka_shaped_source",
+    "st15_stream_ivf_append", "a12_approx_percentile",
+    "mm8_jpeg_pixel_stats")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()
@@ -144,7 +154,7 @@ object ScaleCurve {
     }
 
     val md = new StringBuilder
-    md.append("# Bench scale curve — 5× synthesized data (round 9)\n\n")
+    md.append("# Bench scale curve — 5× synthesized data (round 10)\n\n")
     md.append("5× dataset: union of sf0.1 with per-copy shifted keys ")
     md.append("(disjoint graph replicas; document copies carry a one-token\n")
     md.append("suffix so near-dup candidates cross copies; see ")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{ImageHeader, MediaCodec, Multimodal}
+import graft.multimodal.{ImageHeader, JpegCodec, MediaCodec, Multimodal}
 
 /** Multimodal plumbing: container-header codec roundtrips, decode
   * determinism, fingerprint consistency with the SQL md5, resize math
@@ -235,6 +235,199 @@ class MultimodalSpec extends AnyFunSuite {
     val odd = MediaCodec.wavHeader(8000, 1, 16, data.length + 1) ++
       data ++ Array(7.toByte)
     assert(MediaCodec.pcmStats(odd, MediaCodec.parseWav(odd).get).get.nSamples === 6L)
+  }
+
+  // ---- mm8: baseline JPEG codec --------------------------------------
+
+  /** The mm8 fixture in test form: coefficient blocks + the exact pixel
+    * image they must decode to (v ± m checkerboard on the (4,4) basis).
+    */
+  private def jpegFixture(id: Long): (Int, Int, Array[Array[Int]], Array[Byte], Array[Int]) = {
+    val k = id / 3
+    val w = (16 + 8 * (k % 3)).toInt
+    val h = (16 + 8 * ((k * 5) % 3)).toInt
+    val nb = (w / 8) * (h / 8)
+    val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+    val blocks = Array.tabulate(nb) { b =>
+      val c = new Array[Int](64)
+      c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+      c(36) = ((id + b) % 8).toInt
+      c
+    }
+    val bytes = JpegCodec.jpegEncode(w, h, q, blocks,
+      restartInterval = if (k % 4 == 1) 2 else 0)
+    val s = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    val exp = new Array[Int](w * h)
+    val bw = w / 8
+    for (b <- blocks.indices; y <- 0 until 8; x <- 0 until 8) {
+      val v = blocks(b)(0) + 128; val m = blocks(b)(36)
+      exp(((b / bw) * 8 + y) * w + (b % bw) * 8 + x) = v + m * s(x) * s(y)
+    }
+    (w, h, blocks, bytes, exp)
+  }
+
+  test("JPEG codec: fixture encode/decode is pixel-EXACT incl. restart markers") {
+    // Generated zigzag table sanity: natural (4,4)=36 sits at scan position
+    // 39, so the fixture's AC path decodes two ZRL codes before it.
+    assert(JpegCodec.ZigZag(39) === 36)
+    assert(JpegCodec.ZigZag.sorted.toSeq === (0 until 64))
+    for (id <- Seq(3L, 9L, 15L, 21L, 27L, 33L, 39L, 45L, 51L, 57L, 63L, 75L)) {
+      val (w, h, _, bytes, exp) = jpegFixture(id)
+      val img = JpegCodec.jpegDecodePixels(bytes)
+        .getOrElse(fail(s"id=$id decode failed"))
+      assert(img.width === w && img.height === h)
+      val got = img.pixels.map(_ & 0xff)
+      assert(got.toSeq === exp.toSeq, s"id=$id pixels differ")
+      // The header-only sniffer agrees on dimensions.
+      assert(MediaCodec.parseJpeg(bytes).exists(i => i.width == w && i.height == h))
+    }
+  }
+
+  test("JPEG interop: the JDK's independent ImageIO codec decodes our files (±1)") {
+    // If our encoder were wrong about zigzag order, canonical Huffman
+    // assignment, byte stuffing, or restart framing in a way our own
+    // decoder mirrored, this cross-codec check would fail.
+    for (id <- Seq(3L, 9L, 21L, 33L, 45L)) {
+      val (w, h, _, bytes, exp) = jpegFixture(id)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"id=$id: ImageIO rejected our bitstream")
+      assert(bi.getWidth === w && bi.getHeight === h)
+      val ras = bi.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(ras.getSample(x, y, 0) - exp(y * w + x))
+        assert(d <= 1, s"id=$id ImageIO pixel ($x,$y) off by $d")
+      }
+    }
+  }
+
+  test("JPEG interop: our decoder reads an ImageIO-written grayscale JPEG (±2)") {
+    val (w, h) = (40, 24) // non-multiple-of-8 width: exercises edge cropping
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = src.getRaster
+    for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val img = JpegCodec.jpegDecodePixels(bos.toByteArray)
+      .getOrElse(fail("our decoder rejected an ImageIO baseline file"))
+    assert(img.width === w && img.height === h)
+    // Compare against ImageIO's own decode of the same lossy file: the two
+    // IDCTs may round ±1 apart, never more.
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((img.pixels(y * w + x) & 0xff) - back.getRaster.getSample(x, y, 0))
+      assert(d <= 2, s"pixel ($x,$y) differs from ImageIO by $d")
+    }
+  }
+
+  test("JPEG decode rejects malformed bytes: truncation, missing tables, progressive, color, bad restarts, oversize dims") {
+    val (_, _, _, good, _) = jpegFixture(9L)
+    assert(JpegCodec.jpegDecodePixels(good).isDefined)
+    // Truncation into the entropy-coded data → exhaustion, None.
+    assert(JpegCodec.jpegDecodePixels(good.dropRight(good.length / 3)).isEmpty)
+    // EOI alone / garbage.
+    assert(JpegCodec.jpegDecodePixels(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).isEmpty)
+    assert(JpegCodec.jpegDecodePixels("not a jpeg".getBytes("UTF-8")).isEmpty)
+    // Strip both DHT segments → undecodable scan, None (never NPE).
+    def dropSeg(b: Array[Byte], marker: Int): Array[Byte] = {
+      var p = 2
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b(0)); out.write(b(1))
+      while (p + 4 <= b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0xda) {
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if ((b(p + 1) & 0xff) != marker) out.write(b, p, 2 + len)
+        p += 2 + len
+      }
+      out.write(b, p, b.length - p)
+      out.toByteArray
+    }
+    assert(JpegCodec.jpegDecodePixels(dropSeg(good, 0xc4)).isEmpty)
+    assert(JpegCodec.jpegDecodePixels(dropSeg(good, 0xdb)).isEmpty) // no DQT
+    // Progressive SOF2: explicit unsupported-feature reject.
+    val prog = good.clone()
+    val sofAt = (2 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.jpegDecodePixels(prog).isEmpty)
+    // 3-component SOF (the header-only mediaTable fixture): grayscale
+    // subset must reject, never mis-decode.
+    assert(JpegCodec.jpegDecodePixels(
+      MediaCodec.jpegHeader(64, 64) ++ Array.fill[Byte](200)(0x55)).isEmpty)
+    // Oversize declared dimensions: allocation cap, None before any work.
+    val big = good.clone()
+    big(sofAt + 5) = 0xff.toByte; big(sofAt + 6) = 0xff.toByte // Y = 65535
+    big(sofAt + 7) = 0xff.toByte; big(sofAt + 8) = 0xff.toByte // X = 65535
+    assert(JpegCodec.jpegDecodePixels(big).isEmpty)
+    // Out-of-sequence restart marker (fixture id with k%4==1 carries RSTn:
+    // id=9 → k=3 no; id=3 → k=1 yes).
+    val (_, _, _, rstFile, _) = jpegFixture(3L)
+    assert(JpegCodec.jpegDecodePixels(rstFile).isDefined)
+    val rstAt = (2 until rstFile.length - 1).find(i =>
+      (rstFile(i) & 0xff) == 0xff &&
+        (rstFile(i + 1) & 0xff) >= 0xd0 && (rstFile(i + 1) & 0xff) <= 0xd7).get
+    val badRst = rstFile.clone()
+    badRst(rstAt + 1) = (0xd0 + (((badRst(rstAt + 1) & 0x0f) + 1) % 8)).toByte
+    assert(JpegCodec.jpegDecodePixels(badRst).isEmpty)
+  }
+
+  test("PNG decode strictness: duplicate IHDR, trailing chunks after IEND, surplus IDAT, IDAT-before-IHDR") {
+    val px = Array.tabulate[Byte](16 * 16)(i => i.toByte)
+    val good = MediaCodec.pngEncode(16, 16, px, r => r % 5)
+    assert(MediaCodec.pngDecodePixels(good).isDefined)
+    // Trailing garbage after IEND — structurally malformed, not slack.
+    assert(MediaCodec.pngDecodePixels(good ++ Array[Byte](0, 0, 0, 0)).isEmpty)
+    // A duplicate (CRC-valid) IHDR chunk spliced after the first.
+    val ihdrChunk = good.slice(8, 8 + 25)
+    val dupIhdr = good.take(33) ++ ihdrChunk ++ good.drop(33)
+    assert(MediaCodec.pngDecodePixels(dupIhdr).isEmpty)
+    // IDAT before IHDR: reorder the chunks (signature + IDAT.. + IHDR + IEND).
+    val idatStart = 33
+    val idatLen = java.nio.ByteBuffer.wrap(good).getInt(idatStart) + 12
+    val reordered = good.take(8) ++
+      good.slice(idatStart, idatStart + idatLen) ++ ihdrChunk ++
+      good.drop(idatStart + idatLen)
+    assert(MediaCodec.pngDecodePixels(reordered).isEmpty)
+    // Surplus compressed data: declare ONE ROW LESS in a CRC-fixed IHDR.
+    // The zlib stream then encodes more scanlines than (w+1)·h — the
+    // decoder must reject the excess, not silently truncate.
+    val shrunk = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(shrunk)
+    bb.putInt(20, 15) // height 16 → 15
+    val crc = new java.util.zip.CRC32(); crc.update(shrunk, 12, 17)
+    bb.putInt(29, crc.getValue.toInt)
+    assert(MediaCodec.pngDecodePixels(shrunk).isEmpty)
+    // Nonzero-length IEND.
+    val fatIend = good.dropRight(12) ++ {
+      val td = "IEND".getBytes("US-ASCII") ++ Array[Byte](7)
+      val c = new java.util.zip.CRC32(); c.update(td)
+      java.nio.ByteBuffer.allocate(13).putInt(1).put(td)
+        .putInt(c.getValue.toInt).array()
+    }
+    assert(MediaCodec.pngDecodePixels(fatIend).isEmpty)
+  }
+
+  test("mm8 end-to-end: jpegPixelStats over realJpegTable matches the per-block formulas") {
+    import spark.implicits._
+    val stats = Multimodal.jpegPixelStats(
+      Multimodal.realJpegTable(spark, docs)).collect()
+    assert(stats.nonEmpty)
+    val ids = docs.select($"doc_id").as[Long].collect()
+      .filter(_ % 6 == 3).toSet
+    assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
+    stats.foreach { st =>
+      val id = st.doc_id; val k = id / 3
+      val w = 16 + 8 * (k % 3); val h = 16 + 8 * ((k * 5) % 3)
+      val nb = ((w / 8) * (h / 8)).toInt
+      val vs = (0 until nb).map(b => (28 + (id + 11L * b) % 200).toInt)
+      val ms = (0 until nb).map(b => ((id + b) % 8).toInt)
+      assert(st.n_pixels === w * h)
+      assert(st.sum_lum === vs.map(64L * _).sum, s"id=$id")
+      assert(st.sum_sq === (vs, ms).zipped.map((v, m) => 64L * v * v + 64L * m * m).sum, s"id=$id")
+      assert(st.min_lum === (vs, ms).zipped.map(_ - _).min, s"id=$id")
+      assert(st.max_lum === (vs, ms).zipped.map(_ + _).max, s"id=$id")
+    }
   }
 
   test("audio rows decode real WAV params; fingerprint excludes the container") {
