@@ -370,6 +370,50 @@ class MultimodalSpec extends AnyFunSuite {
     val badRst = rstFile.clone()
     badRst(rstAt + 1) = (0xd0 + (((badRst(rstAt + 1) & 0x0f) + 1) % 8)).toByte
     assert(JpegCodec.jpegDecodePixels(badRst).isEmpty)
+    // Trailing bytes after EOI: structural violation (mirrors PNG's
+    // terminal-IEND rule), not ignorable slack.
+    assert(JpegCodec.jpegDecodePixels(good ++ Array[Byte](0, 1, 2)).isEmpty)
+    // Surplus entropy-like bytes spliced before EOI: the scan decodes its
+    // nMcu blocks, then the EOI-terminal check must reject the excess.
+    val surplus = good.dropRight(2) ++ Array[Byte](0x55, 0x55) ++ good.takeRight(2)
+    assert(JpegCodec.jpegDecodePixels(surplus).isEmpty)
+    // Optional 0xFF fill bytes before a marker (§B.1.1.2) are legal and
+    // must be skipped, not misread as a marker code.
+    val filled = good.take(2) ++ Array(0xff.toByte) ++ good.drop(2)
+    assert(JpegCodec.jpegDecodePixels(filled).isDefined)
+  }
+
+  test("decoder fuzz: random bytes and random mutations of valid files never throw") {
+    // The executor-task contract for every decoder: malformed input is
+    // None (or a parse miss), NEVER an exception. Random byte blobs plus
+    // random single-byte mutations / truncations of VALID files — the
+    // mutations that defeat magic-number checks and land deep inside the
+    // parsers.
+    val rnd = new scala.util.Random(20260814L)
+    val pngGood = MediaCodec.pngEncode(24, 16,
+      Array.tabulate[Byte](24 * 16)(i => (i * 13 % 256).toByte), r => r % 5)
+    val (_, _, _, jpgGood, _) = jpegFixture(21L)
+    val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
+      Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    def decodeAll(b: Array[Byte]): Unit = {
+      MediaCodec.pngDecodePixels(b)
+      JpegCodec.jpegDecodePixels(b)
+      MediaCodec.parseImageHeader(b)
+      MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
+    }
+    for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
+    for (base <- Seq(pngGood, jpgGood, wavGood); _ <- 0 until 300) {
+      val mut = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // single-byte corruption
+          mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+          decodeAll(mut)
+        case 1 => decodeAll(mut.take(rnd.nextInt(mut.length))) // truncate
+        case 2 => // corrupt + truncate
+          mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+          decodeAll(mut.take(1 + rnd.nextInt(mut.length)))
+      }
+    }
   }
 
   test("PNG decode strictness: duplicate IHDR, trailing chunks after IEND, surplus IDAT, IDAT-before-IHDR") {
