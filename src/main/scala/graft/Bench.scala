@@ -63,13 +63,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // Both lines share "metric":"total" (the driver's documented shape) but
+    // carry an explicit "kind" discriminator so a consumer selecting by
+    // metric name can't pick the wrong record or double-count (ADVICE r10):
+    // "full" has the per-query breakdown, "compact" is the summary-only twin.
+    println(s"""{"metric":"total","kind":"full","value":${ms(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     // The per-query line above is ~3 KB at 188 queries and the driver's
     // tail capture truncates its FRONT, leaving no parseable record
     // (BENCH_r08/r09 both recorded "parsed": null). Emit a compact (<200 B)
     // summary LAST so any tail window ends with one complete JSON object;
     // the long line stays for local audits and per-query diffing.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","kind":"compact","value":${ms(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,12 +40,18 @@ object HyperBallKnob {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32, "graft-hyperball-knob")
+    // Honor the SPARK_GRAFT_CPUS / data-dir conventions Bench/Verify and
+    // bench_median.py follow (ADVICE r10) so the emitted table is
+    // reproducible on a differently-provisioned host; the values used are
+    // recorded in the markdown below.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dataBase = sys.env.getOrElse("SPARK_GRAFT_DATA_DIR", "/root/testdata")
+    val spark = GraftSession.local(cpus, "graft-hyperball-knob")
     val rounds = 3
     val lgKs = Seq(6, 8, 10, 12)
 
     // Error half: sf0.01, vs the exact pair-BFS census.
-    val small = graft.queries.Graph.symEdgesTable(spark, "/root/testdata/sf0.01")
+    val small = graft.queries.Graph.symEdgesTable(spark, s"$dataBase/sf0.01")
     val gSmall = new LinkGraph(small)
     val exact = exactCensus(spark, gSmall, rounds)
     println(s"[knob] exact N(h) at sf0.01: $exact")
@@ -60,7 +66,7 @@ object HyperBallKnob {
     }.toMap
 
     // Cost half: sf0.1 wall time (warm best-of-2) on g13b's real table.
-    val big = graft.queries.Graph.symEdgesTable(spark, "/root/testdata/sf0.1")
+    val big = graft.queries.Graph.symEdgesTable(spark, s"$dataBase/sf0.1")
     val gBig = new LinkGraph(big)
     val nodesBig = gBig.nodeIds.count()
     val timeRows = lgKs.map { lgK =>
@@ -77,16 +83,19 @@ object HyperBallKnob {
     }.toMap
 
     val md = new StringBuilder
-    md.append("# g13b HyperBall lgK cost knob — measured (round 10)\n\n")
+    md.append("# g13b HyperBall lgK cost knob — measured (round 11)\n\n")
     md.append("Error vs the EXACT neighborhood function N(h) (tagged pair-BFS,\n")
     md.append("sf0.01 — the quadratic-state census HyperBall replaces); time at\n")
     md.append("sf0.1 on the maintained symmetrized edge table (warm best-of-2,\n")
     md.append(s"3 rounds, ${nodesBig} nodes). Sketch state ∝ nodes × 2^lgK\n")
     md.append("registers, and the per-round union shuffle carries it — the\n")
     md.append("documented cost knob, now with numbers. HyperBall itself ships\n")
-    md.append("lgK 4–8 at billion-node scale; g13b ships lgK=10 (≈1.6% HLL\n")
+    md.append("lgK 4–8 at billion-node scale; g13b ships lgK=12 (≈0.8% HLL\n")
     md.append("relative error) because at this fixture scale the sketch bytes\n")
-    md.append("are not yet the binding constraint.\n\n")
+    md.append("are not yet the binding constraint; at 100 TB the table below\n")
+    md.append("says what dropping to 8–10 buys and costs.\n\n")
+    md.append(s"Environment: cores=$cpus (SPARK_GRAFT_CPUS), data=$dataBase\n")
+    md.append("(SPARK_GRAFT_DATA_DIR); defaults 32 / /root/testdata.\n\n")
     md.append("| lgK | max err h=1..3 (sf0.01) | err h=3 | sf0.1 warm (s) |\n")
     md.append("|---|---|---|---|\n")
     lgKs.foreach { lgK =>
