@@ -24,15 +24,19 @@ import org.apache.spark.sql.functions._
   * Decode depth, honestly delimited: PCM audio samples (mm6,
   * [[MediaCodec.pcmStats]]), PNG pixels (mm7,
   * [[MediaCodec.pngDecodePixels]] — inflate + full five-filter scanline
-  * reconstruction; zlib ships with the JVM) and baseline JPEG pixels
-  * (mm8, [[JpegCodec.jpegDecodePixels]] — T.81 marker walk, canonical
-  * Huffman entropy decode, dequant, IDCT; interop-pinned against the
-  * JDK's independent ImageIO codec) are decoded FOR REAL and oracle-gated
+  * reconstruction; zlib ships with the JVM), baseline grayscale JPEG
+  * pixels (mm8, [[JpegCodec.jpegDecodePixels]] — T.81 marker walk,
+  * canonical Huffman entropy decode, dequant, IDCT) and baseline YCbCr
+  * color JPEG pixels at 4:4:4 (mm9) and chroma-subsampled 4:2:0 (mm10,
+  * [[JpegCodec.jpegDecodeColorPixels]] — interleaved multi-component
+  * MCUs, per-component quant/Huffman tables, replication upsampling,
+  * JFIF RGB transform; all interop-pinned against the JDK's independent
+  * ImageIO codec) are decoded FOR REAL and oracle-gated
   * sample/pixel-exact. The remaining STUB (clearly marked) is video
-  * codecs and non-baseline JPEG (progressive, chroma-subsampled color),
-  * which the decoders explicitly REJECT rather than mis-decode; stub
-  * rows keep deterministic arithmetic over the byte length. A production
-  * build swaps those branches for ffmpeg bindings without touching the
+  * codecs and non-baseline JPEG (progressive, 12-bit, arithmetic), which
+  * the decoders explicitly REJECT rather than mis-decode; stub rows keep
+  * deterministic arithmetic over the byte length. A production build
+  * swaps those branches for ffmpeg bindings without touching the
   * surrounding plumbing.
   *
   * At 100 TB: binary payloads dominate I/O, so the media table would be
@@ -65,6 +69,11 @@ object Multimodal {
   /** Pixel-domain statistics of a decoded image (mm7). */
   case class ImagePixelStats(doc_id: Long, n_pixels: Long, sum_lum: Long,
       sum_sq: Long, min_lum: Int, max_lum: Int)
+
+  /** Per-channel pixel statistics of a decoded RGB image (mm9/mm10). */
+  case class ImageColorStats(doc_id: Long, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      sq_r: Long, sq_g: Long, sq_b: Long)
 
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
@@ -253,6 +262,126 @@ object Multimodal {
             restartInterval = if (k % 4 == 1) 2 else 0))
         }
       }
+  }
+
+  /** REAL baseline COLOR JPEG table, 4:4:4 (mm9): every doc_id ≡ 5 (mod 6)
+    * document becomes a complete, spec-valid 3-component YCbCr baseline
+    * JPEG (two DQTs, the Annex K luminance AND chrominance DHT pairs,
+    * interleaved Y/Cb/Cr MCUs with three independent DC predictors). Luma
+    * reuses mm8's exactly-invertible construction (flat DC base
+    * v(b) = 28 + (id+11b) mod 200 ± the AC(4,4) checkerboard of amplitude
+    * m(b) = (id+b) mod 8); chroma blocks are DC-only constants
+    * Cb = 128 + (id+3b) mod 8, Cr = 128 + (id+5b) mod 8 (chroma q₀ = 8,
+    * so the DC level round-trips exactly like luma's). Decoded YCbCr is
+    * therefore exact, and the RGB transform is the codec's floor(x+0.5)
+    * JFIF matrix, which the oracle replays bit-identically (IEEE-754
+    * doubles, same literals and association; every channel stays inside
+    * [0,255] by construction so clamping never fires). w = 16+8·(k mod 3),
+    * h = 16+8·(5k mod 3) with k = id/6; every 4th image (k ≡ 1 mod 4)
+    * carries restart markers, which must reset all THREE predictors.
+    */
+  def realColorJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 5)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 6
+          val w = (16 + 8 * (k % 3)).toInt
+          val h = (16 + 8 * ((k * 5) % 3)).toInt
+          val nb = (w / 8) * (h / 8)
+          val qY = Array.fill(64)(16); qY(0) = 8; qY(36) = 8
+          val qC = Array.fill(64)(17); qC(0) = 8
+          val yB = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64)
+            c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+            c(36) = ((id + b) % 8).toInt
+            c
+          }
+          val cbB = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64); c(0) = ((id + 3L * b) % 8).toInt; c
+          }
+          val crB = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64); c(0) = ((id + 5L * b) % 8).toInt; c
+          }
+          MediaRow(id, "image", JpegCodec.jpegEncodeColor(w, h, qY, qC,
+            yB, cbB, crB, restartInterval = if (k % 4 == 1) 2 else 0))
+        }
+      }
+  }
+
+  /** REAL 4:2:0 chroma-subsampled baseline JPEG table (mm10): every
+    * doc_id ≡ 1 (mod 6) document becomes a 3-component YCbCr JPEG with
+    * luma sampled 2×2 — each MCU interleaves FOUR Y blocks (raster order)
+    * with one Cb and one Cr block covering the same 16×16 pixel area, the
+    * layout virtually every real photo JPEG uses. Luma blocks (row-major
+    * over the luma grid) reuse the v ± m construction; chroma is DC-only
+    * per MCU (Cb = 128 + (id+3·mcu) mod 8, Cr = 128 + (id+5·mcu) mod 8),
+    * so replication upsampling is EXACT — every pixel of an MCU shares
+    * its chroma pair, and the oracle replays the luma-block→MCU mapping
+    * mcu = (b / ybw / 2)·(w/16) + (b mod ybw)/2. w = 16+16·(k mod 2),
+    * h = 16+16·((k/2) mod 2) with k = id/6; every 3rd image (k ≡ 1 mod 3)
+    * carries restart markers (reset all three predictors mid-scan).
+    */
+  def realSubsampledJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 1)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 6
+          val w = (16 + 16 * (k % 2)).toInt
+          val h = (16 + 16 * ((k / 2) % 2)).toInt
+          val ybw = w / 8
+          val nbY = ybw * (h / 8)
+          val mcuW = w / 16
+          val nMcu = mcuW * (h / 16)
+          val qY = Array.fill(64)(16); qY(0) = 8; qY(36) = 8
+          val qC = Array.fill(64)(17); qC(0) = 8
+          val yB = Array.tabulate(nbY) { b =>
+            val c = new Array[Int](64)
+            c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+            c(36) = ((id + b) % 8).toInt
+            c
+          }
+          val cbB = Array.tabulate(nMcu) { mcu =>
+            val c = new Array[Int](64); c(0) = ((id + 3L * mcu) % 8).toInt; c
+          }
+          val crB = Array.tabulate(nMcu) { mcu =>
+            val c = new Array[Int](64); c(0) = ((id + 5L * mcu) % 8).toInt; c
+          }
+          MediaRow(id, "image", JpegCodec.jpegEncodeColor(w, h, qY, qC,
+            yB, cbB, crB, lumaH = 2, lumaV = 2,
+            restartInterval = if (k % 3 == 1) 2 else 0))
+        }
+      }
+  }
+
+  /** Decode baseline color JPEGs (4:4:4 or 4:2:0) to RGB and reduce to
+    * per-channel integer stats — mm9/mm10's gated surface. Non-decodable
+    * rows drop out (None from the codec, never a throw).
+    */
+  def jpegColorStats(media: Dataset[MediaRow]): Dataset[ImageColorStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        JpegCodec.jpegDecodeColorPixels(m.content).map { img =>
+          val n = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var qr = 0L; var qg = 0L; var qb = 0L
+          var i = 0
+          while (i < n) {
+            val r = img.rgb(3 * i) & 0xff
+            val g = img.rgb(3 * i + 1) & 0xff
+            val b = img.rgb(3 * i + 2) & 0xff
+            sr += r; sg += g; sb += b
+            qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+            i += 1
+          }
+          ImageColorStats(m.doc_id, n.toLong, sr, sg, sb, qr, qg, qb)
+        }
+      }
+    }
   }
 
   /** Shared gray-8 pixel-stats reduction behind mm7/mm8. */

@@ -130,6 +130,38 @@ object Media extends QueryPack {
         Multimodal.realJpegTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM9: REAL baseline COLOR JPEG decode, 4:4:4 — every doc_id ≡ 5
+    // (mod 6) document rendered as a 3-component YCbCr baseline JPEG
+    // (two quant tables, Annex K luma + chroma Huffman pairs, interleaved
+    // Y/Cb/Cr MCUs, three DC predictors, restarts on every 4th image).
+    // Fixtures live in the quantized-coefficient domain so decoded YCbCr
+    // is exact (mm8's v ± m luma construction; DC-only chroma constants
+    // per block); the YCbCr→RGB step is the codec's floor(x+0.5) JFIF
+    // matrix, which the oracle replays bit-identically in SQL (IEEE-754
+    // doubles, identical literals and association — see
+    // Multimodal.realColorJpegTable). Gated per-channel sums/squares.
+    "mm9_jpeg_color_stats" -> { (s, d) =>
+      Multimodal.jpegColorStats(
+        Multimodal.realColorJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // MM10: REAL 4:2:0 chroma-subsampled color JPEG decode — the MCU
+    // layout virtually every real photo carries: four Y blocks + one
+    // Cb + one Cr per MCU, chroma upsampled 2×2 by replication (exact
+    // here because fixture chroma is constant per MCU). The oracle
+    // replays the luma-block→MCU chroma mapping and the same RGB
+    // formulas as mm9; a wrong interleave order, per-component predictor
+    // mix-up, or upsampling offset shifts chroma between MCUs and goes
+    // red at the hash gate.
+    "mm10_jpeg420_color_stats" -> { (s, d) =>
+      Multimodal.jpegColorStats(
+        Multimodal.realSubsampledJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -295,6 +327,99 @@ object Media extends QueryPack {
         |  CAST(SUM(64 * v * v + 64 * m * m) AS BIGINT) AS sum_sq,
         |  CAST(MIN(v - m) AS INT) AS min_lum,
         |  CAST(MAX(v + m) AS INT) AS max_lum
-        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Color truth from the per-block formulas: block b holds 32 px of
+    // Y = v+m and 32 of v−m, all 64 with Cb′ = (id+3b)%8, Cr′ = (id+5b)%8.
+    // The RGB replay is the decoder's EXACT arithmetic: floor(x + 0.5)
+    // over IEEE-754 doubles with the same literals and left-to-right
+    // association (int Y widened, then ± the chroma products) — so the
+    // hash gate covers the color transform too, not just the YCbCr
+    // decode. All channels stay in [0,255] by construction (Y ∈ [21,234],
+    // chroma offsets ∈ [0,7]), so the decoder's clamp never fires and the
+    // SQL needs no CASE.
+    "mm9_jpeg_color_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k FROM documents WHERE doc_id % 6 = 5
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * (k % 3) AS BIGINT) AS w,
+        |    CAST(16 + 8 * ((k * 5) % 3) AS BIGINT) AS h
+        |  FROM img
+        |), blk AS (
+        |  SELECT d.doc_id,
+        |    28 + (d.doc_id + 11 * bb.b) % 200 AS v,
+        |    (d.doc_id + bb.b) % 8 AS m,
+        |    (d.doc_id + 3 * bb.b) % 8 AS cb,
+        |    (d.doc_id + 5 * bb.b) % 8 AS cr
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |), px AS (
+        |  SELECT doc_id,
+        |    CAST(floor((v + m) + 1.402 * cr + 0.5) AS BIGINT) AS r1,
+        |    CAST(floor((v - m) + 1.402 * cr + 0.5) AS BIGINT) AS r2,
+        |    CAST(floor((v + m) - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT) AS g1,
+        |    CAST(floor((v - m) - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT) AS g2,
+        |    CAST(floor((v + m) + 1.772 * cb + 0.5) AS BIGINT) AS b1,
+        |    CAST(floor((v - m) + 1.772 * cb + 0.5) AS BIGINT) AS b2
+        |  FROM blk
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(32 * (r1 + r2)) AS BIGINT) AS sum_r,
+        |  CAST(SUM(32 * (g1 + g2)) AS BIGINT) AS sum_g,
+        |  CAST(SUM(32 * (b1 + b2)) AS BIGINT) AS sum_b,
+        |  CAST(SUM(32 * (r1 * r1 + r2 * r2)) AS BIGINT) AS sq_r,
+        |  CAST(SUM(32 * (g1 * g1 + g2 * g2)) AS BIGINT) AS sq_g,
+        |  CAST(SUM(32 * (b1 * b1 + b2 * b2)) AS BIGINT) AS sq_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 4:2:0 truth: same per-luma-block y = v ± m split, but the chroma
+    // pair comes from the MCU that CONTAINS the luma block —
+    // mcu = (b / ybw / 2)·mcuW + (b mod ybw)/2 with ybw = w/8,
+    // mcuW = w/16 (replication upsampling is exact because fixture
+    // chroma is constant per MCU). A decoder that mis-mapped blocks to
+    // MCUs or mixed the three DC predictors lands on different chroma
+    // and fails the hash.
+    "mm10_jpeg420_color_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k FROM documents WHERE doc_id % 6 = 1
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 16 * (k % 2) AS BIGINT) AS w,
+        |    CAST(16 + 16 * ((k // 2) % 2) AS BIGINT) AS h
+        |  FROM img
+        |), blk AS (
+        |  SELECT d.doc_id,
+        |    28 + (d.doc_id + 11 * bb.b) % 200 AS v,
+        |    (d.doc_id + bb.b) % 8 AS m,
+        |    ((bb.b // (d.w // 8)) // 2) * (d.w // 16)
+        |      + ((bb.b % (d.w // 8)) // 2) AS mcu
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |), chr AS (
+        |  SELECT doc_id, v, m,
+        |    (doc_id + 3 * mcu) % 8 AS cb,
+        |    (doc_id + 5 * mcu) % 8 AS cr
+        |  FROM blk
+        |), px AS (
+        |  SELECT doc_id,
+        |    CAST(floor((v + m) + 1.402 * cr + 0.5) AS BIGINT) AS r1,
+        |    CAST(floor((v - m) + 1.402 * cr + 0.5) AS BIGINT) AS r2,
+        |    CAST(floor((v + m) - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT) AS g1,
+        |    CAST(floor((v - m) - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT) AS g2,
+        |    CAST(floor((v + m) + 1.772 * cb + 0.5) AS BIGINT) AS b1,
+        |    CAST(floor((v - m) + 1.772 * cb + 0.5) AS BIGINT) AS b2
+        |  FROM chr
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(32 * (r1 + r2)) AS BIGINT) AS sum_r,
+        |  CAST(SUM(32 * (g1 + g2)) AS BIGINT) AS sum_g,
+        |  CAST(SUM(32 * (b1 + b2)) AS BIGINT) AS sum_b,
+        |  CAST(SUM(32 * (r1 * r1 + r2 * r2)) AS BIGINT) AS sq_r,
+        |  CAST(SUM(32 * (g1 * g1 + g2 * g2)) AS BIGINT) AS sq_g,
+        |  CAST(SUM(32 * (b1 * b1 + b2 * b2)) AS BIGINT) AS sq_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

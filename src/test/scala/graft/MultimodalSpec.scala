@@ -494,4 +494,258 @@ class MultimodalSpec extends AnyFunSuite {
       .filter($"doc_id" % 3 === 1).collect().toMap
     fps.foreach { case (id, fp) => assert(fp == expect(id), s"doc $id") }
   }
+
+  // ---- mm9/mm10: color baseline JPEG codec ---------------------------
+
+  /** The decoder's exact RGB transform (JFIF matrix, floor(x+0.5)) — the
+    * same doubles/literals/association the mm9/mm10 oracles replay in SQL.
+    */
+  private def rgbOf(y: Int, cbp: Int, crp: Int): (Int, Int, Int) = (
+    math.floor(y + 1.402 * crp + 0.5).toInt,
+    math.floor(y - 0.344136 * cbp - 0.714136 * crp + 0.5).toInt,
+    math.floor(y + 1.772 * cbp + 0.5).toInt)
+
+  /** The mm9 fixture in test form: 4:4:4 color file + exact expected RGB. */
+  private def colorJpegFixture(id: Long): (Int, Int, Array[Byte], Array[Int]) = {
+    val k = id / 6
+    val w = (16 + 8 * (k % 3)).toInt
+    val h = (16 + 8 * ((k * 5) % 3)).toInt
+    val nb = (w / 8) * (h / 8)
+    val qY = Array.fill(64)(16); qY(0) = 8; qY(36) = 8
+    val qC = Array.fill(64)(17); qC(0) = 8
+    def yv(b: Int) = (28 + (id + 11L * b) % 200).toInt
+    def mv(b: Int) = ((id + b) % 8).toInt
+    def cbv(b: Int) = ((id + 3L * b) % 8).toInt
+    def crv(b: Int) = ((id + 5L * b) % 8).toInt
+    val yB = Array.tabulate(nb) { b =>
+      val c = new Array[Int](64); c(0) = yv(b) - 128; c(36) = mv(b); c
+    }
+    val cbB = Array.tabulate(nb) { b => val c = new Array[Int](64); c(0) = cbv(b); c }
+    val crB = Array.tabulate(nb) { b => val c = new Array[Int](64); c(0) = crv(b); c }
+    val bytes = JpegCodec.jpegEncodeColor(w, h, qY, qC, yB, cbB, crB,
+      restartInterval = if (k % 4 == 1) 2 else 0)
+    val s = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    val exp = new Array[Int](w * h * 3)
+    val bw = w / 8
+    for (b <- 0 until nb; y <- 0 until 8; x <- 0 until 8) {
+      val yy = yv(b) + mv(b) * s(x) * s(y)
+      val (r, g, bl) = rgbOf(yy, cbv(b), crv(b))
+      val i = (((b / bw) * 8 + y) * w + (b % bw) * 8 + x) * 3
+      exp(i) = r; exp(i + 1) = g; exp(i + 2) = bl
+    }
+    (w, h, bytes, exp)
+  }
+
+  /** The mm10 fixture in test form: 4:2:0 file + exact expected RGB
+    * (replication upsampling — exact because chroma is constant per MCU).
+    */
+  private def jpeg420Fixture(id: Long): (Int, Int, Array[Byte], Array[Int]) = {
+    val k = id / 6
+    val w = (16 + 16 * (k % 2)).toInt
+    val h = (16 + 16 * ((k / 2) % 2)).toInt
+    val ybw = w / 8
+    val nbY = ybw * (h / 8)
+    val mcuW = w / 16
+    val nMcu = mcuW * (h / 16)
+    val qY = Array.fill(64)(16); qY(0) = 8; qY(36) = 8
+    val qC = Array.fill(64)(17); qC(0) = 8
+    def yv(b: Int) = (28 + (id + 11L * b) % 200).toInt
+    def mv(b: Int) = ((id + b) % 8).toInt
+    def cbv(mcu: Int) = ((id + 3L * mcu) % 8).toInt
+    def crv(mcu: Int) = ((id + 5L * mcu) % 8).toInt
+    val yB = Array.tabulate(nbY) { b =>
+      val c = new Array[Int](64); c(0) = yv(b) - 128; c(36) = mv(b); c
+    }
+    val cbB = Array.tabulate(nMcu) { m => val c = new Array[Int](64); c(0) = cbv(m); c }
+    val crB = Array.tabulate(nMcu) { m => val c = new Array[Int](64); c(0) = crv(m); c }
+    val bytes = JpegCodec.jpegEncodeColor(w, h, qY, qC, yB, cbB, crB,
+      lumaH = 2, lumaV = 2, restartInterval = if (k % 3 == 1) 2 else 0)
+    val s = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    val exp = new Array[Int](w * h * 3)
+    for (b <- 0 until nbY; yy <- 0 until 8; x <- 0 until 8) {
+      val px = (b % ybw) * 8 + x; val py = (b / ybw) * 8 + yy
+      val mcu = (py / 16) * mcuW + (px / 16)
+      val yval = yv(b) + mv(b) * s(x) * s(yy)
+      val (r, g, bl) = rgbOf(yval, cbv(mcu), crv(mcu))
+      val i = (py * w + px) * 3
+      exp(i) = r; exp(i + 1) = g; exp(i + 2) = bl
+    }
+    (w, h, bytes, exp)
+  }
+
+  test("color JPEG codec: 4:4:4 fixture encode/decode is pixel-EXACT incl. restarts") {
+    for (id <- Seq(5L, 11L, 17L, 23L, 29L, 35L, 41L, 47L, 53L)) {
+      val (w, h, bytes, exp) = colorJpegFixture(id)
+      val img = JpegCodec.jpegDecodeColorPixels(bytes)
+        .getOrElse(fail(s"id=$id decode failed"))
+      assert(img.width === w && img.height === h)
+      assert(img.rgb.map(_ & 0xff).toSeq === exp.toSeq, s"id=$id pixels differ")
+      // API separation: the grayscale entry point must reject color frames.
+      assert(JpegCodec.jpegDecodePixels(bytes).isEmpty)
+    }
+  }
+
+  test("color JPEG codec: 4:2:0 fixture decode is pixel-EXACT (MCU interleave + replication upsampling)") {
+    for (id <- Seq(1L, 7L, 13L, 19L, 25L, 31L, 37L, 43L)) {
+      val (w, h, bytes, exp) = jpeg420Fixture(id)
+      val img = JpegCodec.jpegDecodeColorPixels(bytes)
+        .getOrElse(fail(s"id=$id decode failed"))
+      assert(img.width === w && img.height === h)
+      assert(img.rgb.map(_ & 0xff).toSeq === exp.toSeq, s"id=$id pixels differ")
+    }
+  }
+
+  test("color JPEG transform domain: fixture channels never clamp") {
+    // Y in [21,234] (v in [28,227], m <= 7), chroma offsets in [0,7]: every
+    // channel stays inside [0,255], so the oracle SQL needs no CASE and the
+    // decoder clamp is provably inert on fixtures.
+    for (y <- 21 to 234; cb <- 0 to 7; cr <- 0 to 7) {
+      val (r, g, b) = rgbOf(y, cb, cr)
+      assert(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255,
+        s"y=$y cb=$cb cr=$cr -> ($r,$g,$b)")
+    }
+  }
+
+  test("color JPEG interop: ImageIO decodes our 4:4:4 and 4:2:0 files") {
+    // 4:4:4: every pixel within +-2 (IDCT + RGB rounding differences).
+    // 4:2:0: compare MCU-interior pixels only — ImageIO may interpolate
+    // chroma across MCU boundaries where our replication (exact for the
+    // constant-per-MCU fixture chroma) reads a single sample; interior
+    // pixels of a constant-chroma MCU are upsampler-invariant.
+    def check(w: Int, h: Int, bytes: Array[Byte], exp: Array[Int],
+        interiorOnly: Boolean, label: String): Unit = {
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"$label: ImageIO rejected our color bitstream")
+      assert(bi.getWidth === w && bi.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w
+           if !interiorOnly || (x % 16 >= 2 && x % 16 <= 13 && y % 16 >= 2 && y % 16 <= 13)) {
+        val argb = bi.getRGB(x, y)
+        val got = Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+        val want = Seq(exp((y * w + x) * 3), exp((y * w + x) * 3 + 1), exp((y * w + x) * 3 + 2))
+        got.lazyZip(want).foreach((g2, w2) =>
+          assert(math.abs(g2 - w2) <= 2, s"$label ($x,$y) got=$got want=$want"))
+      }
+    }
+    for (id <- Seq(5L, 11L, 29L)) {
+      val (w, h, bytes, exp) = colorJpegFixture(id)
+      check(w, h, bytes, exp, interiorOnly = false, s"444 id=$id")
+    }
+    for (id <- Seq(1L, 7L, 25L)) {
+      val (w, h, bytes, exp) = jpeg420Fixture(id)
+      check(w, h, bytes, exp, interiorOnly = true, s"420 id=$id")
+    }
+  }
+
+  test("color JPEG interop: our decoder reads an ImageIO-written 4:2:0 color JPEG") {
+    // The JDK writer emits baseline 4:2:0 (Y 2x2, chroma 1x1 — verified
+    // SOF0 shape) for RGB images: this is the decode-direction pin for the
+    // subsampled path, on dims that are NOT MCU multiples (edge cropping).
+    val (w, h) = (40, 24)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, ((x * 5 + 20) << 16) | ((y * 7 + 30) << 8) | (x * 3 + y * 2 + 40))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val bytes = bos.toByteArray
+    val img = JpegCodec.jpegDecodeColorPixels(bytes)
+      .getOrElse(fail("our decoder rejected an ImageIO 4:2:0 baseline file"))
+    assert(img.width === w && img.height === h)
+    // Compare against ImageIO's own decode of the same lossy file. The two
+    // decoders differ in IDCT rounding, RGB rounding and chroma upsampling
+    // (replication here, interpolation there) — on a smooth gradient the
+    // per-pixel gap stays small; bound worst-case and mean drift.
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = back.getRGB(x, y)
+      val theirs = Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      val ours = Seq(img.rgb(3 * (y * w + x)) & 0xff,
+        img.rgb(3 * (y * w + x) + 1) & 0xff, img.rgb(3 * (y * w + x) + 2) & 0xff)
+      ours.lazyZip(theirs).foreach { (a, b) =>
+        val d = math.abs(a - b); sumDiff += d; if (d > maxDiff) maxDiff = d
+      }
+    }
+    assert(maxDiff <= 8, s"worst per-sample gap $maxDiff")
+    assert(sumDiff.toDouble / (w * h * 3) <= 2.5, s"mean gap ${sumDiff.toDouble / (w * h * 3)}")
+  }
+
+  test("color JPEG decode rejects malformed structures: Nf=2, bad sampling, missing chroma DHT, permuted scan, short SOS") {
+    val (_, _, good, _) = colorJpegFixture(5L)
+    assert(JpegCodec.jpegDecodeColorPixels(good).isDefined)
+    def findMarker(b: Array[Byte], m: Int): Int =
+      (2 until b.length - 1).find(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m).get
+    val sofAt = findMarker(good, 0xc0)
+    val sofLen = ((good(sofAt + 2) & 0xff) << 8) | (good(sofAt + 3) & 0xff)
+    // Nf=2 with a CONSISTENT segment length: unsupported component count
+    // must reject on its own, not via a length mismatch.
+    val seg2 = good.slice(sofAt, sofAt + 2 + 2 + 6 + 6)
+    seg2(2) = 0; seg2(3) = 14; seg2(9) = 2
+    val nf2 = good.take(sofAt) ++ seg2 ++ good.drop(sofAt + 2 + sofLen)
+    assert(JpegCodec.jpegDecodeColorPixels(nf2).isEmpty)
+    // Luma sampling factor 3x1: outside the supported {1,2} range.
+    val badSamp = good.clone(); badSamp(sofAt + 11) = 0x31.toByte
+    assert(JpegCodec.jpegDecodeColorPixels(badSamp).isEmpty)
+    // Duplicate component ids (comp2 renamed to comp1's id).
+    val dupId = good.clone(); dupId(sofAt + 13) = 1
+    assert(JpegCodec.jpegDecodeColorPixels(dupId).isEmpty)
+    // Missing chroma DC (payload head 0x01) / chroma AC (0x11) table.
+    def dropDhtWith(first: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good(0)); out.write(good(1))
+      var p = 2
+      while (p + 4 <= good.length && (good(p) & 0xff) == 0xff && (good(p + 1) & 0xff) != 0xda) {
+        val len = ((good(p + 2) & 0xff) << 8) | (good(p + 3) & 0xff)
+        val isTarget = (good(p + 1) & 0xff) == 0xc4 && (good(p + 4) & 0xff) == first
+        if (!isTarget) out.write(good, p, 2 + len)
+        p += 2 + len
+      }
+      out.write(good, p, good.length - p)
+      out.toByteArray
+    }
+    assert(JpegCodec.jpegDecodeColorPixels(dropDhtWith(0x01)).isEmpty)
+    assert(JpegCodec.jpegDecodeColorPixels(dropDhtWith(0x11)).isEmpty)
+    // Permuted SOS component order (Cb bound before Y) — frame order is
+    // the interleave contract, a permutation must reject.
+    val sosAt = findMarker(good, 0xda)
+    val perm = good.clone(); perm(sosAt + 5) = 2; perm(sosAt + 7) = 1
+    assert(JpegCodec.jpegDecodeColorPixels(perm).isEmpty)
+    // Ns=1 on a 3-component frame.
+    val ns1 = good.clone(); ns1(sosAt + 4) = 1
+    assert(JpegCodec.jpegDecodeColorPixels(ns1).isEmpty)
+    // Entry-point separation: color API rejects grayscale frames.
+    val (_, _, _, gray, _) = jpegFixture(9L)
+    assert(JpegCodec.jpegDecodeColorPixels(gray).isEmpty)
+  }
+
+  test("mm9/mm10 end-to-end: jpegColorStats matches the per-pixel formulas") {
+    import spark.implicits._
+    val cases = Seq(
+      (Multimodal.realColorJpegTable(spark, docs), colorJpegFixture _, 5L),
+      (Multimodal.realSubsampledJpegTable(spark, docs), jpeg420Fixture _, 1L))
+    for ((table, fix, residue) <- cases) {
+      val stats = Multimodal.jpegColorStats(table).collect()
+      assert(stats.nonEmpty)
+      val ids = docs.select($"doc_id").as[Long].collect()
+        .filter(_ % 6 == residue).toSet
+      assert(stats.map(_.doc_id).toSet === ids,
+        s"every residue-$residue fixture row must decode")
+      stats.foreach { st =>
+        val (w, h, _, exp) = fix(st.doc_id)
+        assert(st.n_pixels === w.toLong * h)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var qr = 0L; var qg = 0L; var qb = 0L
+        var i = 0
+        while (i < w * h) {
+          val r = exp(3 * i); val g = exp(3 * i + 1); val b = exp(3 * i + 2)
+          sr += r; sg += g; sb += b
+          qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+          i += 1
+        }
+        assert((st.sum_r, st.sum_g, st.sum_b) === ((sr, sg, sb)), s"id=${st.doc_id}")
+        assert((st.sq_r, st.sq_g, st.sq_b) === ((qr, qg, qb)), s"id=${st.doc_id}")
+      }
+    }
+  }
 }
