@@ -69,7 +69,11 @@ object ScaleCurve {
     // embarrassingly parallel, should track ~5×).
     "t34_bigram_surprisal", "st14_kafka_shaped_source",
     "st15_stream_ivf_append", "a12_approx_percentile",
-    "mm8_jpeg_pixel_stats")
+    "mm8_jpeg_pixel_stats",
+    // round-11 additions: color JPEG decode at 4:4:4 and 4:2:0 —
+    // per-row multi-component entropy decode + IDCT ×3 + RGB transform,
+    // embarrassingly parallel, should track ~5× on 5× rows like mm7/mm8.
+    "mm9_jpeg_color_stats", "mm10_jpeg420_color_stats")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()
@@ -129,8 +133,11 @@ object ScaleCurve {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32, "graft-scale-curve")
-    val base = "/root/testdata/sf0.1"
+    // Same env conventions as Bench/HyperBallKnob (ADVICE r10): the table
+    // is reproducible on a differently-provisioned host without edits.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus, "graft-scale-curve")
+    val base = sys.env.getOrElse("SPARK_GRAFT_DATA_DIR", "/root/testdata") + "/sf0.1"
     val big = s"${System.getProperty("java.io.tmpdir")}/graft_sf05"
     println("[scale] synthesizing 5x dataset...")
     synthesize(spark, base, big)
@@ -154,7 +161,7 @@ object ScaleCurve {
     }
 
     val md = new StringBuilder
-    md.append("# Bench scale curve — 5× synthesized data (round 10)\n\n")
+    md.append("# Bench scale curve — 5× synthesized data (round 11)\n\n")
     md.append("5× dataset: union of sf0.1 with per-copy shifted keys ")
     md.append("(disjoint graph replicas; document copies carry a one-token\n")
     md.append("suffix so near-dup candidates cross copies; see ")
