@@ -595,6 +595,60 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("color JPEG codec: asymmetric 4:2:2 and 4:4:0 sampling decode pixel-EXACT (axis-swap guard)") {
+    // hi != vi is where transposed-axis bugs hide: 4:2:2 halves chroma
+    // horizontally only (MCU = 2 Y blocks side by side), 4:4:0 vertically
+    // only (2 Y blocks stacked). Chroma constant per chroma block makes
+    // replication upsampling exact, so a swapped axis lands chroma on the
+    // wrong half of the MCU and fails loudly.
+    for ((lh, lv) <- Seq((2, 1), (1, 2)); id <- Seq(5L, 11L, 17L)) {
+      val w = 32; val h = 32
+      val ybw = w / 8
+      val nbY = ybw * (h / 8)
+      val mcuW = w / (8 * lh); val mcuH = h / (8 * lv)
+      val nMcu = mcuW * mcuH
+      val qY = Array.fill(64)(16); qY(0) = 8; qY(36) = 8
+      val qC = Array.fill(64)(17); qC(0) = 8
+      def yv(b: Int) = (28 + (id + 11L * b) % 200).toInt
+      def mv(b: Int) = ((id + b) % 8).toInt
+      def cbv(m: Int) = ((id + 3L * m) % 8).toInt
+      def crv(m: Int) = ((id + 5L * m) % 8).toInt
+      val yB = Array.tabulate(nbY) { b =>
+        val c = new Array[Int](64); c(0) = yv(b) - 128; c(36) = mv(b); c
+      }
+      val cbB = Array.tabulate(nMcu) { m => val c = new Array[Int](64); c(0) = cbv(m); c }
+      val crB = Array.tabulate(nMcu) { m => val c = new Array[Int](64); c(0) = crv(m); c }
+      val bytes = JpegCodec.jpegEncodeColor(w, h, qY, qC, yB, cbB, crB,
+        lumaH = lh, lumaV = lv, restartInterval = if (id == 11L) 2 else 0)
+      val img = JpegCodec.jpegDecodeColorPixels(bytes)
+        .getOrElse(fail(s"${lh}x$lv id=$id decode failed"))
+      assert(img.width === w && img.height === h)
+      val s = Array(1, -1, -1, 1, 1, -1, -1, 1)
+      for (b <- 0 until nbY; yy <- 0 until 8; x <- 0 until 8) {
+        val px = (b % ybw) * 8 + x; val py = (b / ybw) * 8 + yy
+        val mcu = (py / (8 * lv)) * mcuW + (px / (8 * lh))
+        val yval = yv(b) + mv(b) * s(x) * s(yy)
+        val (er, eg, eb) = rgbOf(yval, cbv(mcu), crv(mcu))
+        val i = (py * w + px) * 3
+        val got = (img.rgb(i) & 0xff, img.rgb(i + 1) & 0xff, img.rgb(i + 2) & 0xff)
+        assert(got === ((er, eg, eb)), s"${lh}x$lv id=$id pixel ($px,$py)")
+      }
+      // ImageIO cross-check on MCU-interior pixels (upsampler-invariant).
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h, s"${lh}x$lv id=$id ImageIO reject")
+      for (py <- 0 until h; px <- 0 until w
+           if px % (8 * lh) >= 2 && px % (8 * lh) <= 8 * lh - 3 &&
+              py % (8 * lv) >= 2 && py % (8 * lv) <= 8 * lv - 3) {
+        val argb = bi.getRGB(px, py)
+        val i = (py * w + px) * 3
+        val ds = Seq(((argb >> 16) & 0xff) - (img.rgb(i) & 0xff),
+          ((argb >> 8) & 0xff) - (img.rgb(i + 1) & 0xff),
+          (argb & 0xff) - (img.rgb(i + 2) & 0xff))
+        ds.foreach(d => assert(math.abs(d) <= 2, s"${lh}x$lv id=$id ($px,$py) off $ds"))
+      }
+    }
+  }
+
   test("color JPEG transform domain: fixture channels never clamp") {
     // Y in [21,234] (v in [28,227], m <= 7), chroma offsets in [0,7]: every
     // channel stays inside [0,255], so the oracle SQL needs no CASE and the
