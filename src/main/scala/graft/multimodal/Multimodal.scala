@@ -357,6 +357,78 @@ object Multimodal {
       }
   }
 
+  /** REAL PROGRESSIVE (SOF2) grayscale JPEG table (mm11): every doc_id ≡ 2
+    * (mod 6) document becomes a spectral-selection progressive file — one
+    * DC scan, then the AC bands [1,5] and [6,63] with END-OF-BAND-RUN
+    * coding (the fixture's empty [1,5] band makes every block an EOB-run
+    * member, and the AC(4,4) coefficient sits in the second band behind
+    * two ZRLs). SAME quantized-coefficient construction as mm8 (k = id/6),
+    * so the decoded pixels — accumulated across three scans — must equal
+    * the one-scan baseline pixels exactly, and the oracle replays the
+    * identical per-block formulas. Successive-approximation decode is
+    * pinned separately in MultimodalSpec against ImageIO's progressive
+    * writer (full precision here keeps the fixtures exactly invertible).
+    */
+  def realProgressiveJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 2)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 6
+          val w = (16 + 8 * (k % 3)).toInt
+          val h = (16 + 8 * ((k * 5) % 3)).toInt
+          val nb = (w / 8) * (h / 8)
+          val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+          val blocks = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64)
+            c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+            c(36) = ((id + b) % 8).toInt
+            c
+          }
+          MediaRow(id, "image",
+            JpegCodec.jpegEncodeProgressive(w, h, q, null, Array(blocks)))
+        }
+      }
+  }
+
+  /** REAL PROGRESSIVE color JPEG table (mm12): doc_id ≡ 4 (mod 6), the
+    * mm9 coefficient construction (v ± m luma, DC-only chroma constants)
+    * delivered across SEVEN scans — an interleaved 3-component DC scan
+    * plus two AC band scans per component. Decode must merge the scans
+    * per component, then run the same replication-upsample + floor(x+0.5)
+    * RGB transform the mm9 oracle replays.
+    */
+  def realProgressiveColorJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 4)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 6
+          val w = (16 + 8 * (k % 3)).toInt
+          val h = (16 + 8 * ((k * 5) % 3)).toInt
+          val nb = (w / 8) * (h / 8)
+          val qY = Array.fill(64)(16); qY(0) = 8; qY(36) = 8
+          val qC = Array.fill(64)(17); qC(0) = 8
+          val yB = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64)
+            c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+            c(36) = ((id + b) % 8).toInt
+            c
+          }
+          val cbB = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64); c(0) = ((id + 3L * b) % 8).toInt; c
+          }
+          val crB = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64); c(0) = ((id + 5L * b) % 8).toInt; c
+          }
+          MediaRow(id, "image",
+            JpegCodec.jpegEncodeProgressive(w, h, qY, qC, Array(yB, cbB, crB)))
+        }
+      }
+  }
+
   /** Decode baseline color JPEGs (4:4:4 or 4:2:0) to RGB and reduce to
     * per-channel integer stats — mm9/mm10's gated surface. Non-decodable
     * rows drop out (None from the codec, never a throw).

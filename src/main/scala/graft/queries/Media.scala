@@ -162,6 +162,34 @@ object Media extends QueryPack {
         Multimodal.realSubsampledJpegTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM11: REAL PROGRESSIVE (SOF2) grayscale JPEG decode — mm8's
+    // exactly-invertible coefficients delivered across three scans (DC,
+    // AC band [1,5], AC band [6,63]) with end-of-band-run entropy coding.
+    // The engine must merge spectral-selection scans into one coefficient
+    // frame before IDCT; the oracle replays mm8's per-block formulas, so
+    // a scan mis-merge (wrong band offsets, EOB-run miscounts, per-scan
+    // DC predictor leaks) goes red at the hash gate. The successive-
+    // approximation half of progressive decode is pinned in MultimodalSpec
+    // against the JDK's own progressive writer.
+    "mm11_jpeg_progressive_stats" -> { (s, d) =>
+      Multimodal.jpegPixelStats(
+        Multimodal.realProgressiveJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // MM12: REAL PROGRESSIVE COLOR JPEG decode — mm9's construction over
+    // SEVEN scans (interleaved 3-component DC + two AC bands × three
+    // components), then the same floor(x+0.5) RGB transform. Exercises
+    // per-component coefficient stores and the interleaved-DC/
+    // non-interleaved-AC grid switch.
+    "mm12_jpeg_progressive_color_stats" -> { (s, d) =>
+      Multimodal.jpegColorStats(
+        Multimodal.realProgressiveColorJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -411,6 +439,72 @@ object Media extends QueryPack {
         |    CAST(floor((v + m) + 1.772 * cb + 0.5) AS BIGINT) AS b1,
         |    CAST(floor((v - m) + 1.772 * cb + 0.5) AS BIGINT) AS b2
         |  FROM chr
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(32 * (r1 + r2)) AS BIGINT) AS sum_r,
+        |  CAST(SUM(32 * (g1 + g2)) AS BIGINT) AS sum_g,
+        |  CAST(SUM(32 * (b1 + b2)) AS BIGINT) AS sum_b,
+        |  CAST(SUM(32 * (r1 * r1 + r2 * r2)) AS BIGINT) AS sq_r,
+        |  CAST(SUM(32 * (g1 * g1 + g2 * g2)) AS BIGINT) AS sq_g,
+        |  CAST(SUM(32 * (b1 * b1 + b2 * b2)) AS BIGINT) AS sq_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Progressive gray truth: the same per-block v/m formulas as mm8 —
+    // the coefficients are identical, only their delivery (three
+    // spectral-selection scans with EOB runs) differs, so the pixel
+    // stats must match the one-scan replay. Residue 2, k = id/6.
+    "mm11_jpeg_progressive_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k FROM documents WHERE doc_id % 6 = 2
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * (k % 3) AS BIGINT) AS w,
+        |    CAST(16 + 8 * ((k * 5) % 3) AS BIGINT) AS h
+        |  FROM img
+        |), blk AS (
+        |  SELECT d.doc_id,
+        |    28 + (d.doc_id + 11 * bb.b) % 200 AS v,
+        |    (d.doc_id + bb.b) % 8 AS m
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(64 * v * v + 64 * m * m) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(v - m) AS INT) AS min_lum,
+        |  CAST(MAX(v + m) AS INT) AS max_lum
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Progressive color truth: mm9's replay verbatim at residue 4 — the
+    // seven-scan delivery must reconstruct identical YCbCr planes before
+    // the identical floor(x+0.5) RGB transform.
+    "mm12_jpeg_progressive_color_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k FROM documents WHERE doc_id % 6 = 4
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * (k % 3) AS BIGINT) AS w,
+        |    CAST(16 + 8 * ((k * 5) % 3) AS BIGINT) AS h
+        |  FROM img
+        |), blk AS (
+        |  SELECT d.doc_id,
+        |    28 + (d.doc_id + 11 * bb.b) % 200 AS v,
+        |    (d.doc_id + bb.b) % 8 AS m,
+        |    (d.doc_id + 3 * bb.b) % 8 AS cb,
+        |    (d.doc_id + 5 * bb.b) % 8 AS cr
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |), px AS (
+        |  SELECT doc_id,
+        |    CAST(floor((v + m) + 1.402 * cr + 0.5) AS BIGINT) AS r1,
+        |    CAST(floor((v - m) + 1.402 * cr + 0.5) AS BIGINT) AS r2,
+        |    CAST(floor((v + m) - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT) AS g1,
+        |    CAST(floor((v - m) - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT) AS g2,
+        |    CAST(floor((v + m) + 1.772 * cb + 0.5) AS BIGINT) AS b1,
+        |    CAST(floor((v - m) + 1.772 * cb + 0.5) AS BIGINT) AS b2
+        |  FROM blk
         |)
         |SELECT doc_id,
         |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,

@@ -70,10 +70,12 @@ object ScaleCurve {
     "t34_bigram_surprisal", "st14_kafka_shaped_source",
     "st15_stream_ivf_append", "a12_approx_percentile",
     "mm8_jpeg_pixel_stats",
-    // round-11 additions: color JPEG decode at 4:4:4 and 4:2:0 —
-    // per-row multi-component entropy decode + IDCT ×3 + RGB transform,
-    // embarrassingly parallel, should track ~5× on 5× rows like mm7/mm8.
-    "mm9_jpeg_color_stats", "mm10_jpeg420_color_stats")
+    // round-11 additions: color JPEG decode at 4:4:4 and 4:2:0, and the
+    // progressive (multi-scan) gray/color decodes — per-row entropy
+    // decode + IDCT (+ RGB transform), embarrassingly parallel, should
+    // track ~5× on 5× rows like mm7/mm8.
+    "mm9_jpeg_color_stats", "mm10_jpeg420_color_stats",
+    "mm11_jpeg_progressive_stats", "mm12_jpeg_progressive_color_stats")
 
   private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
     new java.io.File(dst).mkdirs()

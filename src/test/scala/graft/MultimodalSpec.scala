@@ -802,4 +802,229 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- progressive (SOF2) JPEG ---------------------------------------
+
+  /** First SOFn marker index of a JPEG byte stream (test-side sniffer). */
+  private def sofIndexOf(b: Array[Byte]): Int = {
+    var p = 2
+    while (p + 4 <= b.length) {
+      val m = b(p + 1) & 0xff
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        return m - 0xc0
+      if (m == 0xda) return -1
+      p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+    }
+    -1
+  }
+
+  private def progressiveGrayFixture(id: Long): (Int, Int, Array[Byte], Array[Byte]) = {
+    // Same coefficient construction as mm8 (k = id/6): returns the
+    // progressive AND baseline encodings of the SAME blocks — the decoded
+    // pixels must agree bit-for-bit.
+    val k = id / 6
+    val w = (16 + 8 * (k % 3)).toInt
+    val h = (16 + 8 * ((k * 5) % 3)).toInt
+    val nb = (w / 8) * (h / 8)
+    val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+    val blocks = Array.tabulate(nb) { b =>
+      val c = new Array[Int](64)
+      c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+      c(36) = ((id + b) % 8).toInt
+      c
+    }
+    (w, h,
+      JpegCodec.jpegEncodeProgressive(w, h, q, null, Array(blocks)),
+      JpegCodec.jpegEncode(w, h, q, blocks))
+  }
+
+  private def progressiveColorFixture(id: Long): (Int, Int, Array[Byte], Array[Byte]) = {
+    val k = id / 6
+    val w = (16 + 8 * (k % 3)).toInt
+    val h = (16 + 8 * ((k * 5) % 3)).toInt
+    val nb = (w / 8) * (h / 8)
+    val qY = Array.fill(64)(16); qY(0) = 8; qY(36) = 8
+    val qC = Array.fill(64)(17); qC(0) = 8
+    val yB = Array.tabulate(nb) { b =>
+      val c = new Array[Int](64)
+      c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+      c(36) = ((id + b) % 8).toInt
+      c
+    }
+    val cbB = Array.tabulate(nb) { b => val c = new Array[Int](64); c(0) = ((id + 3L * b) % 8).toInt; c }
+    val crB = Array.tabulate(nb) { b => val c = new Array[Int](64); c(0) = ((id + 5L * b) % 8).toInt; c }
+    (w, h,
+      JpegCodec.jpegEncodeProgressive(w, h, qY, qC, Array(yB, cbB, crB)),
+      JpegCodec.jpegEncodeColor(w, h, qY, qC, yB, cbB, crB))
+  }
+
+  test("progressive JPEG: spectral-selection encode/decode equals the baseline decode bit-for-bit (gray + color)") {
+    for (id <- Seq(4L, 10L, 16L, 22L, 28L, 34L, 40L)) {
+      val (w, h, prog, base) = progressiveGrayFixture(id)
+      assert(sofIndexOf(prog) === 2 && sofIndexOf(base) === 0)
+      val pi = JpegCodec.jpegDecodePixels(prog).getOrElse(fail(s"id=$id progressive decode failed"))
+      val bi = JpegCodec.jpegDecodePixels(base).getOrElse(fail(s"id=$id baseline decode failed"))
+      assert(pi.width === w && pi.height === h)
+      assert(pi.pixels.toSeq === bi.pixels.toSeq, s"id=$id gray pixels differ")
+      val (wc, hc, progC, baseC) = progressiveColorFixture(id)
+      val pc = JpegCodec.jpegDecodeColorPixels(progC).getOrElse(fail(s"id=$id color progressive failed"))
+      val bc = JpegCodec.jpegDecodeColorPixels(baseC).getOrElse(fail(s"id=$id color baseline failed"))
+      assert(pc.width === wc && pc.height === hc)
+      assert(pc.rgb.toSeq === bc.rgb.toSeq, s"id=$id color pixels differ")
+    }
+  }
+
+  test("progressive JPEG interop: ImageIO decodes our spectral-selection files (±1 gray / ±2 color)") {
+    for (id <- Seq(4L, 16L, 28L)) {
+      val (w, h, prog, _) = progressiveGrayFixture(id)
+      val ours = JpegCodec.jpegDecodePixels(prog).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      assert(img != null, s"id=$id: ImageIO rejected our progressive stream")
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(img.getRaster.getSample(x, y, 0) - (ours.pixels(y * w + x) & 0xff))
+        assert(d <= 1, s"id=$id gray ($x,$y) off by $d")
+      }
+      val (wc, hc, progC, _) = progressiveColorFixture(id)
+      val oursC = JpegCodec.jpegDecodeColorPixels(progC).get
+      val imgC = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(progC))
+      assert(imgC != null && imgC.getWidth == wc && imgC.getHeight == hc)
+      for (y <- 0 until hc; x <- 0 until wc) {
+        val argb = imgC.getRGB(x, y); val i = (y * wc + x) * 3
+        val ds = Seq(((argb >> 16) & 0xff) - (oursC.rgb(i) & 0xff),
+          ((argb >> 8) & 0xff) - (oursC.rgb(i + 1) & 0xff),
+          (argb & 0xff) - (oursC.rgb(i + 2) & 0xff))
+        ds.foreach(d => assert(math.abs(d) <= 2, s"id=$id color ($x,$y) off $ds"))
+      }
+    }
+  }
+
+  private def imageIoProgressive(src: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("progressive JPEG interop: our decoder reads ImageIO-written progressive files (successive approximation)") {
+    // The JDK's progressive writer uses a successive-approximation scan
+    // script — this is the decode-direction pin for the DC/AC refinement
+    // paths our own full-precision fixtures don't produce.
+    val (w, h) = (40, 24)
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) gray.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val gbytes = imageIoProgressive(gray)
+    assert(sofIndexOf(gbytes) === 2, "ImageIO did not write SOF2")
+    val gours = JpegCodec.jpegDecodePixels(gbytes)
+      .getOrElse(fail("our decoder rejected an ImageIO progressive grayscale file"))
+    assert(gours.width === w && gours.height === h)
+    val gback = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((gours.pixels(y * w + x) & 0xff) - gback.getRaster.getSample(x, y, 0))
+      assert(d <= 2, s"gray ($x,$y) differs from ImageIO by $d")
+    }
+    // Color: the JDK writes progressive 4:2:0 — refinement + subsampled
+    // interleaved DC scans together. Smooth gradient; bound worst/mean.
+    val rgb = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      rgb.setRGB(x, y, ((x * 5 + 20) << 16) | ((y * 7 + 30) << 8) | (x * 3 + y * 2 + 40))
+    val cbytes = imageIoProgressive(rgb)
+    assert(sofIndexOf(cbytes) === 2)
+    val cours = JpegCodec.jpegDecodeColorPixels(cbytes)
+      .getOrElse(fail("our decoder rejected an ImageIO progressive color file"))
+    val cback = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = cback.getRGB(x, y); val i = (y * w + x) * 3
+      Seq(((argb >> 16) & 0xff) - (cours.rgb(i) & 0xff),
+        ((argb >> 8) & 0xff) - (cours.rgb(i + 1) & 0xff),
+        (argb & 0xff) - (cours.rgb(i + 2) & 0xff)).foreach { d0 =>
+        val d = math.abs(d0); sumDiff += d; if (d > maxDiff) maxDiff = d
+      }
+    }
+    assert(maxDiff <= 8, s"worst per-sample gap $maxDiff")
+    assert(sumDiff.toDouble / (w * h * 3) <= 2.5, s"mean gap ${sumDiff.toDouble / (w * h * 3)}")
+  }
+
+  test("progressive JPEG decode rejects malformed structures") {
+    val (_, _, good, _) = progressiveGrayFixture(4L)
+    assert(JpegCodec.jpegDecodePixels(good).isDefined)
+    def findNthSos(b: Array[Byte], n: Int): Int = {
+      var p = 2; var seen = 0
+      while (p + 4 <= b.length) {
+        val m = b(p + 1) & 0xff
+        if (m == 0xda) { seen += 1; if (seen == n) return p }
+        if (m == 0xda || m == 0xd9) { // skip entropy after SOS: scan to next marker
+          var q = p + 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+          while (q + 1 < b.length && !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0 &&
+            !((b(q + 1) & 0xff) >= 0xd0 && (b(q + 1) & 0xff) <= 0xd7))) q += 1
+          p = q
+        } else p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+      }
+      -1
+    }
+    // AC scan with Ss > Se rejects (second SOS is the [1,5] AC band).
+    val sos2 = findNthSos(good, 2)
+    assert(sos2 > 0)
+    val badBand = good.clone(); badBand(sos2 + 7) = 9; badBand(sos2 + 8) = 5 // Ss=9 > Se=5
+    assert(JpegCodec.jpegDecodePixels(badBand).isEmpty)
+    // Successive-approximation step of 2 (Ah = Al + 2) rejects.
+    val badAh = good.clone(); badAh(sos2 + 9) = 0x20.toByte
+    assert(JpegCodec.jpegDecodePixels(badAh).isEmpty)
+    // Truncation mid-scan rejects.
+    assert(JpegCodec.jpegDecodePixels(good.dropRight(good.length / 4)).isEmpty)
+    // Trailing bytes after EOI reject (terminal-EOI strictness).
+    assert(JpegCodec.jpegDecodePixels(good ++ Array[Byte](1, 2)).isEmpty)
+    // Color entry point rejects gray progressive and vice versa.
+    assert(JpegCodec.jpegDecodeColorPixels(good).isEmpty)
+    val (_, _, goodC, _) = progressiveColorFixture(4L)
+    assert(JpegCodec.jpegDecodeColorPixels(goodC).isDefined)
+    assert(JpegCodec.jpegDecodePixels(goodC).isEmpty)
+  }
+
+  test("mm11/mm12 end-to-end: progressive tables decode to the same stats as their baseline twins") {
+    import spark.implicits._
+    // Gray: pixel stats of the progressive table must equal mm8's formulas
+    // (identical coefficients, different scan delivery).
+    val gray = Multimodal.jpegPixelStats(
+      Multimodal.realProgressiveJpegTable(spark, docs)).collect()
+    val grayIds = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 2).toSet
+    assert(gray.map(_.doc_id).toSet === grayIds, "every progressive gray row must decode")
+    gray.foreach { st =>
+      val id = st.doc_id; val k = id / 6
+      val w = 16 + 8 * (k % 3); val h = 16 + 8 * ((k * 5) % 3)
+      val nb = ((w / 8) * (h / 8)).toInt
+      val vs = (0 until nb).map(b => (28 + (id + 11L * b) % 200).toInt)
+      val ms = (0 until nb).map(b => ((id + b) % 8).toInt)
+      assert(st.n_pixels === w * h)
+      assert(st.sum_lum === vs.map(64L * _).sum, s"id=$id")
+      assert(st.sum_sq === vs.lazyZip(ms).map((v, m) => 64L * v * v + 64L * m * m).sum, s"id=$id")
+    }
+    // Color: per-channel stats equal the mm9-style formula replay.
+    val color = Multimodal.jpegColorStats(
+      Multimodal.realProgressiveColorJpegTable(spark, docs)).collect()
+    val colorIds = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 4).toSet
+    assert(color.map(_.doc_id).toSet === colorIds, "every progressive color row must decode")
+    color.foreach { st =>
+      val id = st.doc_id; val k = id / 6
+      val w = (16 + 8 * (k % 3)).toInt; val h = (16 + 8 * ((k * 5) % 3)).toInt
+      val nb = (w / 8) * (h / 8)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (b <- 0 until nb; sign <- Seq(1, -1)) {
+        val v = (28 + (id + 11L * b) % 200).toInt
+        val m = ((id + b) % 8).toInt
+        val (r, g, bl) = rgbOf(v + sign * m, ((id + 3L * b) % 8).toInt, ((id + 5L * b) % 8).toInt)
+        sr += 32L * r; sg += 32L * g; sb += 32L * bl
+      }
+      assert(st.n_pixels === w.toLong * h)
+      assert((st.sum_r, st.sum_g, st.sum_b) === ((sr, sg, sb)), s"id=$id")
+    }
+  }
 }
