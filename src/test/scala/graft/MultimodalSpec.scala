@@ -393,16 +393,25 @@ class MultimodalSpec extends AnyFunSuite {
     val pngGood = MediaCodec.pngEncode(24, 16,
       Array.tabulate[Byte](24 * 16)(i => (i * 13 % 256).toByte), r => r % 5)
     val (_, _, _, jpgGood, _) = jpegFixture(21L)
+    // Color, 4:2:0 and progressive (gray + color) variants: mutations land
+    // in the multi-component SOF/SOS headers, interleave bookkeeping, and
+    // the multi-scan walk with its EOB-run and refinement decoders.
+    val (_, _, colorGood, _) = colorJpegFixture(11L)
+    val (_, _, j420Good, _) = jpeg420Fixture(7L)
+    val (_, _, progGood, _) = progressiveGrayFixture(10L)
+    val (_, _, progColorGood, _) = progressiveColorFixture(10L)
     val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
       Array.tabulate[Byte](64)(i => (i * 7).toByte)
     def decodeAll(b: Array[Byte]): Unit = {
       MediaCodec.pngDecodePixels(b)
       JpegCodec.jpegDecodePixels(b)
+      JpegCodec.jpegDecodeColorPixels(b)
       MediaCodec.parseImageHeader(b)
       MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
     }
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
-    for (base <- Seq(pngGood, jpgGood, wavGood); _ <- 0 until 300) {
+    for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
+        progColorGood, wavGood); _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
         case 0 => // single-byte corruption
