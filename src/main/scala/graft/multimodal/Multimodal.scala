@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   * MCUs, per-component quant/Huffman tables, replication upsampling,
   * JFIF RGB transform; all interop-pinned against the JDK's independent
   * ImageIO codec) are decoded FOR REAL and oracle-gated
-  * sample/pixel-exact. The remaining STUB (clearly marked) is video
-  * codecs and non-baseline JPEG (progressive, 12-bit, arithmetic), which
-  * the decoders explicitly REJECT rather than mis-decode; stub rows keep
+  * sample/pixel-exact — progressive (SOF2) JPEG decodes too (mm11/mm12:
+  * multi-scan spectral selection with end-of-band runs; successive
+  * approximation pinned against the JDK's progressive writer). The
+  * remaining STUB (clearly marked) is video codecs and the exotic JPEG
+  * modes (12-bit, arithmetic-coded, lossless), which the decoders
+  * explicitly REJECT rather than mis-decode; stub rows keep
   * deterministic arithmetic over the byte length. A production build
   * swaps those branches for ffmpeg bindings without touching the
   * surrounding plumbing.

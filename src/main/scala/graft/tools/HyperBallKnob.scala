@@ -40,12 +40,17 @@ object HyperBallKnob {
   }
 
   def main(args: Array[String]): Unit = {
-    // Honor the SPARK_GRAFT_CPUS / data-dir conventions Bench/Verify and
-    // bench_median.py follow (ADVICE r10) so the emitted table is
-    // reproducible on a differently-provisioned host; the values used are
-    // recorded in the markdown below.
+    // Honor SPARK_GRAFT_CPUS like Bench/Verify (ADVICE r10). This tool
+    // needs TWO sf dirs, so the established single-dir SPARK_GRAFT_SF_DIR
+    // cannot name them directly — its PARENT is used as the base when set
+    // (so a host that configured only the documented variable still lands
+    // on its own data), with SPARK_GRAFT_DATA_DIR as an explicit override.
+    // The values used are recorded in the emitted markdown.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val dataBase = sys.env.getOrElse("SPARK_GRAFT_DATA_DIR", "/root/testdata")
+    val dataBase = sys.env.get("SPARK_GRAFT_DATA_DIR")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR").map(d =>
+        new java.io.File(d).getAbsoluteFile.getParent))
+      .getOrElse("/root/testdata")
     val spark = GraftSession.local(cpus, "graft-hyperball-knob")
     val rounds = 3
     val lgKs = Seq(6, 8, 10, 12)
@@ -90,10 +95,12 @@ object HyperBallKnob {
     md.append(s"3 rounds, ${nodesBig} nodes). Sketch state ∝ nodes × 2^lgK\n")
     md.append("registers, and the per-round union shuffle carries it — the\n")
     md.append("documented cost knob, now with numbers. HyperBall itself ships\n")
-    md.append("lgK 4–8 at billion-node scale; g13b ships lgK=12 (≈0.8% HLL\n")
-    md.append("relative error) because at this fixture scale the sketch bytes\n")
-    md.append("are not yet the binding constraint; at 100 TB the table below\n")
-    md.append("says what dropping to 8–10 buys and costs.\n\n")
+    md.append("lgK 4–8 at billion-node scale; the gated query g13b ships an\n")
+    md.append("EXPLICIT lgK=10 (Graph.scala — 1 KB/node, classic HLL bound\n")
+    md.append("~3.3%, measured far tighter below because sparse-mode HLL is\n")
+    md.append("near-exact for small balls), while the LinkGraph API default is\n")
+    md.append("12; at 100 TB the table below says what each step of the knob\n")
+    md.append("buys and costs.\n\n")
     md.append(s"Environment: cores=$cpus (SPARK_GRAFT_CPUS), data=$dataBase\n")
     md.append("(SPARK_GRAFT_DATA_DIR); defaults 32 / /root/testdata.\n\n")
     md.append("| lgK | max err h=1..3 (sf0.01) | err h=3 | sf0.1 warm (s) |\n")

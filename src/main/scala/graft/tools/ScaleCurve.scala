@@ -137,9 +137,14 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     // Same env conventions as Bench/HyperBallKnob (ADVICE r10): the table
     // is reproducible on a differently-provisioned host without edits.
+    // SPARK_GRAFT_SF_DIR (the documented single-dir variable) is honored
+    // directly; SPARK_GRAFT_DATA_DIR overrides the parent for hosts that
+    // lay the sf dirs out elsewhere.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-scale-curve")
-    val base = sys.env.getOrElse("SPARK_GRAFT_DATA_DIR", "/root/testdata") + "/sf0.1"
+    val base = sys.env.get("SPARK_GRAFT_SF_DIR")
+      .orElse(sys.env.get("SPARK_GRAFT_DATA_DIR").map(_ + "/sf0.1"))
+      .getOrElse("/root/testdata/sf0.1")
     val big = s"${System.getProperty("java.io.tmpdir")}/graft_sf05"
     println("[scale] synthesizing 5x dataset...")
     synthesize(spark, base, big)

@@ -991,6 +991,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.jpegDecodePixels(good.dropRight(good.length / 4)).isEmpty)
     // Trailing bytes after EOI reject (terminal-EOI strictness).
     assert(JpegCodec.jpegDecodePixels(good ++ Array[Byte](1, 2)).isEmpty)
+    // A SOF2 file with ZERO scans rejects — it must not fabricate a flat
+    // image from the never-written coefficient store (first SOS found in
+    // the marker dump sits after the header segments).
+    val firstSos = {
+      var p = 2
+      while ((good(p + 1) & 0xff) != 0xda)
+        p += 2 + (((good(p + 2) & 0xff) << 8) | (good(p + 3) & 0xff))
+      p
+    }
+    assert(JpegCodec.jpegDecodePixels(
+      good.take(firstSos) ++ Array[Byte](0xff.toByte, 0xd9.toByte)).isEmpty)
     // Color entry point rejects gray progressive and vice versa.
     assert(JpegCodec.jpegDecodeColorPixels(good).isEmpty)
     val (_, _, goodC, _) = progressiveColorFixture(4L)
