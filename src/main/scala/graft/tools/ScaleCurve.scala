@@ -135,16 +135,24 @@ object ScaleCurve {
   }
 
   def main(args: Array[String]): Unit = {
-    // Same env conventions as Bench/HyperBallKnob (ADVICE r10): the table
-    // is reproducible on a differently-provisioned host without edits.
-    // SPARK_GRAFT_SF_DIR (the documented single-dir variable) is honored
-    // directly; SPARK_GRAFT_DATA_DIR overrides the parent for hosts that
-    // lay the sf dirs out elsewhere.
+    // Same env conventions as HyperBallKnob (ADVICE r11): this tool's base
+    // scale is ALWAYS sf0.1, but the documented single-dir variable
+    // SPARK_GRAFT_SF_DIR conventionally points at the sf0.001 gate dir —
+    // honoring it directly would silently compute the curve on gate-scale
+    // data while labeling it sf0.1. So, like HyperBallKnob, the variable's
+    // PARENT is the data root and the sf0.1 leaf is appended; a
+    // SPARK_GRAFT_SF_DIR that already names .../sf0.1 resolves identically.
+    // SPARK_GRAFT_DATA_DIR overrides the root explicitly.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-scale-curve")
-    val base = sys.env.get("SPARK_GRAFT_SF_DIR")
-      .orElse(sys.env.get("SPARK_GRAFT_DATA_DIR").map(_ + "/sf0.1"))
-      .getOrElse("/root/testdata/sf0.1")
+    val dataBase = sys.env.get("SPARK_GRAFT_DATA_DIR")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR").map(d =>
+        new java.io.File(d).getAbsoluteFile.getParent))
+      .getOrElse("/root/testdata")
+    val base = s"$dataBase/sf0.1"
+    require(new java.io.File(base).isDirectory,
+      s"ScaleCurve: resolved sf0.1 base $base does not exist " +
+        "(set SPARK_GRAFT_DATA_DIR to the directory holding the sf* dirs)")
     val big = s"${System.getProperty("java.io.tmpdir")}/graft_sf05"
     println("[scale] synthesizing 5x dataset...")
     synthesize(spark, base, big)

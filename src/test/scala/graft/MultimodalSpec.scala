@@ -1009,6 +1009,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.jpegDecodePixels(goodC).isEmpty)
   }
 
+  test("progressive scan-script violations reject: AC before DC, duplicate band, wrong refinement step, DC predictor overflow") {
+    // §G.1.1.1.1 scan-script rules (ADVICE r11): the fixture's scans are
+    // (1) DC, (2) AC band [1,5], (3) AC band [6,63] — splice/duplicate
+    // them at the byte level and assert the decoder rejects each illegal
+    // script rather than rendering from partial/overwritten coefficients.
+    val (_, _, good, _) = progressiveGrayFixture(4L)
+    assert(JpegCodec.jpegDecodePixels(good).isDefined)
+    def findNthSos(b: Array[Byte], n: Int): Int = {
+      var p = 2; var seen = 0
+      while (p + 4 <= b.length) {
+        val m = b(p + 1) & 0xff
+        if (m == 0xda) { seen += 1; if (seen == n) return p }
+        if (m == 0xda) { // skip entropy after SOS: scan to next marker
+          var q = p + 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+          while (q + 1 < b.length && !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0 &&
+            !((b(q + 1) & 0xff) >= 0xd0 && (b(q + 1) & 0xff) <= 0xd7))) q += 1
+          p = q
+        } else p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+      }
+      -1
+    }
+    val s1 = findNthSos(good, 1); val s2 = findNthSos(good, 2); val s3 = findNthSos(good, 3)
+    assert(s1 > 0 && s2 > s1 && s3 > s2)
+    // AC band scan arriving with no prior DC scan (DC scan spliced out).
+    val noDc = good.take(s1) ++ good.slice(s2, good.length)
+    assert(JpegCodec.jpegDecodePixels(noDc).isEmpty)
+    // Duplicate first-pass (Ah=0) delivery of the [1,5] band.
+    val dupAc = good.take(s3) ++ good.slice(s2, s3) ++ good.slice(s3, good.length)
+    assert(JpegCodec.jpegDecodePixels(dupAc).isEmpty)
+    // Duplicate DC first pass.
+    val dupDc = good.take(s2) ++ good.slice(s1, s2) ++ good.slice(s2, good.length)
+    assert(JpegCodec.jpegDecodePixels(dupDc).isEmpty)
+    // Refinement (Ah=1) of a band whose history sits at Al=0, not 1.
+    val badRef = good.clone(); badRef(s3 + 9) = 0x10.toByte
+    assert(JpegCodec.jpegDecodePixels(badRef).isEmpty)
+    // DC predictor overflow: 17 stacked max-category diffs (+2047 each)
+    // walk the accumulated predictor past ±32767 — must reject (baseline
+    // and progressive), while 16 blocks (peak 32752) still decode.
+    val q1 = Array.fill(64)(1)
+    def stepBlocks(n: Int) = Array.tabulate(n) { i =>
+      val b = new Array[Int](64); b(0) = 2047 * (i + 1); b
+    }
+    assert(JpegCodec.jpegDecodePixels(
+      JpegCodec.jpegEncode(8, 136, q1, stepBlocks(17))).isEmpty)
+    assert(JpegCodec.jpegDecodePixels(
+      JpegCodec.jpegEncode(8, 128, q1, stepBlocks(16))).isDefined)
+    assert(JpegCodec.jpegDecodePixels(
+      JpegCodec.jpegEncodeProgressive(8, 136, q1, null, Array(stepBlocks(17)))).isEmpty)
+    assert(JpegCodec.jpegDecodePixels(
+      JpegCodec.jpegEncodeProgressive(8, 128, q1, null, Array(stepBlocks(16)))).isDefined)
+  }
+
   test("mm11/mm12 end-to-end: progressive tables decode to the same stats as their baseline twins") {
     import spark.implicits._
     // Gray: pixel stats of the progressive table must equal mm8's formulas
