@@ -21,6 +21,12 @@ case class WavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
 case class PcmStats(nSamples: Long, sumAbs: Long, sumSq: Long,
     peakAbs: Int, zeroCrossings: Long)
 
+/** Decoded MJPEG-in-AVI video: container dimensions/timing plus every
+  * frame's decoded grayscale pixels, in stream order.
+  */
+case class AviVideo(width: Int, height: Int, microSecPerFrame: Int,
+    frames: Vector[JpegCodec.JpegImage])
+
 /** PNG / JPEG / WAV container-header arithmetic — pure byte work against
   * the PUBLIC format specs (PNG: ISO/IEC 15948 §5.2/§11.2.2 signature +
   * IHDR; JPEG: ITU-T T.81 §B.2 marker segments, JFIF APP0; WAV: RIFF
@@ -381,6 +387,164 @@ object MediaCodec {
       i += 1
     }
     Some(PcmStats(n.toLong, sumAbs, sumSq, peak, zc))
+  }
+
+  // ---- REAL MJPEG-in-AVI video codec ---------------------------------
+  // AVI is RIFF (same container family as WAV, little-endian chunk walk
+  // per the Microsoft Multimedia Programming Interface spec): a 'hdrl'
+  // LIST carrying the main header (avih) and one stream list (strl:
+  // strh + strf), then a 'movi' LIST whose '00dc'/'00db' chunks each hold
+  // one complete compressed frame. With the MJPG fourcc every frame is a
+  // standalone baseline/progressive JPEG, so the one video format that is
+  // pure-JVM decodable end-to-end is MJPEG-in-AVI via [[JpegCodec]] —
+  // every OTHER codec fourcc REJECTS rather than mis-decodes (the honest
+  // residue stays: real inter-frame codecs need external libraries).
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  private def leChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    // RIFF chunks are word-aligned: odd payloads carry one zero pad byte
+    // that is NOT counted in the stored size.
+    val pad = data.length & 1
+    ByteBuffer.allocate(8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      .array()
+  }
+
+  private def leList(listType: String, payload: Array[Byte]): Array[Byte] =
+    leChunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+
+  /** Encode a complete, spec-valid MJPEG AVI: RIFF('AVI ') → LIST hdrl
+    * (avih main header + one LIST strl with a 'vids'/'MJPG' strh and a
+    * BITMAPINFOHEADER strf) → LIST movi with one '00dc' chunk per frame.
+    * Each `frames(i)` must be a complete JPEG bitstream of w×h (the
+    * caller owns frame content; this function owns all container
+    * framing, so fuzz/interop tests can manipulate the two layers
+    * independently).
+    */
+  def aviEncodeMjpeg(w: Int, h: Int, microSecPerFrame: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && microSecPerFrame > 0 && frames.nonEmpty)
+    val maxFrame = frames.map(_.length).max
+    val avih = ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(microSecPerFrame).putInt(0).putInt(0).putInt(0) // us/frame, maxBps, pad, flags
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame) // total, initial, streams, bufsize
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // dims + reserved[4]
+      .array()
+    val strh = ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)                  // flags, prio/lang, initialFrames
+      .putInt(microSecPerFrame).putInt(1000000)       // scale, rate (rate/scale = fps)
+      .putInt(0).putInt(frames.length).putInt(maxFrame) // start, length, bufsize
+      .putInt(-1).putInt(0)                           // quality (default), sampleSize (0 = varies)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      .array()
+    val strf = ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h)                 // biSize, biWidth, biHeight
+      .putShort(1).putShort(24)                       // biPlanes, biBitCount
+      .put("MJPG".getBytes("US-ASCII"))               // biCompression fourcc
+      .putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = leList("hdrl",
+      leChunk("avih", avih) ++
+        leList("strl", leChunk("strh", strh) ++ leChunk("strf", strf)))
+    val movi = leList("movi",
+      frames.flatMap(f => leChunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    ByteBuffer.allocate(8 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+      .array()
+  }
+
+  /** Decode an MJPEG AVI to per-frame grayscale pixels: verify the
+    * RIFF('AVI ') framing (size must match the byte count exactly, same
+    * strictness as [[parseWav]]), walk the header list (exactly ONE
+    * stream, fccType 'vids', handler AND biCompression 'MJPG' — any other
+    * codec fourcc rejects), then decode every '00dc'/'00db' movi chunk
+    * through [[JpegCodec.jpegDecodePixels]]. Rejects on: frame-count
+    * mismatch against BOTH declared counts (avih.dwTotalFrames and
+    * strh.dwLength), per-frame dimensions disagreeing with the container,
+    * non-frame chunks inside movi, undecodable frame bytes, or truncation
+    * anywhere — malformed bytes never throw from an executor task.
+    */
+  def aviDecodeMjpegFrames(b: Array[Byte]): Option[AviVideo] = {
+    if (b.length < 12) return None
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    if (le32(b, 4) != b.length - 8) return None
+    var w = -1; var h = -1; var usPerFrame = -1; var totalFrames = -1
+    var strhLength = -1; var strfOk = false; var sawStrl = false
+    val frames = Vector.newBuilder[JpegCodec.JpegImage]
+    var nFrames = 0
+    var sawMovi = false
+
+    // Walk one chunk run [from, to); `depth` names which list we're in.
+    // Returns false on any structural violation.
+    def walk(from: Int, to: Int, ctx: String): Boolean = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return false
+        val id = fourcc(b, p)
+        val size = le32(b, p + 4)
+        if (size < 0 || p.toLong + 8L + size > to) return false
+        val d0 = p + 8
+        (ctx, id) match {
+          case (_, "LIST") =>
+            if (size < 4) return false
+            val ltype = fourcc(b, d0)
+            ltype match {
+              case "hdrl" if ctx == "top" =>
+                if (!walk(d0 + 4, d0 + size, "hdrl")) return false
+              case "strl" if ctx == "hdrl" =>
+                if (sawStrl) return false // dwStreams==1: a second strl lies
+                sawStrl = true
+                if (!walk(d0 + 4, d0 + size, "strl")) return false
+              case "movi" if ctx == "top" =>
+                // Header must fully precede movi so frame dims can check.
+                if (w < 0 || !strfOk) return false
+                sawMovi = true
+                if (!walk(d0 + 4, d0 + size, "movi")) return false
+              case _ => () // odml, INFO, rec -less lists: skipped
+            }
+          case ("hdrl", "avih") =>
+            if (size < 56 || w != -1) return false
+            usPerFrame = le32(b, d0)
+            totalFrames = le32(b, d0 + 16)
+            if (le32(b, d0 + 24) != 1) return false // exactly one stream
+            w = le32(b, d0 + 32); h = le32(b, d0 + 36)
+            if (w <= 0 || h <= 0 || usPerFrame <= 0 || totalFrames <= 0) return false
+          case ("strl", "strh") =>
+            if (size < 56 || strhLength != -1) return false
+            if (fourcc(b, d0) != "vids") return false
+            if (fourcc(b, d0 + 4) != "MJPG") return false // other codecs reject
+            strhLength = le32(b, d0 + 32)
+          case ("strl", "strf") =>
+            // BITMAPINFOHEADER: dims must agree with avih, compression MJPG.
+            if (size < 40 || strfOk || w < 0 || strhLength < 0) return false
+            if (le32(b, d0) < 40) return false
+            if (le32(b, d0 + 4) != w || le32(b, d0 + 8) != h) return false
+            if (fourcc(b, d0 + 16) != "MJPG") return false
+            strfOk = true
+          case ("movi", "00dc") | ("movi", "00db") =>
+            val frame = java.util.Arrays.copyOfRange(b, d0, d0 + size)
+            JpegCodec.jpegDecodePixels(frame) match {
+              case Some(img) if img.width == w && img.height == h =>
+                frames += img; nFrames += 1
+              case _ => return false // undecodable or dims disagree
+            }
+          case ("movi", _) => return false // only frame chunks of stream 00
+          case _ => () // JUNK, idx1, unknown top/hdrl chunks: skipped
+        }
+        p += 8 + size + (size & 1)
+      }
+      true
+    }
+
+    if (!walk(12, b.length, "top")) return None
+    if (!sawMovi || nFrames == 0) return None
+    if (nFrames != totalFrames || nFrames != strhLength) return None
+    Some(AviVideo(w, h, usPerFrame, frames.result()))
   }
 
   /** JPEG: verify SOI, walk marker segments (each FF xx + 2-byte length

@@ -190,6 +190,22 @@ object Media extends QueryPack {
         Multimodal.realProgressiveColorJpegTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM13: REAL VIDEO frame decode — every video-typed document rendered
+    // as a complete MJPEG-in-AVI file (RIFF hdrl/strl/movi walk; the one
+    // video format decodable pure-JVM because each '00dc' chunk is a
+    // standalone JPEG) and decoded back to per-frame pixel stats. Frames
+    // vary per index (v and m formulas take f), so a decoder that walked
+    // the movi list wrong, dropped/duplicated a frame, or leaked DC
+    // predictors across frames goes red. All other codec fourccs REJECT
+    // (tested in MultimodalSpec) — the honest residue shrinks to real
+    // inter-frame codecs, which need external libraries.
+    "mm13_video_frame_stats" -> { (s, d) =>
+      Multimodal.videoFrameStats(
+        Multimodal.realMjpegAviTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -514,6 +530,40 @@ object Media extends QueryPack {
         |  CAST(SUM(32 * (r1 * r1 + r2 * r2)) AS BIGINT) AS sq_r,
         |  CAST(SUM(32 * (g1 * g1 + g2 * g2)) AS BIGINT) AS sq_g,
         |  CAST(SUM(32 * (b1 * b1 + b2 * b2)) AS BIGINT) AS sq_b
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Video truth from the per-frame-per-block formulas: with k = id/3,
+    // nf = 1 + k%3 frames of w = 16+8·(k%2) × h = 16+8·((k/2)%2); frame f
+    // block b holds 32 px of v+m and 32 of v−m with
+    // v = 28 + (id + 17f + 11b) % 200, m = (id + f + b) % 8. The engine
+    // must arrive at the same numbers THROUGH the RIFF walk and each
+    // frame's entropy-coded bitstream.
+    "mm13_video_frame_stats" ->
+      """WITH vid AS (
+        |  SELECT doc_id, doc_id // 3 AS k FROM documents WHERE doc_id % 3 = 2
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * (k % 2) AS BIGINT) AS w,
+        |    CAST(16 + 8 * ((k // 2) % 2) AS BIGINT) AS h,
+        |    1 + k % 3 AS nf
+        |  FROM vid
+        |), frm AS (
+        |  SELECT d.doc_id, d.w, d.h, CAST(ff.f AS INT) AS frame_idx
+        |  FROM dim d, LATERAL (SELECT UNNEST(range(d.nf)) AS f) ff
+        |), blk AS (
+        |  SELECT f.doc_id, f.frame_idx,
+        |    28 + (f.doc_id + 17 * f.frame_idx + 11 * bb.b) % 200 AS v,
+        |    (f.doc_id + f.frame_idx + bb.b) % 8 AS m
+        |  FROM frm f,
+        |    LATERAL (SELECT UNNEST(range((f.w // 8) * (f.h // 8))) AS b) bb
+        |)
+        |SELECT doc_id, frame_idx,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(64 * v * v + 64 * m * m) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(v - m) AS INT) AS min_lum,
+        |  CAST(MAX(v + m) AS INT) AS max_lum
+        |FROM blk GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -402,16 +402,20 @@ class MultimodalSpec extends AnyFunSuite {
     val (_, _, progColorGood, _) = progressiveColorFixture(10L)
     val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
       Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    // MJPEG AVI: mutations land in the RIFF list walk, the avih/strh/strf
+    // field checks, and the per-frame JPEG decode.
+    val (_, _, _, aviGood) = aviFixture(17L, nF = 2)
     def decodeAll(b: Array[Byte]): Unit = {
       MediaCodec.pngDecodePixels(b)
       JpegCodec.jpegDecodePixels(b)
       JpegCodec.jpegDecodeColorPixels(b)
       MediaCodec.parseImageHeader(b)
       MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
+      MediaCodec.aviDecodeMjpegFrames(b)
     }
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
-        progColorGood, wavGood); _ <- 0 until 300) {
+        progColorGood, wavGood, aviGood); _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
         case 0 => // single-byte corruption
@@ -1097,6 +1101,123 @@ class MultimodalSpec extends AnyFunSuite {
       }
       assert(st.n_pixels === w.toLong * h)
       assert((st.sum_r, st.sum_g, st.sum_b) === ((sr, sg, sb)), s"id=$id")
+    }
+  }
+
+  /** Three-frame 16×16 MJPEG AVI with per-frame exactly-invertible
+    * coefficients; returns (w, h, frame pixel arrays, avi bytes).
+    */
+  private def aviFixture(id: Long, nF: Int = 3,
+      restartInterval: Int = 0): (Int, Int, Seq[Array[Int]], Array[Byte]) = {
+    val w = 16; val h = 16; val nb = 4
+    val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+    val frames = (0 until nF).map { f =>
+      Array.tabulate(nb) { b =>
+        val c = new Array[Int](64)
+        c(0) = (28 + (id + 17L * f + 11L * b) % 200).toInt - 128
+        c(36) = ((id + f + b) % 8).toInt
+        c
+      }
+    }
+    val jpegs = frames.map(blocks =>
+      JpegCodec.jpegEncode(w, h, q, blocks.toArray, restartInterval)).toArray
+    (w, h, frames.map(_.map(c => c(0) + 128)), // per-block DC base values
+      MediaCodec.aviEncodeMjpeg(w, h, 40000, jpegs))
+  }
+
+  test("MJPEG AVI codec: encode/decode recovers every frame pixel-exactly") {
+    val id = 23L
+    val (w, h, frameBases, avi) = aviFixture(id, nF = 3, restartInterval = 2)
+    val av = MediaCodec.aviDecodeMjpegFrames(avi).get
+    assert(av.width === w && av.height === h && av.microSecPerFrame === 40000)
+    assert(av.frames.length === 3)
+    av.frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width === w && img.height === h)
+      // Block b is the mm8 construction: 64 pixels of v ± m where the
+      // AC(4,4) basis sign is s(x)·s(y) with s = +,−,−,+ over each 4
+      // (cos((2x+1)·4π/16) flips sign at x ∈ {1,2} mod 4).
+      def s(i: Int): Int = if (i % 4 == 0 || i % 4 == 3) 1 else -1
+      for (b <- 0 until 4) {
+        val v = frameBases(f)(b)
+        val m = ((id + f + b) % 8).toInt
+        val bx = (b % 2) * 8; val by = (b / 2) * 8
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val expected = v + s(x) * s(y) * m
+          assert((img.pixels((by + y) * w + bx + x) & 0xff) === expected,
+            s"frame $f block $b pixel ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("MJPEG AVI decode rejects structural violations and foreign codecs") {
+    val (_, _, _, good) = aviFixture(31L)
+    assert(MediaCodec.aviDecodeMjpegFrames(good).isDefined)
+    def patched(off: Int, bytes: Array[Byte]): Array[Byte] = {
+      val b = good.clone(); bytes.zipWithIndex.foreach { case (v, i) => b(off + i) = v }; b
+    }
+    def find(sig: String, from: Int = 0): Int = {
+      val pat = sig.getBytes("US-ASCII")
+      (from to good.length - pat.length).find(i => pat.indices.forall(j => good(i + j) == pat(j))).getOrElse(-1)
+    }
+    // RIFF size disagreeing with the byte count.
+    assert(MediaCodec.aviDecodeMjpegFrames(good ++ Array[Byte](0)).isEmpty)
+    assert(MediaCodec.aviDecodeMjpegFrames(good.dropRight(3)).isEmpty)
+    // Foreign codec fourcc in strh (e.g. cinepak) — reject, never mis-decode.
+    val strh = find("strh")
+    assert(strh > 0 && find("MJPG", strh) === strh + 12)
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(strh + 12, "cvid".getBytes("US-ASCII"))).isEmpty)
+    // Foreign biCompression in strf.
+    val strf = find("strf")
+    val biComp = strf + 8 + 16
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(biComp, "H264".getBytes("US-ASCII"))).isEmpty)
+    // Declared frame count disagreeing with the movi walk (avih.dwTotalFrames).
+    val avih = find("avih")
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(avih + 8 + 16, Array[Byte](9, 0, 0, 0))).isEmpty)
+    // Non-frame chunk id inside movi.
+    val dc = find("00dc")
+    assert(dc > 0)
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(dc, "01wb".getBytes("US-ASCII"))).isEmpty)
+    // Garbage frame bytes: corrupt the first JPEG's SOI.
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(dc + 8, Array[Byte](0, 0))).isEmpty)
+    // Container/frame dimension disagreement (avih width 24 vs 16).
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(avih + 8 + 32, Array[Byte](24, 0, 0, 0))).isEmpty)
+    // A second stream list (dwStreams=2) rejects.
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(avih + 8 + 24, Array[Byte](2, 0, 0, 0))).isEmpty)
+    // Wrong RIFF form type.
+    assert(MediaCodec.aviDecodeMjpegFrames(
+      patched(8, "WAVE".getBytes("US-ASCII"))).isEmpty)
+  }
+
+  test("mm13 end-to-end: videoFrameStats over realMjpegAviTable matches the per-frame formulas") {
+    import spark.implicits._
+    val stats = Multimodal.videoFrameStats(
+      Multimodal.realMjpegAviTable(spark, docs)).collect()
+    val vidIds = docs.select($"doc_id").as[Long].collect().filter(_ % 3 == 2).toSet
+    assert(stats.map(_.doc_id).toSet === vidIds, "every video row must decode")
+    stats.groupBy(_.doc_id).foreach { case (id, rows) =>
+      val k = id / 3
+      val w = 16 + 8 * (k % 2); val h = 16 + 8 * ((k / 2) % 2)
+      val nb = ((w / 8) * (h / 8)).toInt
+      assert(rows.length === (1 + k % 3).toInt, s"id=$id frame count")
+      rows.foreach { st =>
+        val f = st.frame_idx
+        val vs = (0 until nb).map(b => (28 + (id + 17L * f + 11L * b) % 200).toInt)
+        val ms = (0 until nb).map(b => ((id + f + b) % 8).toInt)
+        assert(st.n_pixels === w * h, s"id=$id f=$f")
+        assert(st.sum_lum === vs.map(64L * _).sum, s"id=$id f=$f")
+        assert(st.sum_sq === vs.lazyZip(ms).map((v, m) => 64L * v * v + 64L * m * m).sum,
+          s"id=$id f=$f")
+        assert(st.min_lum === vs.lazyZip(ms).map(_ - _).min, s"id=$id f=$f")
+        assert(st.max_lum === vs.lazyZip(ms).map(_ + _).max, s"id=$id f=$f")
+      }
     }
   }
 }
