@@ -85,6 +85,14 @@ object Multimodal {
   case class VideoFrameStats(doc_id: Long, frame_idx: Int, n_pixels: Long,
       sum_lum: Long, sum_sq: Long, min_lum: Int, max_lum: Int)
 
+  /** Pre-decode image metadata: SOF dims + JFIF density + EXIF IFD0
+    * subset (mm14) — the columns a curation pipeline filters on before
+    * paying for pixel decode.
+    */
+  case class ImageMeta(doc_id: Long, width: Int, height: Int,
+      density_units: Int, x_density: Int, y_density: Int,
+      make: String, model: String, orientation: Int, capture_ts: String)
+
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
@@ -496,6 +504,70 @@ object Multimodal {
             VideoFrameStats(m.doc_id, i, st.n_pixels, st.sum_lum,
               st.sum_sq, st.min_lum, st.max_lum)
           }
+        }
+      }
+    }
+  }
+
+  /** REAL EXIF-tagged JPEG table (mm14): the mm8 grayscale fixtures with a
+    * JFIF APP0 and an EXIF APP1 spliced in after SOI — every metadata
+    * field follows a doc_id formula (units = id mod 3,
+    * xDensity = 1 + id mod 300, yDensity = 1 + 3id mod 300,
+    * make = CAM(id mod 5), model = MOD(id mod 7),
+    * orientation = 1 + id mod 8, capture ts fields from id), and the TIFF
+    * byte order ALTERNATES by id parity (II for even id, MM for odd) so a
+    * parser that hardcodes one endianness goes red on half the rows. The
+    * decoded-pixel gate (mm8) is unaffected: APPn segments are skipped by
+    * the pixel decoders, which MultimodalSpec pins.
+    */
+  def realExifJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 3)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 3
+          val w = (16 + 8 * (k % 3)).toInt
+          val h = (16 + 8 * ((k * 5) % 3)).toInt
+          val nb = (w / 8) * (h / 8)
+          val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+          val blocks = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64)
+            c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+            c(36) = ((id + b) % 8).toInt
+            c
+          }
+          val bare = JpegCodec.jpegEncode(w, h, q, blocks,
+            restartInterval = if (k % 4 == 1) 2 else 0)
+          val app0 = ExifCodec.jfifApp0((id % 3).toInt,
+            (1 + id % 300).toInt, (1 + (id * 3) % 300).toInt)
+          val app1 = ExifCodec.exifApp1(
+            make = s"CAM${id % 5}",
+            model = s"MOD${id % 7}",
+            orientation = (1 + id % 8).toInt,
+            dateTime = f"${2000 + id % 26}%04d:${1 + id % 12}%02d:${1 + id % 28}%02d " +
+              f"${id % 24}%02d:${id % 60}%02d:${(id * 7) % 60}%02d",
+            littleEndian = id % 2 == 0)
+          MediaRow(id, "image",
+            bare.take(2) ++ app0 ++ app1 ++ bare.drop(2))
+        }
+      }
+  }
+
+  /** Extract pre-decode metadata (SOF dims, JFIF density, EXIF camera
+    * fields) from image rows — mm14's gated surface. Rows whose marker
+    * stream is broken or whose APP0/APP1 is absent/invalid drop out
+    * (None, never a throw); the fixture rows all carry complete metadata
+    * so the gate covers every id.
+    */
+  def imageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        ExifCodec.parseJpegMeta(m.content).flatMap { meta =>
+          for ((units, xd, yd) <- meta.jfif; ex <- meta.exif)
+            yield ImageMeta(m.doc_id, meta.width, meta.height,
+              units, xd, yd, ex.make, ex.model, ex.orientation, ex.dateTime)
         }
       }
     }

@@ -206,6 +206,22 @@ object Media extends QueryPack {
         Multimodal.realMjpegAviTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // MM14: EXIF/JFIF metadata extraction — the mm8 JPEGs with a JFIF
+    // APP0 and an EXIF APP1 (TIFF IFD0: Make/Model/Orientation/DateTime)
+    // spliced in, byte order alternating II/MM by id parity. Real
+    // curation pipelines filter on camera/orientation/timestamp BEFORE
+    // paying for pixel decode; this is that pre-decode surface. The
+    // oracle predicts every field from the generation formulas, so an
+    // endian mix-up, a mis-walked IFD, or a wrong value-offset read goes
+    // red at the hash gate. Malformed-TIFF fuzz (reject, never throw) is
+    // pinned in MultimodalSpec.
+    "mm14_image_exif_meta" -> { (s, d) =>
+      Multimodal.imageMeta(
+        Multimodal.realExifJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -564,6 +580,25 @@ object Media extends QueryPack {
         |  CAST(MIN(v - m) AS INT) AS min_lum,
         |  CAST(MAX(v + m) AS INT) AS max_lum
         |FROM blk GROUP BY doc_id, frame_idx
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Metadata truth from the generation formulas alone: the engine must
+    // arrive at the same values THROUGH the APP0/APP1 segment walk and
+    // the endian-alternating TIFF IFD parse.
+    "mm14_image_exif_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 + 8 * ((doc_id // 3) % 3) AS INT) AS width,
+        |  CAST(16 + 8 * (((doc_id // 3) * 5) % 3) AS INT) AS height,
+        |  CAST(doc_id % 3 AS INT) AS density_units,
+        |  CAST(1 + doc_id % 300 AS INT) AS x_density,
+        |  CAST(1 + (doc_id * 3) % 300 AS INT) AS y_density,
+        |  'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  'MOD' || CAST(doc_id % 7 AS VARCHAR) AS model,
+        |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |  printf('%04d:%02d:%02d %02d:%02d:%02d',
+        |    2000 + doc_id % 26, 1 + doc_id % 12, 1 + doc_id % 28,
+        |    doc_id % 24, doc_id % 60, (doc_id * 7) % 60) AS capture_ts
+        |FROM documents WHERE doc_id % 6 = 3
+        |ORDER BY doc_id""".stripMargin
   )
 }

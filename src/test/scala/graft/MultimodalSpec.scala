@@ -405,6 +405,13 @@ class MultimodalSpec extends AnyFunSuite {
     // MJPEG AVI: mutations land in the RIFF list walk, the avih/strh/strf
     // field checks, and the per-frame JPEG decode.
     val (_, _, _, aviGood) = aviFixture(17L, nF = 2)
+    // EXIF-tagged JPEG: mutations land in the APP0/APP1 walk and the
+    // endian-dispatched TIFF IFD parse.
+    val exifGood = jpgGood.take(2) ++
+      graft.multimodal.ExifCodec.jfifApp0(1, 96, 96) ++
+      graft.multimodal.ExifCodec.exifApp1("CAM1", "MOD2", 3,
+        "2026:08:14 00:00:00", littleEndian = false) ++
+      jpgGood.drop(2)
     def decodeAll(b: Array[Byte]): Unit = {
       MediaCodec.pngDecodePixels(b)
       JpegCodec.jpegDecodePixels(b)
@@ -412,10 +419,11 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.parseImageHeader(b)
       MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
       MediaCodec.aviDecodeMjpegFrames(b)
+      graft.multimodal.ExifCodec.parseJpegMeta(b)
     }
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
-        progColorGood, wavGood, aviGood); _ <- 0 until 300) {
+        progColorGood, wavGood, aviGood, exifGood); _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
         case 0 => // single-byte corruption
@@ -1194,6 +1202,78 @@ class MultimodalSpec extends AnyFunSuite {
     // Wrong RIFF form type.
     assert(MediaCodec.aviDecodeMjpegFrames(
       patched(8, "WAVE".getBytes("US-ASCII"))).isEmpty)
+  }
+
+  test("EXIF/JFIF codec: build → parse recovers every field in BOTH TIFF byte orders") {
+    for (le <- Seq(true, false)) {
+      val app0 = graft.multimodal.ExifCodec.jfifApp0(2, 300, 72)
+      val app1 = graft.multimodal.ExifCodec.exifApp1(
+        "CAMx", "MODyz", 6, "2026:08:14 12:34:56", littleEndian = le)
+      val (_, _, _, jpg, _) = jpegFixture(9L)
+      val tagged = jpg.take(2) ++ app0 ++ app1 ++ jpg.drop(2)
+      val meta = graft.multimodal.ExifCodec.parseJpegMeta(tagged).get
+      assert(meta.jfif === Some((2, 300, 72)), s"le=$le")
+      val ex = meta.exif.get
+      assert(ex.make === "CAMx" && ex.model === "MODyz" &&
+        ex.orientation === 6 && ex.dateTime === "2026:08:14 12:34:56", s"le=$le")
+      // The PIXEL decoders skip APPn: the tagged file decodes identically.
+      assert(JpegCodec.jpegDecodePixels(tagged).isDefined, s"le=$le")
+      assert(JpegCodec.jpegDecodePixels(tagged).get.pixels
+        .sameElements(JpegCodec.jpegDecodePixels(jpg).get.pixels), s"le=$le")
+    }
+  }
+
+  test("EXIF parse rejects malformed TIFF structures, never throws") {
+    import graft.multimodal.ExifCodec
+    val app1 = ExifCodec.exifApp1("CAMx", "MODyz", 6,
+      "2026:08:14 12:34:56", littleEndian = true)
+    val (_, _, _, jpg, _) = jpegFixture(9L)
+    def tagged(a1: Array[Byte]): Array[Byte] = jpg.take(2) ++ a1 ++ jpg.drop(2)
+    assert(ExifCodec.parseJpegMeta(tagged(app1)).get.exif.isDefined)
+    // A broken APP1 leaves exif None but the sniff still reads SOF dims.
+    def exifOf(a1: Array[Byte]) = ExifCodec.parseJpegMeta(tagged(a1)).get.exif
+    def patched(off: Int, v: Byte): Array[Byte] = {
+      val b = app1.clone(); b(off) = v; b
+    }
+    // Payload layout: 4 seg header + "Exif\0\0"(6) + TIFF at offset 10.
+    assert(exifOf(patched(10, 'X')).isEmpty)        // bad byte-order mark
+    assert(exifOf(patched(12, 43)).isEmpty)         // magic != 42
+    assert(exifOf(patched(14, 0x77.toByte)).isEmpty) // IFD offset out of range
+    assert(exifOf(patched(18, 99.toByte)).isEmpty)  // entry count overflows segment
+    // ASCII value offset past the segment (Make entry's offset field at
+    // TIFF+10+8 = payload offset 28).
+    assert(exifOf(patched(28, 0x7f.toByte)).isEmpty)
+    // Truncations anywhere must never throw.
+    for (n <- 0 until app1.length)
+      ExifCodec.parseJpegMeta(tagged(app1.take(n)))
+    // Random mutations never throw.
+    val rnd = new scala.util.Random(12L)
+    for (_ <- 0 until 500) {
+      val mut = app1.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      ExifCodec.parseJpegMeta(tagged(mut))
+    }
+  }
+
+  test("mm14 end-to-end: imageMeta over realExifJpegTable matches the generation formulas") {
+    import spark.implicits._
+    val metas = Multimodal.imageMeta(
+      Multimodal.realExifJpegTable(spark, docs)).collect()
+    val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 3).toSet
+    assert(metas.map(_.doc_id).toSet === ids, "every tagged row must parse")
+    metas.foreach { m =>
+      val id = m.doc_id; val k = id / 3
+      assert(m.width === (16 + 8 * (k % 3)).toInt, s"id=$id")
+      assert(m.height === (16 + 8 * ((k * 5) % 3)).toInt, s"id=$id")
+      assert(m.density_units === (id % 3).toInt, s"id=$id")
+      assert(m.x_density === (1 + id % 300).toInt, s"id=$id")
+      assert(m.y_density === (1 + (id * 3) % 300).toInt, s"id=$id")
+      assert(m.make === s"CAM${id % 5}" && m.model === s"MOD${id % 7}", s"id=$id")
+      assert(m.orientation === (1 + id % 8).toInt, s"id=$id")
+      assert(m.capture_ts ===
+        f"${2000 + id % 26}%04d:${1 + id % 12}%02d:${1 + id % 28}%02d " +
+          f"${id % 24}%02d:${id % 60}%02d:${(id * 7) % 60}%02d", s"id=$id")
+    }
   }
 
   test("mm13 end-to-end: videoFrameStats over realMjpegAviTable matches the per-frame formulas") {
