@@ -85,6 +85,13 @@ object Multimodal {
   case class VideoFrameStats(doc_id: Long, frame_idx: Int, n_pixels: Long,
       sum_lum: Long, sum_sq: Long, min_lum: Int, max_lum: Int)
 
+  /** Per-frame composed-canvas color statistics of a decoded animated
+    * GIF (mm15).
+    */
+  case class GifFrameStats(doc_id: Long, frame_idx: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      sq_r: Long, sq_g: Long, sq_b: Long)
+
   /** Pre-decode image metadata: SOF dims + JFIF density + EXIF IFD0
     * subset (mm14) — the columns a curation pipeline filters on before
     * paying for pixel decode.
@@ -503,6 +510,89 @@ object Multimodal {
             val st = grayStats(m.doc_id, img.pixels)
             VideoFrameStats(m.doc_id, i, st.n_pixels, st.sum_lum,
               st.sum_sq, st.min_lum, st.max_lum)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL animated GIF table (mm15): every doc_id ≡ 0 (mod 6) document
+    * becomes a complete GIF89a animation — a 256-entry NON-gray global
+    * palette (entry i → RGB (i, (i+85) mod 256, (i+170) mod 256), so a
+    * decoder that skips palette resolution goes red on two channels),
+    * nF = 1 + (k mod 3) frames (k = id/6): frame 0 covers the canvas
+    * with index g₀(x,y) = (id + 7x + 13y) mod 256 and is INTERLACED for
+    * odd k (the decoder must reorder the four passes); frames f ≥ 1 are
+    * 8×8 patches at (4f, 2f) with index (id + 17f + 5x + 3y) mod 256 in
+    * CANVAS coordinates, drawn over the running canvas (disposal keep).
+    * GIF is lossless, so the oracle replays the composition formulas
+    * exactly — a wrong LZW width bump, interlace pass order, patch
+    * placement, or palette lookup all go red at the hash gate.
+    * w = 16 + id mod 16, h = 16 + 3id mod 16 (mm7's dims; always ≥ 16 so
+    * the f ≤ 2 patches fit).
+    */
+  def realGifTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        val palette = Array.tabulate[Byte](768) { i =>
+          val idx = i / 3
+          (i % 3) match {
+            case 0 => idx.toByte
+            case 1 => ((idx + 85) % 256).toByte
+            case _ => ((idx + 170) % 256).toByte
+          }
+        }
+        ids.map { id =>
+          val k = id / 6
+          val w = (16 + id % 16).toInt
+          val h = (16 + (id * 3) % 16).toInt
+          val nF = (1 + k % 3).toInt
+          val frames = (0 until nF).map { f =>
+            if (f == 0) {
+              val px = new Array[Byte](w * h)
+              for (y <- 0 until h; x <- 0 until w)
+                px(y * w + x) = ((id + 7L * x + 13L * y) % 256).toByte
+              GifCodec.GifFrame(0, 0, w, h, px,
+                delayCs = (id % 100).toInt, interlace = k % 2 == 1)
+            } else {
+              val px = new Array[Byte](64)
+              for (y <- 0 until 8; x <- 0 until 8)
+                px(y * 8 + x) =
+                  ((id + 17L * f + 5L * (4 * f + x) + 3L * (2 * f + y)) % 256).toByte
+              GifCodec.GifFrame(4 * f, 2 * f, 8, 8, px,
+                delayCs = (id % 100).toInt)
+            }
+          }
+          MediaRow(id, "image", GifCodec.gifEncode(w, h, palette, frames))
+        }
+      }
+  }
+
+  /** Decode animated GIFs to per-composed-frame per-channel stats —
+    * mm15's gated surface. Non-decodable rows drop out (None from the
+    * codec, never a throw).
+    */
+  def gifFrameStats(media: Dataset[MediaRow]): Dataset[GifFrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        GifCodec.gifDecodeFrames(m.content).toSeq.flatMap { g =>
+          val n = g.width * g.height
+          g.frames.iterator.zipWithIndex.map { case (rgb, f) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var qr = 0L; var qg = 0L; var qb = 0L
+            var i = 0
+            while (i < n) {
+              val r = rgb(3 * i) & 0xff
+              val gg = rgb(3 * i + 1) & 0xff
+              val b = rgb(3 * i + 2) & 0xff
+              sr += r; sg += gg; sb += b
+              qr += r.toLong * r; qg += gg.toLong * gg; qb += b.toLong * b
+              i += 1
+            }
+            GifFrameStats(m.doc_id, f, n.toLong, sr, sg, sb, qr, qg, qb)
           }
         }
       }

@@ -222,6 +222,21 @@ object Media extends QueryPack {
         Multimodal.realExifJpegTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM15: REAL animated GIF decode — GIF89a with genuine LSB-first
+    // variable-width LZW, interlaced first frames (odd k), sub-rect
+    // animation frames COMPOSED over the running canvas, and a non-gray
+    // palette so index→RGB resolution is gated on all three channels.
+    // GIF is lossless, so the oracle replays the composition formulas
+    // exactly; ImageIO interop is pinned both directions in
+    // MultimodalSpec. The last common web image format joins the decoded
+    // set — the remaining rejects are genuinely library-bound codecs.
+    "mm15_gif_frame_stats" -> { (s, d) =>
+      Multimodal.gifFrameStats(
+        Multimodal.realGifTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -599,6 +614,50 @@ object Media extends QueryPack {
         |    2000 + doc_id % 26, 1 + doc_id % 12, 1 + doc_id % 28,
         |    doc_id % 24, doc_id % 60, (doc_id * 7) % 60) AS capture_ts
         |FROM documents WHERE doc_id % 6 = 3
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Composition truth from the formulas alone: the composed palette
+    // INDEX at canvas (x,y) after frame f is the latest covering patch
+    // (f ≥ 1 patches are 8×8 at (4f, 2f) with index id+17f+5x+3y mod
+    // 256; frame 0 is the full-canvas id+7x+13y mod 256), and the
+    // palette maps index c → RGB (c, (c+85) mod 256, (c+170) mod 256).
+    // The engine must arrive at the same numbers THROUGH the LZW
+    // bitstream, interlace reorder, and canvas composition.
+    "mm15_gif_frame_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), frm AS (
+        |  SELECT doc_id, w, h, CAST(ff.f AS INT) AS frame_idx
+        |  FROM img, LATERAL (SELECT UNNEST(range(1 + k % 3)) AS f) ff
+        |), px AS (
+        |  SELECT doc_id, frame_idx,
+        |    CASE WHEN frame_idx >= 2 AND xx.x BETWEEN 8 AND 15
+        |              AND yy.y BETWEEN 4 AND 11
+        |           THEN (doc_id + 34 + 5 * xx.x + 3 * yy.y) % 256
+        |         WHEN frame_idx >= 1 AND xx.x BETWEEN 4 AND 11
+        |              AND yy.y BETWEEN 2 AND 9
+        |           THEN (doc_id + 17 + 5 * xx.x + 3 * yy.y) % 256
+        |         ELSE (doc_id + 7 * xx.x + 13 * yy.y) % 256 END AS c
+        |  FROM frm,
+        |    LATERAL (SELECT UNNEST(range(w)) AS x) xx,
+        |    LATERAL (SELECT UNNEST(range(h)) AS y) yy
+        |), rgb AS (
+        |  SELECT doc_id, frame_idx, c AS r, (c + 85) % 256 AS g,
+        |    (c + 170) % 256 AS b
+        |  FROM px
+        |)
+        |SELECT doc_id, frame_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(r * r) AS BIGINT) AS sq_r,
+        |  CAST(SUM(g * g) AS BIGINT) AS sq_g,
+        |  CAST(SUM(b * b) AS BIGINT) AS sq_b
+        |FROM rgb GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -77,12 +77,13 @@ object ScaleCurve {
     "mm9_jpeg_color_stats", "mm10_jpeg420_color_stats",
     "mm11_jpeg_progressive_stats", "mm12_jpeg_progressive_color_stats")
 
-  private def synthesize(s: SparkSession, src: String, dst: String): Unit = {
+  private[tools] def synthesize(s: SparkSession, src: String, dst: String,
+      copies: Int = 5): Unit = {
     new java.io.File(dst).mkdirs()
 
     def shifted(df: DataFrame, keys: Seq[String], textCol: Option[String]): DataFrame = {
       val maxes = keys.map(k => k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
-      (0 until 5).map { i =>
+      (0 until copies).map { i =>
         val keyed = keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i) * maxes(k)))
         textCol.fold(keyed)(t =>
           if (i == 0) keyed
@@ -116,7 +117,7 @@ object ScaleCurve {
     * artifact build bled into the timed window; its true warm ratio is
     * ~4.6 and now the table says so on its own.
     */
-  private def time(s: SparkSession, name: String, dir: String): (Double, Double, Long) = {
+  private[tools] def time(s: SparkSession, name: String, dir: String): (Double, Double, Long) = {
     def once(): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(s, dir).write.mode("overwrite")

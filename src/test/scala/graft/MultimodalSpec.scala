@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{ImageHeader, JpegCodec, MediaCodec, Multimodal}
+import graft.multimodal.{GifCodec, ImageHeader, JpegCodec, MediaCodec, Multimodal}
 
 /** Multimodal plumbing: container-header codec roundtrips, decode
   * determinism, fingerprint consistency with the SQL md5, resize math
@@ -420,10 +420,17 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
       MediaCodec.aviDecodeMjpegFrames(b)
       graft.multimodal.ExifCodec.parseJpegMeta(b)
+      GifCodec.gifDecodeFrames(b)
     }
+    // Animated GIF: mutations land in the block walk, LZW width machine,
+    // interlace reorder and palette bounds checks.
+    val gifGood = GifCodec.gifEncode(16, 16, gifPalette, Seq(
+      GifCodec.GifFrame(0, 0, 16, 16,
+        Array.tabulate[Byte](256)(i => (i * 31 % 256).toByte), interlace = true),
+      GifCodec.GifFrame(4, 4, 8, 8, Array.fill[Byte](64)(5))))
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
-        progColorGood, wavGood, aviGood, exifGood); _ <- 0 until 300) {
+        progColorGood, wavGood, aviGood, exifGood, gifGood); _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
         case 0 => // single-byte corruption
@@ -1202,6 +1209,172 @@ class MultimodalSpec extends AnyFunSuite {
     // Wrong RIFF form type.
     assert(MediaCodec.aviDecodeMjpegFrames(
       patched(8, "WAVE".getBytes("US-ASCII"))).isEmpty)
+  }
+
+  private def gifPalette: Array[Byte] = Array.tabulate[Byte](768) { i =>
+    val idx = i / 3
+    (i % 3) match {
+      case 0 => idx.toByte
+      case 1 => ((idx + 85) % 256).toByte
+      case _ => ((idx + 170) % 256).toByte
+    }
+  }
+
+  test("GIF LZW: roundtrip across sizes including dictionary reset at 4096") {
+    val rnd = new scala.util.Random(7L)
+    for (n <- Seq(1, 2, 255, 4096, 30000)) {
+      // Skewed small alphabet grows long dictionary strings fast (forces
+      // width bumps); the 30000 case drives the dict past 4096 → reset.
+      val data = Array.tabulate[Byte](n)(_ => (rnd.nextInt(7) * 37).toByte)
+      val decoded = GifCodec.lzwDecode(8, GifCodec.lzwEncode(8, data), n)
+      assert(decoded.isDefined, s"n=$n")
+      assert(decoded.get.sameElements(data), s"n=$n")
+    }
+    // Full-range alphabet too.
+    val data = Array.tabulate[Byte](20000)(_ => rnd.nextInt(256).toByte)
+    assert(GifCodec.lzwDecode(8, GifCodec.lzwEncode(8, data), 20000)
+      .exists(_.sameElements(data)))
+  }
+
+  test("GIF codec: multi-frame compose is pixel-exact incl. interlace, transparency, disposal") {
+    val w = 20; val h = 14
+    val f0 = Array.tabulate[Byte](w * h)(i => ((7 * (i % w) + 13 * (i / w)) % 256).toByte)
+    // Patch at (4,2) 8×8, canvas-coordinate formula; one index transparent.
+    val tIdx = ((17 + 5 * 4 + 3 * 2) % 256) // the patch's origin value → hole
+    val f1 = Array.tabulate[Byte](64) { i =>
+      val x = 4 + i % 8; val y = 2 + i / 8
+      ((17 + 5 * x + 3 * y) % 256).toByte
+    }
+    val gif = GifCodec.gifEncode(w, h, gifPalette, Seq(
+      GifCodec.GifFrame(0, 0, w, h, f0, delayCs = 5, interlace = true),
+      GifCodec.GifFrame(4, 2, 8, 8, f1, delayCs = 7, transparent = tIdx)))
+    val g = GifCodec.gifDecodeFrames(gif).get
+    assert(g.width === w && g.height === h && g.frames.length === 2)
+    assert(g.delaysCs === Vector(5, 7))
+    def rgbOfIdx(c: Int): (Int, Int, Int) = (c, (c + 85) % 256, (c + 170) % 256)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (7 * x + 13 * y) % 256
+      val (r0, g0, b0) = rgbOfIdx(base)
+      val o = (y * w + x) * 3
+      assert((g.frames(0)(o) & 0xff, g.frames(0)(o + 1) & 0xff,
+        g.frames(0)(o + 2) & 0xff) === ((r0, g0, b0)), s"f0 ($x,$y)")
+      val inPatch = x >= 4 && x < 12 && y >= 2 && y < 10
+      val idx1 = if (inPatch) (17 + 5 * x + 3 * y) % 256 else base
+      // The transparent index keeps frame 0's pixel.
+      val eff = if (inPatch && idx1 == tIdx) base else idx1
+      val (r1, g1, b1) = rgbOfIdx(eff)
+      assert((g.frames(1)(o) & 0xff, g.frames(1)(o + 1) & 0xff,
+        g.frames(1)(o + 2) & 0xff) === ((r1, g1, b1)), s"f1 ($x,$y)")
+    }
+    // Disposal 2 (restore background): the frame after a disposal-2 patch
+    // sees the patch rect back at the background color (palette entry 0).
+    val gif2 = GifCodec.gifEncode(w, h, gifPalette, Seq(
+      GifCodec.GifFrame(0, 0, w, h, f0),
+      GifCodec.GifFrame(4, 2, 8, 8, f1, disposal = 2),
+      GifCodec.GifFrame(0, 0, 1, 1, Array[Byte](3))))
+    val g2 = GifCodec.gifDecodeFrames(gif2).get
+    val (br, bg, bb) = rgbOfIdx(0)
+    val oo = (5 * w + 6) * 3 // inside the disposed rect
+    assert((g2.frames(2)(oo) & 0xff, g2.frames(2)(oo + 1) & 0xff,
+      g2.frames(2)(oo + 2) & 0xff) === ((br, bg, bb)))
+  }
+
+  test("GIF interop: ImageIO reads our file; our decoder reads ImageIO's") {
+    import javax.imageio.ImageIO
+    // Ours → ImageIO (first frame of a 2-frame animation must equal our
+    // own composed frame 0).
+    val w = 24; val h = 18
+    val f0 = Array.tabulate[Byte](w * h)(i => ((i * 11) % 256).toByte)
+    val gif = GifCodec.gifEncode(w, h, gifPalette, Seq(
+      GifCodec.GifFrame(0, 0, w, h, f0, interlace = true),
+      GifCodec.GifFrame(2, 2, 4, 4, Array.fill[Byte](16)(9))))
+    val bi = ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(bi.getWidth === w && bi.getHeight === h)
+    val ours = GifCodec.gifDecodeFrames(gif).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((rgb >> 16) & 0xff) === (ours.frames(0)(o) & 0xff), s"R ($x,$y)")
+      assert(((rgb >> 8) & 0xff) === (ours.frames(0)(o + 1) & 0xff), s"G ($x,$y)")
+      assert((rgb & 0xff) === (ours.frames(0)(o + 2) & 0xff), s"B ($x,$y)")
+    }
+    // ImageIO → ours: a few-color image survives the writer's palette
+    // losslessly; our decoder must reproduce the JDK's own pixels.
+    val src = new java.awt.image.BufferedImage(17, 13,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 13; x <- 0 until 17)
+      src.setRGB(x, y, Seq(0xff0000, 0x00ff00, 0x0000ff, 0x808080)((x + y) % 4))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(src, "gif", bos))
+    val theirs = bos.toByteArray
+    val dec = GifCodec.gifDecodeFrames(theirs)
+    assert(dec.isDefined, "our decoder must read the JDK's GIF output")
+    val d = dec.get
+    assert(d.width === 17 && d.height === 13)
+    for (y <- 0 until 13; x <- 0 until 17) {
+      val rgb = src.getRGB(x, y)
+      val o = (y * 17 + x) * 3
+      assert(((rgb >> 16) & 0xff) === (d.frames(0)(o) & 0xff), s"R ($x,$y)")
+      assert(((rgb >> 8) & 0xff) === (d.frames(0)(o + 1) & 0xff), s"G ($x,$y)")
+      assert((rgb & 0xff) === (d.frames(0)(o + 2) & 0xff), s"B ($x,$y)")
+    }
+  }
+
+  test("GIF decode rejects malformed structures, never throws") {
+    val w = 16; val h = 16
+    val f0 = Array.tabulate[Byte](w * h)(i => (i % 256).toByte)
+    val good = GifCodec.gifEncode(w, h, gifPalette,
+      Seq(GifCodec.GifFrame(0, 0, w, h, f0)))
+    assert(GifCodec.gifDecodeFrames(good).isDefined)
+    // Trailing bytes after the trailer (terminal-trailer strictness).
+    assert(GifCodec.gifDecodeFrames(good ++ Array[Byte](0)).isEmpty)
+    // Missing trailer.
+    assert(GifCodec.gifDecodeFrames(good.dropRight(1)).isEmpty)
+    // Bad signature.
+    val badSig = good.clone(); badSig(3) = '7'.toByte; badSig(4) = '8'.toByte
+    assert(GifCodec.gifDecodeFrames(badSig).isEmpty)
+    // Fixed layout: header 13 + GCT 768 → GCE at 781, descriptor at 789.
+    val gce = 13 + 768
+    assert((good(gce) & 0xff) === 0x21 && (good(gce + 1) & 0xff) === 0xf9)
+    val desc = gce + 8
+    assert((good(desc) & 0xff) === 0x2c)
+    // Frame rect outside the canvas (image descriptor left = 200).
+    val badRect = good.clone(); badRect(desc + 1) = 200.toByte
+    assert(GifCodec.gifDecodeFrames(badRect).isEmpty)
+    // Disposal 3 (restore previous) is unsupported → reject.
+    val badDisp = good.clone(); badDisp(gce + 3) = (3 << 2).toByte
+    assert(GifCodec.gifDecodeFrames(badDisp).isEmpty)
+    // Truncations never throw.
+    for (n <- 0 until good.length by 7)
+      GifCodec.gifDecodeFrames(good.take(n))
+  }
+
+  test("mm15 end-to-end: gifFrameStats over realGifTable matches the composition formulas") {
+    import spark.implicits._
+    val stats = Multimodal.gifFrameStats(
+      Multimodal.realGifTable(spark, docs)).collect()
+    val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 0).toSet
+    assert(stats.map(_.doc_id).toSet === ids, "every GIF row must decode")
+    stats.groupBy(_.doc_id).foreach { case (id, rows) =>
+      val k = id / 6
+      val w = (16 + id % 16).toInt; val h = (16 + (id * 3) % 16).toInt
+      assert(rows.length === (1 + k % 3).toInt, s"id=$id frame count")
+      rows.foreach { st =>
+        val f = st.frame_idx
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val c =
+            if (f >= 2 && x >= 8 && x < 16 && y >= 4 && y < 12)
+              ((id + 34 + 5L * x + 3L * y) % 256).toInt
+            else if (f >= 1 && x >= 4 && x < 12 && y >= 2 && y < 10)
+              ((id + 17 + 5L * x + 3L * y) % 256).toInt
+            else ((id + 7L * x + 13L * y) % 256).toInt
+          sr += c; sg += (c + 85) % 256; sb += (c + 170) % 256
+        }
+        assert(st.n_pixels === w.toLong * h, s"id=$id f=$f")
+        assert((st.sum_r, st.sum_g, st.sum_b) === ((sr, sg, sb)), s"id=$id f=$f")
+      }
+    }
   }
 
   test("EXIF/JFIF codec: build → parse recovers every field in BOTH TIFF byte orders") {
