@@ -41,6 +41,16 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffles START wide and AQE coalesces SMALL ones back down — the
+      // standard shape for data whose scale the static conf can't know.
+      // Measured (audits/g13_partition_probe.md): at 25× sf0.1 the
+      // HyperBall sketch aggregate packs 25× more ~1KB HLL sketches per
+      // reducer; 256 initial partitions cut its warm time 83.7 → 58.6 s
+      // (cold 198.7 → 85.1 s) while sf0.1 is unchanged (3.83 → 3.62 s,
+      // AQE coalesces the small shuffle right back). On a 1000-executor
+      // cluster this would be set ≫ cores; 8× local cores mirrors that.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

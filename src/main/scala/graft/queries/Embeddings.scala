@@ -203,7 +203,11 @@ object Embeddings extends QueryPack {
     },
 
     // V3: nearest-neighbor edge per sampled probe (every 4th vector) — the
-    // NN-graph building block for embedding near-dup clustering.
+    // NN-graph building block for embedding near-dup clustering. EXACT
+    // BASELINE, O(probes × corpus) like v1 — the 25× scale curve measures
+    // that quadratic directly (r25 = 33.75 on 25× data, rows 25×). The
+    // production path at scale is v14 below: identical edge semantics,
+    // candidates restricted to the probe's IVF list.
     "v3_nn_graph" -> { (s, d) =>
       val c = corpus(s, d)
       val q = broadcast(
@@ -213,6 +217,35 @@ object Embeddings extends QueryPack {
         .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("cos_sim"))
+        .orderBy("qid")
+    },
+
+    // V14: PRODUCTION NN-graph (the 25×-curve named fix for v3's UP bend):
+    // the same every-4th-vector NN edge, but each probe's candidates come
+    // ONLY from its 2 nearest lists in the persisted IVF index (nprobe=2,
+    // the v7 boundary-recall fix) — Σ_L |probes_L|·|list_L| ≈ 2N²/nLists
+    // work instead of N², and nLists grows with the corpus at scale so
+    // list sizes stay bounded (the SemDeDup/v10 regime). The probe set is
+    // corpus-dense (N/4 rows), so this uses the v9 BULK shape:
+    // `broadcastProbes = false` shuffles both sides on the list id — the
+    // only plan that survives when the probe side is itself a
+    // corpus-scale table. Probes whose probed lists hold no other vector
+    // emit no edge (inner join), mirrored by the oracle. Approximate by
+    // construction (a probe's true NN can sit outside both probed lists);
+    // IvfIndexSpec pins the cosine-regret ceiling vs the exact v3
+    // (measured mean 0.023 on the sf0.001 fixture).
+    "v14_nn_graph_ivf" -> { (s, d) =>
+      val c = corpus(s, d)
+      val dense = c.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm"))
+      val (lists, cents) = ivfModel(s, d)
+      val scored = graft.operators.IvfIndex
+        .scoredCandidates(lists, cents, dense, nprobe = 2, broadcastProbes = false)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored.select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid"), col("vec_id").as("nn_id"), col("cos_sim"))
         .orderBy("qid")
@@ -758,6 +791,28 @@ object Embeddings extends QueryPack {
          |sc AS (
          |  SELECT qid, vec_id, round(${cosSql("qe", "emb")}, 6) AS cos_sim
          |  FROM q, v WHERE vec_id != qid
+         |)
+         |SELECT qid, vec_id AS nn_id, cos_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
+         |) WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    // v3's production sibling: the full IVF chain (seeds → Lloyd's rounds
+    // → lists, same CTEs as v5/v7/v9), dense every-4th probes assigned to
+    // their TWO nearest final centers (nprobe=2, the v7 shape), NN ranked
+    // within the probed lists only.
+    "v14_nn_graph_ivf" ->
+      s"""WITH $ivfSql,
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 4 = 0),
+         |assigned AS (
+         |  SELECT qid, qe, csid FROM (
+         |    SELECT qid, qe, csid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
+         |    FROM q, cent
+         |  ) WHERE arn <= 2
+         |),
+         |sc AS (
+         |  SELECT qid, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
+         |  FROM assigned a JOIN lists l ON l.lid = a.csid AND l.vec_id != a.qid
          |)
          |SELECT qid, vec_id AS nn_id, cos_sim FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc

@@ -75,7 +75,12 @@ object ScaleCurve {
     // decode + IDCT (+ RGB transform), embarrassingly parallel, should
     // track ~5× on 5× rows like mm7/mm8.
     "mm9_jpeg_color_stats", "mm10_jpeg420_color_stats",
-    "mm11_jpeg_progressive_stats", "mm12_jpeg_progressive_color_stats")
+    "mm11_jpeg_progressive_stats", "mm12_jpeg_progressive_color_stats",
+    // round-12 additions: the three new decoders (per-row flatMap decode,
+    // should track ~5× on 5× rows) and the IVF-routed NN-graph — v3's
+    // production sibling, whose candidate work is Σ|list|² not N².
+    "mm13_video_frame_stats", "mm14_exif_metadata", "mm15_gif_frame_stats",
+    "v14_nn_graph_ivf")
 
   private[tools] def synthesize(s: SparkSession, src: String, dst: String,
       copies: Int = 5): Unit = {

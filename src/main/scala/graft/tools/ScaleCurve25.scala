@@ -33,6 +33,9 @@ object ScaleCurve25 {
     "t11_contamination", "t13_neardup_clusters", "v13_pq_rescore")
 
   def main(args: Array[String]): Unit = {
+    // args select a subset (incremental reruns append to the existing
+    // table rather than regenerating all ten rows); no args = full list.
+    val selected = if (args.nonEmpty) args.toSeq else Queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-scale-curve-25x")
     // Same sf0.1-base resolution as ScaleCurve/HyperBallKnob (ADVICE r11).
@@ -54,7 +57,7 @@ object ScaleCurve25 {
 
     final case class Row(q: String, t1: Double, t5: Double, t25: Double,
         n1: Long, n5: Long, n25: Long)
-    val rows = Queries.flatMap { q =>
+    val rows = selected.flatMap { q =>
       try {
         val (_, t1, n1) = ScaleCurve.time(spark, q, base)
         val (_, t5, n5) = ScaleCurve.time(spark, q, mid)
@@ -72,24 +75,26 @@ object ScaleCurve25 {
 
     val log5 = math.log(5.0)
     val md = new StringBuilder
-    md.append("# Bench scale curve — 25× synthesized data (round 12)\n\n")
-    md.append("Same synthesis as `bench_scale_curve.md` (shifted-key copies, ")
-    md.append("document copies\ncarry a one-token suffix) at 5 AND 25 copies; ")
-    md.append("times at local[32], warm =\nbest-of-2 after the build+first run ")
-    md.append("at each scale (one-time artifact builds\nexcluded). The ten rows ")
-    md.append("are VERDICT r11's pick: the operators nearest the\n5× warm-arm ")
-    md.append("ceiling plus the iterative/banded family.\n\n")
-    md.append("**Bars.** PASS = warm 25× ratio ≤ ~30 (linear 25× plus the same ")
-    md.append("1.2×\nheadroom the 5× bar used) OR time÷rows ≤ ~2 (output-growth ")
-    md.append("arm, for\noperators whose measured workload grows super-linearly ")
-    md.append("by construction).\n**Bend** compares per-octave scaling exponents ")
-    md.append("e₁ = log₅(warm₅/warm₁) and\ne₂ = log₅(warm₂₅/warm₅): `flat` when ")
-    md.append("e₂ ≤ e₁ + 0.15 (the curve is not\nbending up between the ")
-    md.append("octaves; 0.15 ≈ the ±0.3 s host-noise band at\nthese ")
-    md.append("magnitudes), `UP` otherwise.\n\n")
-    md.append("| query | sf0.1 warm (s) | 5× warm (s) | 25× warm (s) | r5 | r25 ")
-    md.append("| rows 0.1→25× | rows × | time÷rows | e₁ | e₂ | bend | verdict |\n")
-    md.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|\n")
+    if (args.isEmpty) {
+      md.append("# Bench scale curve — 25× synthesized data (round 12)\n\n")
+      md.append("Same synthesis as `bench_scale_curve.md` (shifted-key copies, ")
+      md.append("document copies\ncarry a one-token suffix) at 5 AND 25 copies; ")
+      md.append("times at local[32], warm =\nbest-of-2 after the build+first run ")
+      md.append("at each scale (one-time artifact builds\nexcluded). The ten rows ")
+      md.append("are VERDICT r11's pick: the operators nearest the\n5× warm-arm ")
+      md.append("ceiling plus the iterative/banded family.\n\n")
+      md.append("**Bars.** PASS = warm 25× ratio ≤ ~30 (linear 25× plus the same ")
+      md.append("1.2×\nheadroom the 5× bar used) OR time÷rows ≤ ~2 (output-growth ")
+      md.append("arm, for\noperators whose measured workload grows super-linearly ")
+      md.append("by construction).\n**Bend** compares per-octave scaling exponents ")
+      md.append("e₁ = log₅(warm₅/warm₁) and\ne₂ = log₅(warm₂₅/warm₅): `flat` when ")
+      md.append("e₂ ≤ e₁ + 0.15 (the curve is not\nbending up between the ")
+      md.append("octaves; 0.15 ≈ the ±0.3 s host-noise band at\nthese ")
+      md.append("magnitudes), `UP` otherwise.\n\n")
+      md.append("| query | sf0.1 warm (s) | 5× warm (s) | 25× warm (s) | r5 | r25 ")
+      md.append("| rows 0.1→25× | rows × | time÷rows | e₁ | e₂ | bend | verdict |\n")
+      md.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|\n")
+    }
     rows.foreach { r =>
       val r5 = r.t5 / r.t1; val r25 = r.t25 / r.t1
       val rowsX = if (r.n1 > 0) r.n25.toDouble / r.n1 else Double.NaN
@@ -103,8 +108,10 @@ object ScaleCurve25 {
         f"| $tpr%.2f | $e1%.2f | $e2%.2f | $bend " +
         s"| ${if (pass) "PASS" else "FAIL"} |\n")
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("audits/bench_scale_curve_25x.md"), md.toString)
+    val path = java.nio.file.Paths.get("audits/bench_scale_curve_25x.md")
+    if (args.isEmpty) java.nio.file.Files.writeString(path, md.toString)
+    else java.nio.file.Files.writeString(path, md.toString,
+      java.nio.file.StandardOpenOption.APPEND, java.nio.file.StandardOpenOption.CREATE)
     println("[scale25] wrote audits/bench_scale_curve_25x.md")
     spark.stop()
   }
