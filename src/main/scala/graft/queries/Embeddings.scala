@@ -122,7 +122,7 @@ object Embeddings extends QueryPack {
     * the final assignment `lists`, so downstream query SQL is independent
     * of the round count.
     */
-  private def ivfSqlFor(vWhere: String): String = {
+  private def ivfSqlFor(vWhere: String, nListsSql: String = nLists.toString): String = {
     val skeySql = "md5(CAST(vec_id AS VARCHAR))"
     val rounds = (1 to ivfIters).map { i =>
       val prevCent = if (i == 1) "seeds" else s"cent${i - 1}"
@@ -134,7 +134,7 @@ object Embeddings extends QueryPack {
        |seeds AS MATERIALIZED (
        |  SELECT emb AS cemb,
        |    ROW_NUMBER() OVER (ORDER BY $skeySql ASC, vec_id ASC) AS csid
-       |  FROM sdd ORDER BY $skeySql ASC, vec_id ASC LIMIT $nLists
+       |  FROM sdd ORDER BY $skeySql ASC, vec_id ASC LIMIT $nListsSql
        |),
        |$rounds,
        |lists AS MATERIALIZED (
@@ -148,6 +148,39 @@ object Embeddings extends QueryPack {
   }
 
   private val ivfSql: String = ivfSqlFor("")
+
+  /** Production IVF sizing: nLists grows with the corpus so the MEAN list
+    * size stays ~[[denseListTarget]] — the standard IVF deployment rule
+    * (fixed nLists would leave per-list work quadratic in N). Integer
+    * form `(n+63)/64` == ceil(n/64) == the oracle's
+    * `ceil(count(*)/64.0)`, so both engines train the same K.
+    */
+  private val denseListTarget = 64
+  private def denseNLists(n: Long): Int =
+    math.max(8L, (n + denseListTarget - 1) / denseListTarget).toInt
+
+  /** The corpus-proportioned sibling of [[ivfModel]] (same Lloyd's
+    * build, K = [[denseNLists]](N)), persisted as its own artifact pair.
+    * Backs the dense-probe operators (v14) where the serving model's
+    * fixed nLists=8 would cap parallelism at 8 shuffle partitions and
+    * leave candidate work at N²/8. The K-derivation count is a one-time
+    * control-plane read (artifact-cached thereafter).
+    */
+  private def denseIvfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.sources.ArtifactStore
+    val c = corpus(s, d)
+    lazy val m = graft.operators.IvfIndex.build(c, denseNLists(c.count()), ivfIters)
+    val lists = ArtifactStore.snapshot(s, d, "ivf_dense_lists", Seq("lid"))(m.lists)
+    val cents = ArtifactStore.snapshot(s, d, "ivf_dense_centers")(m.centers)
+    (lists, cents)
+  }
+
+  /** The dense-model SQL mirror: same CTE chain, K from the corpus count
+    * (DuckDB subquery LIMIT), so the oracle trains the identical
+    * quantizer at any SF.
+    */
+  private val denseIvfSql: String = ivfSqlFor("",
+    s"(SELECT greatest(8, CAST(ceil(count(*) / $denseListTarget.0) AS BIGINT)) FROM v)")
 
   /** SemDeDup removal set shared by v10 and e4: within each IVF list,
     * members of a ≥0.4-cosine pair that are NOT the pair's smallest id.
@@ -223,29 +256,33 @@ object Embeddings extends QueryPack {
     },
 
     // V14: PRODUCTION NN-graph (the 25×-curve named fix for v3's UP bend):
-    // the same every-4th-vector NN edge, but each probe's candidates come
-    // ONLY from its 2 nearest lists in the persisted IVF index (nprobe=2,
-    // the v7 boundary-recall fix) — Σ_L |probes_L|·|list_L| ≈ 2N²/nLists
-    // work instead of N², and nLists grows with the corpus at scale so
-    // list sizes stay bounded (the SemDeDup/v10 regime). The probe set is
-    // corpus-dense (N/4 rows), so this uses the v9 BULK shape:
-    // `broadcastProbes = false` shuffles both sides on the list id — the
-    // only plan that survives when the probe side is itself a
-    // corpus-scale table. Probes whose probed lists hold no other vector
-    // emit no edge (inner join), mirrored by the oracle. Approximate by
-    // construction (a probe's true NN can sit outside both probed lists);
-    // IvfIndexSpec pins the cosine-regret ceiling vs the exact v3
-    // (measured mean 0.023 on the sf0.001 fixture).
+    // the same every-4th-vector NN edge, computed inside the
+    // corpus-proportioned IVF index ([[denseIvfModel]]: K = N/64, so mean
+    // list size stays ~64 at ANY corpus size). Two scale properties make
+    // this linear where v3 is quadratic: (1) a probe IS a corpus vector,
+    // so its list assignment is already a column of the inverted file —
+    // the home-list join replaces any O(probes × K) center argmax; (2)
+    // candidates are the probe's home list only, so total candidate work
+    // is Σ_L (|L|/4)·|L| ≈ N·listTarget/4 — linear in N, parallel across
+    // K lids (the SemDeDup within-cluster-NN shape, v10's regime). A
+    // first FAILED cut of this query kept the serving model's fixed
+    // nLists=8 and shuffled probe-vs-corpus on 8 distinct keys — measured
+    // SLOWER than brute v3 at 25× (66.7 s vs 46.1 s: N²/8 work on ≤8
+    // effective partitions); the dense model is the fix the measurement
+    // named. Probes in a singleton list emit no edge (inner join),
+    // mirrored by the oracle. Approximate by construction (the true NN
+    // can sit across the cell boundary); IvfIndexSpec pins the
+    // cosine-regret ceiling vs the exact v3.
     "v14_nn_graph_ivf" -> { (s, d) =>
-      val c = corpus(s, d)
-      val dense = c.filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qnrm"))
-      val (lists, cents) = ivfModel(s, d)
-      val scored = graft.operators.IvfIndex
-        .scoredCandidates(lists, cents, dense, nprobe = 2, broadcastProbes = false)
+      val (lists, _) = denseIvfModel(s, d)
+      val probes = lists.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"),
+          col("nrm").as("qnrm"), col("lid").as("qlid"))
+      val scored = probes
+        .join(lists, col("lid") === col("qlid") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), pairCos.as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-      scored.select(col("qid"), col("vec_id"), col("cos_sim"))
-        .withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid"), col("vec_id").as("nn_id"), col("cos_sim"))
         .orderBy("qid")
@@ -796,23 +833,16 @@ object Embeddings extends QueryPack {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
          |) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
-    // v3's production sibling: the full IVF chain (seeds → Lloyd's rounds
-    // → lists, same CTEs as v5/v7/v9), dense every-4th probes assigned to
-    // their TWO nearest final centers (nprobe=2, the v7 shape), NN ranked
-    // within the probed lists only.
+    // v3's production sibling: the corpus-proportioned Lloyd's chain
+    // (K = ceil(N/64) via subquery LIMIT — same integer K the engine
+    // trains), every-4th probes read their HOME list id from the final
+    // assignment, NN ranked within the home list only.
     "v14_nn_graph_ivf" ->
-      s"""WITH $ivfSql,
-         |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id % 4 = 0),
-         |assigned AS (
-         |  SELECT qid, qe, csid FROM (
-         |    SELECT qid, qe, csid,
-         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(${cosSql("qe", "cemb")}, 6) DESC, csid ASC) AS arn
-         |    FROM q, cent
-         |  ) WHERE arn <= 2
-         |),
+      s"""WITH $denseIvfSql,
+         |q AS (SELECT vec_id AS qid, emb AS qe, lid AS qlid FROM lists WHERE vec_id % 4 = 0),
          |sc AS (
          |  SELECT qid, l.vec_id, round(${cosSql("qe", "l.emb")}, 6) AS cos_sim
-         |  FROM assigned a JOIN lists l ON l.lid = a.csid AND l.vec_id != a.qid
+         |  FROM q JOIN lists l ON l.lid = q.qlid AND l.vec_id != q.qid
          |)
          |SELECT qid, vec_id AS nn_id, cos_sim FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc

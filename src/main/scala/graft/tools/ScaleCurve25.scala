@@ -50,10 +50,19 @@ object ScaleCurve25 {
     val tmp = System.getProperty("java.io.tmpdir")
     val mid = s"$tmp/graft_sf05"
     val big = s"$tmp/graft_sf25"
-    println("[scale25] synthesizing 5x dataset...")
-    ScaleCurve.synthesize(spark, base, mid, copies = 5)
-    println("[scale25] synthesizing 25x dataset...")
-    ScaleCurve.synthesize(spark, base, big, copies = 25)
+    // The synthesized dirs are deterministic functions of (base, copies) —
+    // reuse them across incremental invocations instead of re-writing
+    // ~400 MB of parquet per run. `events.parquet` is the LAST table
+    // synthesize writes, so its presence marks a complete prior run.
+    def ensure(dst: String, copies: Int): Unit =
+      if (new java.io.File(s"$dst/events.parquet").isDirectory)
+        println(s"[scale25] reusing existing ${copies}x dataset at $dst")
+      else {
+        println(s"[scale25] synthesizing ${copies}x dataset...")
+        ScaleCurve.synthesize(spark, base, dst, copies)
+      }
+    ensure(mid, 5)
+    ensure(big, 25)
 
     final case class Row(q: String, t1: Double, t5: Double, t25: Double,
         n1: Long, n5: Long, n25: Long)

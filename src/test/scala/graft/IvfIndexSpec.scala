@@ -164,7 +164,8 @@ class IvfIndexSpec extends AnyFunSuite {
 
   test("v14 (IVF NN-graph) cosine-regret floor vs the exact v3 baseline") {
     // v14 is v3's production path: same NN-edge semantics, candidates
-    // restricted to the probe's 2 nearest IVF lists. The accuracy contract
+    // restricted to the probe's HOME list in the corpus-proportioned
+    // (dense) IVF index. The accuracy contract
     // is cosine REGRET, not argmax identity (on an unclustered fixture
     // many vectors tie near the top, so "same nn_id" is the wrong metric —
     // what near-dup curation needs is a neighbor nearly as close as the
@@ -185,10 +186,10 @@ class IvfIndexSpec extends AnyFunSuite {
       .agg(avg(col("exact_cos") - col("ivf_cos")),
         expr("percentile(exact_cos - ivf_cos, 0.9)"))
       .head().toSeq.map(_.asInstanceOf[Double]).toArray
-    // Measured on this fixture: mean 0.023, p90 0.075 — ceilings at ~2×
+    // Measured on this fixture: mean 0.041, p90 0.110 — ceilings at ~2×
     // measured so quantizer-seed changes don't flap the pin.
     info(f"v14 regret: mean=$mean%.4f p90=$p90%.4f")
-    assert(mean <= 0.05, f"mean regret $mean%.4f over the 0.05 ceiling")
-    assert(p90 <= 0.15, f"p90 regret $p90%.4f over the 0.15 ceiling")
+    assert(mean <= 0.08, f"mean regret $mean%.4f over the 0.08 ceiling")
+    assert(p90 <= 0.20, f"p90 regret $p90%.4f over the 0.20 ceiling")
   }
 }
