@@ -690,6 +690,46 @@ object Multimodal {
     }
   }
 
+  /** REAL LOSSLESS (SOF3, T.81 Annex H) JPEG table (mm16): every doc_id
+    * ≡ 4 (mod 6) document becomes a complete lossless-process grayscale
+    * JPEG. Lossless decode needs no coefficient-domain trickery — the
+    * container reproduces its input EXACTLY — so the fixture works
+    * straight in the pixel domain: px(x, y) = (id + 7x + 13y + (x·y mod
+    * 5)) mod 256 (the x·y term keeps the surface non-planar, so the
+    * planar predictors 4–7 still code non-trivial differences) over odd,
+    * non-block-aligned dims w = 13 + (k mod 17), h = 11 + (3k mod 19)
+    * with k = id/6 — lossless JPEG has no 8×8 grid. The coding path
+    * varies per image: predictor 1 + (k mod 7) cycles all seven Annex H
+    * selectors, point transform k mod 3 ∈ {0,1,2} (the decoded sample is
+    * (px >> pt) << pt — the one knob the oracle must model), and every
+    * 4th image carries line-aligned restart markers (reset to the
+    * 2^(P−pt−1) default + the first-line Ra rule mid-image). The oracle
+    * replays only the pixel formula and the point transform; every
+    * predictor/restart subtlety is engine-side, where any slip breaks
+    * exact reconstruction and the hash.
+    */
+  def realLosslessJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 4)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 6
+          val w = (13 + k % 17).toInt
+          val h = (11 + (3 * k) % 19).toInt
+          val sel = (1 + k % 7).toInt
+          val pt = (k % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((id + 7L * x + 13L * y + (x * y) % 5) % 256).toInt
+          }
+          MediaRow(id, "image", JpegCodec.jpegEncodeLossless(w, h,
+            precision = 8, sel, pt, px,
+            restartInterval = if (k % 4 == 1) w else 0))
+        }
+      }
+  }
+
   /** Shared gray-8 pixel-stats reduction behind mm7/mm8. */
   private def grayStats(docId: Long, pixels: Array[Byte]): ImagePixelStats = {
     var sum = 0L; var sq = 0L; var mn = 255; var mx = 0

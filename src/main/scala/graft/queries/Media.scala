@@ -237,6 +237,22 @@ object Media extends QueryPack {
         Multimodal.realGifTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // MM16: REAL LOSSLESS (SOF3, T.81 Annex H) JPEG decode — the archival/
+    // medical/raw-sensor JPEG process: no DCT, no quantization; each
+    // sample Huffman-coded as a category + EXTEND difference from one of
+    // the seven Annex H predictors, modulo 2^16. Fixtures vary the
+    // predictor (all seven), the point transform (0..2), and line-aligned
+    // restart markers per image, over odd non-block dims; the oracle
+    // replays only the pixel formula and the point-transform floor —
+    // every predictor/restart subtlety is engine-side, where any slip
+    // breaks exact reconstruction and goes red at the hash gate.
+    "mm16_jpeg_lossless_stats" -> { (s, d) =>
+      Multimodal.jpegPixelStats(
+        Multimodal.realLosslessJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -658,6 +674,37 @@ object Media extends QueryPack {
         |  CAST(SUM(g * g) AS BIGINT) AS sq_g,
         |  CAST(SUM(b * b) AS BIGINT) AS sq_b
         |FROM rgb GROUP BY doc_id, frame_idx
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Lossless truth from the formula + point transform alone: decoded
+    // sample = ((id + 7x + 13y + (x·y mod 5)) mod 256 >> pt) << pt with
+    // pt = k mod 3 — the engine must arrive at the same numbers THROUGH
+    // the Annex H predictor chain (all seven selectors across images),
+    // the mod-2^16 difference decode, and mid-image restart resets.
+    "mm16_jpeg_lossless_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k FROM documents WHERE doc_id % 6 = 4
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(13 + k % 17 AS BIGINT) AS w,
+        |    CAST(11 + (3 * k) % 19 AS BIGINT) AS h,
+        |    CAST(CASE WHEN k % 3 = 0 THEN 1 WHEN k % 3 = 1 THEN 2
+        |              ELSE 4 END AS BIGINT) AS q
+        |  FROM img
+        |), px AS (
+        |  SELECT d.doc_id,
+        |    (((d.doc_id + 7 * xx.x + 13 * yy.y + (xx.x * yy.y) % 5) % 256)
+        |      // d.q) * d.q AS g
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range(d.w)) AS x) xx,
+        |    LATERAL (SELECT UNNEST(range(d.h)) AS y) yy
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(g) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(g) AS INT) AS min_lum,
+        |  CAST(MAX(g) AS INT) AS max_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

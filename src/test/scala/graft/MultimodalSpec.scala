@@ -400,6 +400,10 @@ class MultimodalSpec extends AnyFunSuite {
     val (_, _, j420Good, _) = jpeg420Fixture(7L)
     val (_, _, progGood, _) = progressiveGrayFixture(10L)
     val (_, _, progColorGood, _) = progressiveColorFixture(10L)
+    // Lossless (SOF3): mutations land in the predictor chain, the SSSS-16
+    // path and the restart bookkeeping.
+    val losslessGood = JpegCodec.jpegEncodeLossless(9, 6, 8, 5, 1,
+      Array.tabulate(54)(i => (i * 29) % 256), restartInterval = 18)
     val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
       Array.tabulate[Byte](64)(i => (i * 7).toByte)
     // MJPEG AVI: mutations land in the RIFF list walk, the avih/strh/strf
@@ -416,6 +420,7 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.pngDecodePixels(b)
       JpegCodec.jpegDecodePixels(b)
       JpegCodec.jpegDecodeColorPixels(b)
+      JpegCodec.jpegDecodeLossless(b)
       MediaCodec.parseImageHeader(b)
       MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
       MediaCodec.aviDecodeMjpegFrames(b)
@@ -430,7 +435,8 @@ class MultimodalSpec extends AnyFunSuite {
       GifCodec.GifFrame(4, 4, 8, 8, Array.fill[Byte](64)(5))))
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
-        progColorGood, wavGood, aviGood, exifGood, gifGood); _ <- 0 until 300) {
+        progColorGood, losslessGood, wavGood, aviGood, exifGood, gifGood);
+        _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
         case 0 => // single-byte corruption
@@ -1471,6 +1477,134 @@ class MultimodalSpec extends AnyFunSuite {
         assert(st.min_lum === vs.lazyZip(ms).map(_ - _).min, s"id=$id f=$f")
         assert(st.max_lum === vs.lazyZip(ms).map(_ + _).max, s"id=$id f=$f")
       }
+    }
+  }
+
+  test("lossless JPEG: roundtrip is bit-exact across predictors, precisions, point transforms, restarts") {
+    val rnd = new scala.util.Random(20260815L)
+    for {
+      precision <- Seq(8, 12, 16)
+      sel <- 1 to 7
+      pt <- Seq(0, 1, 2)
+      ri <- Seq(0, 1, 2) // ×w below
+    } {
+      val w = 5 + rnd.nextInt(20); val h = 3 + rnd.nextInt(20)
+      val maxV = (1 << precision) - 1
+      val px = Array.fill(w * h)(rnd.nextInt(maxV + 1))
+      val bytes = JpegCodec.jpegEncodeLossless(w, h, precision, sel, pt, px,
+        restartInterval = ri * w)
+      val dec = JpegCodec.jpegDecodeLossless(bytes)
+      assert(dec.isDefined, s"P=$precision sel=$sel pt=$pt ri=$ri")
+      val im = dec.get
+      assert(im.width === w && im.height === h && im.precision === precision)
+      val expected = px.map(v => (v >> pt) << pt)
+      assert(im.samples.toSeq === expected.toSeq,
+        s"P=$precision sel=$sel pt=$pt ri=$ri")
+      // 8-bit lossless also rides the shared grayscale surface (mm16).
+      if (precision == 8) {
+        val gray = JpegCodec.jpegDecodePixels(bytes)
+        assert(gray.isDefined && gray.get.pixels.toSeq ===
+          expected.map(_.toByte).toSeq)
+      } else {
+        assert(JpegCodec.jpegDecodePixels(bytes).isEmpty,
+          "the byte-plane surface must not narrow >8-bit samples")
+      }
+    }
+  }
+
+  test("lossless JPEG: mod-2^16 differences and the bit-free SSSS-16 category decode exactly") {
+    // First sample 0 against the 16-bit default prediction 32768 gives
+    // diff = −32768 → the 0x8000 representative → SSSS 16, no appended
+    // bits (§H.1.2.2). The 0→65535→0 staircase then wraps the mod-2^16
+    // difference arithmetic in both directions.
+    val px = Array(0, 32768, 65535, 0, 65535, 1, 65534, 2)
+    val bytes = JpegCodec.jpegEncodeLossless(4, 2, 16, 1, 0, px)
+    val dec = JpegCodec.jpegDecodeLossless(bytes)
+    assert(dec.isDefined)
+    assert(dec.get.samples.toSeq === px.toSeq)
+  }
+
+  test("lossless JPEG decode rejects malformed structures, never throws") {
+    val w = 11; val h = 7
+    val px = Array.tabulate(w * h)(i => (i * 37) % 256)
+    val good = JpegCodec.jpegEncodeLossless(w, h, 8, 4, 0, px,
+      restartInterval = 2 * w)
+    assert(JpegCodec.jpegDecodeLossless(good).isDefined)
+    def sosOffset(b: Array[Byte]): Int = {
+      var p = 2
+      while (!((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xda)) p += 1
+      p
+    }
+    val sos = sosOffset(good)
+    def mutated(off: Int, v: Int): Array[Byte] = {
+      val m = good.clone(); m(off) = v.toByte; m
+    }
+    // SOS payload layout: [len(2) Ns Cs TdTa Ss Se AhAl]; Ss = predictor,
+    // Se must be 0, Ah must be 0, Al (= Pt) < precision.
+    val ssOff = sos + 7
+    assert(JpegCodec.jpegDecodeLossless(mutated(ssOff, 0)).isEmpty, "predictor 0")
+    assert(JpegCodec.jpegDecodeLossless(mutated(ssOff, 8)).isEmpty, "predictor 8")
+    assert(JpegCodec.jpegDecodeLossless(mutated(ssOff + 1, 5)).isEmpty, "Se != 0")
+    assert(JpegCodec.jpegDecodeLossless(mutated(ssOff + 2, 0x10)).isEmpty, "Ah != 0")
+    assert(JpegCodec.jpegDecodeLossless(mutated(ssOff + 2, 0x09)).isEmpty, "Pt >= precision")
+    // DRI not a multiple of the line length: documented subset reject.
+    val oddRi = JpegCodec.jpegEncodeLossless(w, h, 8, 1, 0, px)
+      .patch(2, Seq(0xff.toByte, 0xdd.toByte, 0x00.toByte, 0x04.toByte,
+        0x00.toByte, 5.toByte), 0)
+    assert(JpegCodec.jpegDecodeLossless(oddRi).isEmpty, "mid-line restart interval")
+    // Out-of-range reconstruction: raise a stored sample's category bits so
+    // pred + diff leaves 0..255 — the decoder must reject, not mask.
+    // (Entropy stream starts right after SOS; flip high bits until decode
+    // fails or output changes — assert it never throws and never returns
+    // wrong-but-accepted out-of-range samples.)
+    val entStart = sos + 2 + (((good(sos + 2) & 0xff) << 8) | (good(sos + 3) & 0xff))
+    for (off <- entStart until math.min(entStart + 40, good.length - 2); bit <- 0 to 7) {
+      val m = good.clone(); m(off) = (m(off) ^ (1 << bit)).toByte
+      JpegCodec.jpegDecodeLossless(m).foreach { im =>
+        assert(im.samples.forall(v => v >= 0 && v <= 255),
+          s"accepted out-of-range sample after flipping bit $bit at $off")
+      }
+    }
+    // Truncations never throw.
+    for (len <- 0 until good.length)
+      JpegCodec.jpegDecodeLossless(good.take(len))
+    // Trailing bytes after EOI are structural violations.
+    assert(JpegCodec.jpegDecodeLossless(good ++ Array[Byte](0)).isEmpty)
+    // DNL rejects.
+    val dnl = good.patch(2, Seq(0xff.toByte, 0xdc.toByte, 0x00.toByte,
+      0x04.toByte, 0x00.toByte, 0x07.toByte), 0)
+    assert(JpegCodec.jpegDecodeLossless(dnl).isEmpty)
+    // A 2-component SOF3 rejects (documented subset).
+    val sof = {
+      var p = 2
+      while (!((good(p) & 0xff) == 0xff && (good(p + 1) & 0xff) == 0xc3)) p += 1
+      p
+    }
+    assert(JpegCodec.jpegDecodeLossless(mutated(sof + 9, 2)).isEmpty, "Nf = 2")
+    // Non-lossless surfaces must not accept an SOF3 stream.
+    assert(JpegCodec.jpegDecodeColorPixels(good).isEmpty)
+  }
+
+  test("mm16 end-to-end: jpegPixelStats over realLosslessJpegTable matches the formula + point transform") {
+    import spark.implicits._
+    val stats = Multimodal.jpegPixelStats(
+      Multimodal.realLosslessJpegTable(spark, docs)).collect()
+    assert(stats.nonEmpty)
+    val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 4).toSet
+    assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
+    stats.foreach { st =>
+      val id = st.doc_id; val k = id / 6
+      val w = (13 + k % 17).toInt; val h = (11 + (3 * k) % 19).toInt
+      val pt = (k % 3).toInt
+      val px = for (y <- 0 until h; x <- 0 until w) yield {
+        val v = ((id + 7L * x + 13L * y + (x * y) % 5) % 256).toInt
+        (v >> pt) << pt
+      }
+      assert(st.n_pixels === w.toLong * h, s"id=$id")
+      assert(st.sum_lum === px.map(_.toLong).sum, s"id=$id")
+      assert(st.sum_sq === px.map(v => v.toLong * v).sum, s"id=$id")
+      assert(st.min_lum === px.min, s"id=$id")
+      assert(st.max_lum === px.max, s"id=$id")
     }
   }
 }
