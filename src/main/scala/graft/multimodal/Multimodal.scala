@@ -730,6 +730,71 @@ object Multimodal {
       }
   }
 
+  /** REAL 12-bit EXTENDED-SEQUENTIAL (SOF1) JPEG table (mm17): every
+    * doc_id ≡ 3 (mod 6) document becomes a 12-bit grayscale JPEG — the
+    * medical/scientific precision tier. Same exactly-invertible
+    * quantized-coefficient construction as mm8, lifted to the 12-bit
+    * domain: block b holds flat DC base v(b) = 520 + (id + 37b) mod 3000
+    * (q₀ = 8 so F₀₀ = 8(v − 2048) round-trips exactly against the 2048
+    * level shift) plus the AC(4,4) checkerboard at amplitude
+    * m(b) = (id + b) mod 16 under a DELIBERATELY 16-bit quantization step
+    * q₄₄ = 264 — the dequantized 264m contributes EXACTLY ±33m per pixel
+    * (the (4,4) basis is ±1/2 pointwise and 264/8 = 33), so a decoder
+    * that truncated the Pq = 1 table read to 8 bits lands on the wrong
+    * amplitude and goes red. Decoded pixels are exact integers v ± 33m
+    * ∈ [25, 4014] ⊂ [0, 4095]. w = 16 + 8·(k mod 3),
+    * h = 16 + 8·(5k mod 3) with k = id/6; every 4th image carries
+    * restart markers.
+    */
+  def realJpeg12Table(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 3)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 6
+          val w = (16 + 8 * (k % 3)).toInt
+          val h = (16 + 8 * ((k * 5) % 3)).toInt
+          val nb = (w / 8) * (h / 8)
+          val q = Array.fill(64)(16); q(0) = 8; q(36) = 264; q(63) = 300
+          val blocks = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64)
+            c(0) = (520 + (id + 37L * b) % 3000).toInt - 2048 // quantized DC
+            c(36) = ((id + b) % 16).toInt                     // quantized AC(4,4)
+            c
+          }
+          MediaRow(id, "image", JpegCodec.jpegEncode12(w, h, q, blocks,
+            restartInterval = if (k % 4 == 1) 2 else 0))
+        }
+      }
+  }
+
+  /** Decode 12-bit extended-sequential JPEGs and reduce to the same
+    * integer stats as [[jpegPixelStats]] — mm17's gated surface. The
+    * samples keep their 12-bit width (sum_sq and min/max live in the
+    * 0..4095 domain). Non-decodable rows drop out.
+    */
+  def jpeg12PixelStats(media: Dataset[MediaRow]): Dataset[ImagePixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        JpegCodec.jpegDecode12(m.content).map { im =>
+          var sum = 0L; var sq = 0L; var mn = Int.MaxValue; var mx = 0
+          var i = 0
+          while (i < im.samples.length) {
+            val v = im.samples(i)
+            sum += v; sq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          ImagePixelStats(m.doc_id, im.samples.length.toLong, sum, sq,
+            if (im.samples.isEmpty) 0 else mn, mx)
+        }
+      }
+    }
+  }
+
   /** Shared gray-8 pixel-stats reduction behind mm7/mm8. */
   private def grayStats(docId: Long, pixels: Array[Byte]): ImagePixelStats = {
     var sum = 0L; var sq = 0L; var mn = 255; var mx = 0

@@ -253,6 +253,20 @@ object Media extends QueryPack {
         Multimodal.realLosslessJpegTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM17: REAL 12-bit extended-sequential (SOF1) JPEG decode — the
+    // medical/scientific precision tier. mm8's exactly-invertible
+    // construction lifted to the 12-bit domain (2048 level shift, DC
+    // categories to 15), with the AC amplitude riding a deliberately
+    // 16-bit quantization step (q₄₄ = 264, Pq = 1 table): a decoder that
+    // truncated the 16-bit table read, kept the 8-bit category caps, or
+    // clamped at 255 goes red at the hash gate.
+    "mm17_jpeg12_pixel_stats" -> { (s, d) =>
+      Multimodal.jpeg12PixelStats(
+        Multimodal.realJpeg12Table(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -705,6 +719,35 @@ object Media extends QueryPack {
         |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,
         |  CAST(MIN(g) AS INT) AS min_lum,
         |  CAST(MAX(g) AS INT) AS max_lum
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 12-bit truth from the per-block formulas alone: block b holds 32
+    // pixels of v + 33m and 32 of v − 33m with v = 520 + (id + 37b) mod
+    // 3000 and m = (id + b) mod 16 — per block sum = 64v,
+    // sum_sq = 64v² + 64·(33m)², min = v − 33m, max = v + 33m. The
+    // engine must arrive at the same numbers THROUGH the Pq = 1 table
+    // parse, the widened Huffman alphabet and the 2048-level-shift IDCT.
+    "mm17_jpeg12_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k FROM documents WHERE doc_id % 6 = 3
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * (k % 3) AS BIGINT) AS w,
+        |    CAST(16 + 8 * ((k * 5) % 3) AS BIGINT) AS h
+        |  FROM img
+        |), blk AS (
+        |  SELECT d.doc_id,
+        |    520 + (d.doc_id + 37 * bb.b) % 3000 AS v,
+        |    33 * ((d.doc_id + bb.b) % 16) AS a
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(64 * v * v + 64 * a * a) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(v - a) AS INT) AS min_lum,
+        |  CAST(MAX(v + a) AS INT) AS max_lum
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -404,6 +404,14 @@ class MultimodalSpec extends AnyFunSuite {
     // path and the restart bookkeeping.
     val losslessGood = JpegCodec.jpegEncodeLossless(9, 6, 8, 5, 1,
       Array.tabulate(54)(i => (i * 29) % 256), restartInterval = 18)
+    // 12-bit extended (SOF1): mutations land in the Pq=1 table parse and
+    // the widened-category decode.
+    val ext12Good = {
+      val q = Array.fill(64)(16); q(0) = 8; q(36) = 264
+      JpegCodec.jpegEncode12(16, 16, q,
+        Array.tabulate(4)(b => { val c = new Array[Int](64); c(0) = 100 * b - 150; c(36) = b; c }),
+        restartInterval = 2)
+    }
     val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
       Array.tabulate[Byte](64)(i => (i * 7).toByte)
     // MJPEG AVI: mutations land in the RIFF list walk, the avih/strh/strf
@@ -421,6 +429,7 @@ class MultimodalSpec extends AnyFunSuite {
       JpegCodec.jpegDecodePixels(b)
       JpegCodec.jpegDecodeColorPixels(b)
       JpegCodec.jpegDecodeLossless(b)
+      JpegCodec.jpegDecode12(b)
       MediaCodec.parseImageHeader(b)
       MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
       MediaCodec.aviDecodeMjpegFrames(b)
@@ -435,7 +444,7 @@ class MultimodalSpec extends AnyFunSuite {
       GifCodec.GifFrame(4, 4, 8, 8, Array.fill[Byte](64)(5))))
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
-        progColorGood, losslessGood, wavGood, aviGood, exifGood, gifGood);
+        progColorGood, losslessGood, ext12Good, wavGood, aviGood, exifGood, gifGood);
         _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
@@ -1583,6 +1592,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.jpegDecodeLossless(mutated(sof + 9, 2)).isEmpty, "Nf = 2")
     // Non-lossless surfaces must not accept an SOF3 stream.
     assert(JpegCodec.jpegDecodeColorPixels(good).isEmpty)
+  }
+
+  test("12-bit JPEG: fixture encode/decode is pixel-EXACT incl. restarts and a 16-bit quant step") {
+    val id = 1234567L
+    for (k <- 0L to 4L) {
+      val w = (16 + 8 * (k % 3)).toInt; val h = (16 + 8 * ((k * 5) % 3)).toInt
+      val nb = (w / 8) * (h / 8)
+      val q = Array.fill(64)(16); q(0) = 8; q(36) = 264; q(63) = 300
+      val blocks = Array.tabulate(nb) { b =>
+        val c = new Array[Int](64)
+        c(0) = (520 + (id + 37L * b) % 3000).toInt - 2048
+        c(36) = ((id + b) % 16).toInt
+        c
+      }
+      val bytes = JpegCodec.jpegEncode12(w, h, q, blocks,
+        restartInterval = if (k % 4 == 1) 2 else 0)
+      val dec = JpegCodec.jpegDecode12(bytes)
+      assert(dec.isDefined, s"k=$k")
+      val im = dec.get
+      assert(im.width === w && im.height === h && im.precision === 12)
+      // Expected: block b is v ± 33m on the (4,4) checkerboard
+      // (pointwise sign s(x)·s(y) with s = +−−++−−+).
+      val sgn = Array(1, -1, -1, 1, 1, -1, -1, 1)
+      for (b <- 0 until nb) {
+        val v = (520 + (id + 37L * b) % 3000).toInt
+        val amp = 33 * ((id + b) % 16).toInt
+        val bx = (b % (w / 8)) * 8; val by = (b / (w / 8)) * 8
+        for (yy <- 0 until 8; xx <- 0 until 8) {
+          val expected = v + sgn(xx) * sgn(yy) * amp
+          val got = im.samples((by + yy) * w + bx + xx)
+          assert(got === expected, s"k=$k block=$b px=($xx,$yy)")
+        }
+      }
+      // The byte-plane grayscale surface must not accept 12-bit frames.
+      assert(JpegCodec.jpegDecodePixels(bytes).isEmpty)
+    }
+  }
+
+  test("12-bit JPEG decode rejects malformed structures; baseline stays 8-bit-table strict") {
+    val q = Array.fill(64)(16); q(0) = 8
+    val blocks = Array.tabulate(4)(b => { val c = new Array[Int](64); c(0) = b * 10; c })
+    val good = JpegCodec.jpegEncode12(16, 16, q, blocks)
+    assert(JpegCodec.jpegDecode12(good).isDefined)
+    // A 12-bit SOF0: rewrite the frame marker to baseline — the baseline
+    // decoder must reject both the precision and the Pq=1 table.
+    val asSof0 = good.clone()
+    var p = 2
+    while (!((asSof0(p) & 0xff) == 0xff && (asSof0(p + 1) & 0xff) == 0xc1)) p += 1
+    asSof0(p + 1) = 0xc0.toByte
+    assert(JpegCodec.jpegDecodePixels(asSof0).isEmpty, "12-bit SOF0 must reject")
+    assert(JpegCodec.jpegDecode12(asSof0).isEmpty, "frameType dispatch")
+    // Precision 10 in the SOF1 header rejects.
+    val p10 = good.clone(); p10(p + 4) = 10
+    assert(JpegCodec.jpegDecode12(p10).isEmpty)
+    // Truncations never throw.
+    for (len <- 0 until good.length) JpegCodec.jpegDecode12(good.take(len))
+    // Trailing bytes after EOI reject.
+    assert(JpegCodec.jpegDecode12(good ++ Array[Byte](1)).isEmpty)
+  }
+
+  test("mm17 end-to-end: jpeg12PixelStats over realJpeg12Table matches the per-block formulas") {
+    import spark.implicits._
+    val stats = Multimodal.jpeg12PixelStats(
+      Multimodal.realJpeg12Table(spark, docs)).collect()
+    assert(stats.nonEmpty)
+    val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 3).toSet
+    assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
+    stats.foreach { st =>
+      val id = st.doc_id; val k = id / 6
+      val w = 16 + 8 * (k % 3); val h = 16 + 8 * ((k * 5) % 3)
+      val nb = ((w / 8) * (h / 8)).toInt
+      val vs = (0 until nb).map(b => (520 + (id + 37L * b) % 3000).toInt)
+      val as = (0 until nb).map(b => 33 * ((id + b) % 16).toInt)
+      assert(st.n_pixels === w * h)
+      assert(st.sum_lum === vs.map(64L * _).sum, s"id=$id")
+      assert(st.sum_sq === vs.lazyZip(as).map((v, a) => 64L * v * v + 64L * a * a).sum, s"id=$id")
+      assert(st.min_lum === vs.lazyZip(as).map(_ - _).min, s"id=$id")
+      assert(st.max_lum === vs.lazyZip(as).map(_ + _).max, s"id=$id")
+      assert(st.max_lum > 255, s"id=$id must exercise the 12-bit range")
+    }
   }
 
   test("mm16 end-to-end: jpegPixelStats over realLosslessJpegTable matches the formula + point transform") {
