@@ -410,6 +410,51 @@ object WindowsAndEvents extends QueryPack {
         .orderBy("user_id", "session_start")
     },
 
+    // ST16: transformWithState (Spark 4's arbitrary-state API, RocksDB-
+    // backed) as a REAL streaming run — per-user running profiles over a
+    // ValueState (exact-cents totals) + a MapState (per-event-type
+    // counts), one updated row per user per micro-batch, merged
+    // last-writer-wins into an atomically-published snapshot (the st12
+    // pattern). The merge makes the final snapshot batch-boundary
+    // INVARIANT, so the oracle is the plain batch GROUP BY over events —
+    // stream-must-equal-batch, the strongest cross-check for a stateful
+    // operator.
+    "st16_tws_user_stats" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val base = scratchDir(s, d, "st16_sink")
+      val snap = s"$base/snapshot"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val events = StreamOps.eventsStream(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StreamOps.Event](org.apache.spark.sql.Encoders.product[StreamOps.Event])
+        val q = StreamOps.userStatsTws(events).toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = batch.sparkSession
+            val merged =
+              if (java.nio.file.Files.exists(java.nio.file.Paths.get(snap)))
+                graft.operators.Merge.upsert(
+                  ss.read.parquet(snap), batch, "user_id")
+              else batch
+            graft.sources.SnapshotSink.overwrite(merged, snap)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(snap).orderBy("user_id")
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None    => s.conf.unset(providerKey)
+        }
+      }
+    },
+
     // ST8: stream-STREAM join as a REAL streaming run — two watermarked
     // streams over the events source (errors / purchases) joined on user
     // within a 1-day event-time range, landed via foreachBatch and
@@ -978,6 +1023,18 @@ object WindowsAndEvents extends QueryPack {
         |FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM sessions), wm
         |WHERE sid < max_sid OR end_ms + 2700000 < wm_ms
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // The TWS profile is batch-boundary invariant by construction (last-
+    // writer-wins merge of per-batch updates), so the truth is the plain
+    // batch aggregate: exact integer cents (value is an exact 2-dp
+    // double), distinct types, max.
+    "st16_tws_user_stats" ->
+      """SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st6_stream_static" ->
       """SELECT COALESCE(c_mktsegment, '<none>') AS segment, COUNT(*) AS n,

@@ -212,6 +212,74 @@ object StreamOps {
   /** Open-session state for [[userSessionsTimeout]]. */
   case class UserSession(startMs: Long, endMs: Long, n: Long)
 
+  /** Running per-user aggregate held by [[UserStatsProcessor]]'s
+    * ValueState. Money is EXACT integer cents (events.value is an exact
+    * 2-dp double, so `math.round(v·100)` is lossless) — never a running
+    * double sum, whose value would depend on arrival order and break
+    * both determinism and the oracle hash.
+    */
+  case class UserAggState(n: Long, cents: Long, maxCents: Long)
+
+  /** Per-user profile row emitted by [[UserStatsProcessor]]. */
+  case class UserTwsStats(user_id: Long, n_events: Long, total_cents: Long,
+      n_types: Long, max_cents: Long)
+
+  /** ST16: Spark 4's `transformWithState` arbitrary-state API (the
+    * StatefulProcessor successor to map/flatMapGroupsWithState, backed by
+    * the RocksDB state store) — a per-user running profile over TWO typed
+    * state variables: a ValueState holding the (n, cents, max) triple and
+    * a MapState counting events per event type (n_types = live key count;
+    * at 100 TB keys live in RocksDB, not on the JVM heap, and each
+    * update touches only the single (user, type) entry rather than
+    * rewriting a whole composite blob — the point of the typed-variable
+    * API). Emits one UPDATED profile row per user per micro-batch;
+    * downstream merges last-writer-wins by user, making the published
+    * snapshot batch-boundary invariant (the st12 pattern), so the oracle
+    * is the plain batch GROUP BY over events.
+    */
+  class UserStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTwsStats] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var agg: ValueState[UserAggState] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[UserAggState]("agg",
+        E.product[UserAggState], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserTwsStats] = {
+      var st = if (agg.exists()) agg.get() else UserAggState(0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        val cents = math.round(e.value * 100)
+        st = UserAggState(st.n + 1, st.cents + cents, math.max(st.maxCents, cents))
+        val prev = if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L
+        typeCounts.updateValue(e.event_type, prev + 1)
+      }
+      agg.update(st)
+      Iterator.single(UserTwsStats(user, st.n, st.cents,
+        typeCounts.keys().size.toLong, st.maxCents))
+    }
+  }
+
+  /** Run [[UserStatsProcessor]] over a (watermark-free, TimeMode.None)
+    * event stream. The caller owns the sink; the RocksDB state store
+    * provider is required by transformWithState and set by the caller
+    * for the session (see the st16 query site).
+    */
+  def userStatsTws(events: Dataset[Event]): Dataset[UserTwsStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** ST7: foreachBatch parquet-append sink — the merge-style sink pattern
     * (each micro-batch lands atomically via the file sink protocol; for
     * true upsert semantics the batch would go through

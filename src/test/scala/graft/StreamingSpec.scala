@@ -112,6 +112,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST16: transformWithState accumulates ValueState + MapState across micro-batches (RocksDB)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.userStatsTws(ms.toDS())
+        .toDF()
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode("update").start()
+      try {
+        // Batch 1: two users; user 7 has two event types.
+        ms.addData(ev(1, "2024-01-01T10:00:00Z", uid = 7, typ = "view", v = 2.25),
+          ev(2, "2024-01-01T10:01:00Z", uid = 7, typ = "error", v = 1.10),
+          ev(3, "2024-01-01T10:01:30Z", uid = 9, typ = "view", v = 5.00))
+        q.processAllAvailable()
+        // Batch 2: user 7 again — the profile must CONTINUE from state
+        // (n=3, cents summed exactly, type count deduplicated), proving
+        // both variables survived the batch boundary in RocksDB.
+        ms.addData(ev(4, "2024-01-01T10:02:00Z", uid = 7, typ = "view", v = 3.40))
+        q.processAllAvailable()
+        val rows = spark.table("tws_test")
+          .filter(col("user_id") === 7)
+          .orderBy(col("n_events"))
+          .as[StreamOps.UserTwsStats].collect()
+        assert(rows.map(_.n_events).toSeq === Seq(2L, 3L))
+        assert(rows.last === StreamOps.UserTwsStats(7L, 3L, 675L, 2L, 340L))
+        val u9 = spark.table("tws_test").filter(col("user_id") === 9)
+          .as[StreamOps.UserTwsStats].head()
+        assert(u9 === StreamOps.UserTwsStats(9L, 1L, 500L, 1L, 500L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("ST2: session windows split on the gap and emit after the watermark passes") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
