@@ -795,6 +795,53 @@ object Multimodal {
     }
   }
 
+  /** REAL TIFF table (mm18): every doc_id ≡ 5 (mod 6) document becomes a
+    * complete single-page grayscale TIFF 6.0 file — the scanned-document/
+    * scientific-capture format. TIFF is lossless, so the fixture works in
+    * the pixel domain (px = (id + 5x + 11y + (x·y mod 7)) mod 256) and
+    * the oracle replays the formula; the CONTAINER varies per image so
+    * the structural surface is what the gate proves: byte order
+    * alternates II/MM with k, compression alternates none/PackBits,
+    * photometric alternates BlackIsZero/WhiteIsZero (stored bytes
+    * INVERTED — a decoder ignoring the tag shows a negative), and
+    * RowsPerStrip 1 + (k mod 4) forces multi-strip layouts with
+    * offset/count arrays in the data area.
+    */
+  def realTiffTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 6 === 5)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 6
+          val w = (14 + k % 15).toInt
+          val h = (10 + (3 * k) % 13).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((id + 5L * x + 11L * y + (x * y) % 7) % 256).toByte
+          }
+          MediaRow(id, "image", TiffCodec.tiffEncode(w, h, px,
+            littleEndian = k % 2 == 0,
+            rowsPerStrip = (1 + k % 4).toInt,
+            usePackBits = k % 3 == 0,
+            photometric = ((k / 2) % 2).toInt))
+        }
+      }
+  }
+
+  /** Decode TIFFs back to pixels and reduce to the same integer stats as
+    * [[imagePixelStats]] — mm18's gated surface.
+    */
+  def tiffPixelStats(media: Dataset[MediaRow]): Dataset[ImagePixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        TiffCodec.tiffDecodePixels(m.content).map(img =>
+          grayStats(m.doc_id, img.pixels))
+      }
+    }
+  }
+
   /** Shared gray-8 pixel-stats reduction behind mm7/mm8. */
   private def grayStats(docId: Long, pixels: Array[Byte]): ImagePixelStats = {
     var sum = 0L; var sq = 0L; var mn = 255; var mx = 0

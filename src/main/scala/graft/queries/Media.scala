@@ -267,6 +267,21 @@ object Media extends QueryPack {
         Multimodal.realJpeg12Table(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM18: REAL TIFF decode — the scanned-document/scientific format
+    // completes the common-image set (PNG/JPEG/GIF/TIFF). TIFF is an
+    // offset-based container of untrusted 32-bit pointers, so the gated
+    // surface is structural: both byte orders, multi-strip layouts with
+    // data-area offset arrays, PackBits decompression, and the
+    // WhiteIsZero photometric (stored bytes inverted — a decoder that
+    // skips the tag emits a negative and goes red). The oracle replays
+    // only the pixel formula.
+    "mm18_tiff_pixel_stats" -> { (s, d) =>
+      Multimodal.tiffPixelStats(
+        Multimodal.realTiffTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -748,6 +763,33 @@ object Media extends QueryPack {
         |  CAST(SUM(64 * v * v + 64 * a * a) AS BIGINT) AS sum_sq,
         |  CAST(MIN(v - a) AS INT) AS min_lum,
         |  CAST(MAX(v + a) AS INT) AS max_lum
-        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // TIFF truth from the pixel formula alone — the engine must arrive
+    // at the same numbers THROUGH the endian-dispatched IFD walk, the
+    // strip assembly (multi-strip offset/count arrays), PackBits, and
+    // the photometric normalization.
+    "mm18_tiff_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k FROM documents WHERE doc_id % 6 = 5
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(14 + k % 15 AS BIGINT) AS w,
+        |    CAST(10 + (3 * k) % 13 AS BIGINT) AS h
+        |  FROM img
+        |), px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id + 5 * xx.x + 11 * yy.y + (xx.x * yy.y) % 7) % 256 AS g
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range(d.w)) AS x) xx,
+        |    LATERAL (SELECT UNNEST(range(d.h)) AS y) yy
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(g) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(g) AS INT) AS min_lum,
+        |  CAST(MAX(g) AS INT) AS max_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

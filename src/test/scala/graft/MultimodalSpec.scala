@@ -412,6 +412,11 @@ class MultimodalSpec extends AnyFunSuite {
         Array.tabulate(4)(b => { val c = new Array[Int](64); c(0) = 100 * b - 150; c(36) = b; c }),
         restartInterval = 2)
     }
+    // TIFF: mutations land in the offset-based IFD walk, strip assembly
+    // and PackBits control bytes.
+    val tiffGood = graft.multimodal.TiffCodec.tiffEncode(12, 10,
+      Array.tabulate[Byte](120)(i => (i * 17 % 256).toByte),
+      littleEndian = false, rowsPerStrip = 3, usePackBits = true, photometric = 0)
     val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
       Array.tabulate[Byte](64)(i => (i * 7).toByte)
     // MJPEG AVI: mutations land in the RIFF list walk, the avih/strh/strf
@@ -430,6 +435,7 @@ class MultimodalSpec extends AnyFunSuite {
       JpegCodec.jpegDecodeColorPixels(b)
       JpegCodec.jpegDecodeLossless(b)
       JpegCodec.jpegDecode12(b)
+      graft.multimodal.TiffCodec.tiffDecodePixels(b)
       MediaCodec.parseImageHeader(b)
       MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
       MediaCodec.aviDecodeMjpegFrames(b)
@@ -444,7 +450,7 @@ class MultimodalSpec extends AnyFunSuite {
       GifCodec.GifFrame(4, 4, 8, 8, Array.fill[Byte](64)(5))))
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
-        progColorGood, losslessGood, ext12Good, wavGood, aviGood, exifGood, gifGood);
+        progColorGood, losslessGood, ext12Good, tiffGood, wavGood, aviGood, exifGood, gifGood);
         _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
@@ -1671,6 +1677,126 @@ class MultimodalSpec extends AnyFunSuite {
       assert(st.min_lum === vs.lazyZip(as).map(_ - _).min, s"id=$id")
       assert(st.max_lum === vs.lazyZip(as).map(_ + _).max, s"id=$id")
       assert(st.max_lum > 255, s"id=$id must exercise the 12-bit range")
+    }
+  }
+
+  test("TIFF codec: encode/decode round-trips across endians, strips, PackBits, photometrics") {
+    val rnd = new scala.util.Random(42424242L)
+    for {
+      le <- Seq(true, false)
+      pb <- Seq(true, false)
+      photo <- Seq(0, 1)
+      rps <- Seq(1, 3, 1000)
+    } {
+      val w = 5 + rnd.nextInt(25); val h = 4 + rnd.nextInt(20)
+      val px = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val bytes = graft.multimodal.TiffCodec.tiffEncode(w, h, px, le, rps, pb, photo)
+      val dec = graft.multimodal.TiffCodec.tiffDecodePixels(bytes)
+      assert(dec.isDefined, s"le=$le pb=$pb photo=$photo rps=$rps")
+      assert(dec.get.width === w && dec.get.height === h)
+      assert(dec.get.pixels.toSeq === px.toSeq,
+        s"le=$le pb=$pb photo=$photo rps=$rps")
+    }
+    // PackBits boundary shapes: long replicate (>128), long literal
+    // (>128), alternating 2-runs.
+    for (row <- Seq(
+        Array.fill[Byte](300)(7),
+        Array.tabulate[Byte](300)(i => (i * 31 % 251).toByte),
+        Array.tabulate[Byte](64)(i => (i / 2 * 9).toByte))) {
+      val enc = graft.multimodal.TiffCodec.packBits(row)
+      val bytes = graft.multimodal.TiffCodec.tiffEncode(row.length, 1, row,
+        littleEndian = true, rowsPerStrip = 1, usePackBits = true)
+      val dec = graft.multimodal.TiffCodec.tiffDecodePixels(bytes)
+      assert(dec.isDefined && dec.get.pixels.toSeq === row.toSeq,
+        s"packbits shape len=${enc.length}")
+    }
+  }
+
+  test("TIFF interop: ImageIO reads our files; our decoder reads ImageIO's TIFF output") {
+    val w = 23; val h = 17
+    val px = Array.tabulate[Byte](w * h)(i => (i * 37 % 256).toByte)
+    for (le <- Seq(true, false); pb <- Seq(true, false)) {
+      val bytes = graft.multimodal.TiffCodec.tiffEncode(w, h, px, le, 4, pb)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected our TIFF (le=$le pb=$pb)")
+      assert(bi.getWidth === w && bi.getHeight === h)
+      val ras = bi.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ras.getSample(x, y, 0) === (px(y * w + x) & 0xff),
+          s"ImageIO pixel ($x,$y) le=$le pb=$pb")
+    }
+    // Reverse: the JDK's own TIFF writer output decodes through our parser.
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "tiff", bos), "JDK has no TIFF writer?")
+    val dec = graft.multimodal.TiffCodec.tiffDecodePixels(bos.toByteArray)
+    assert(dec.isDefined, "our decoder rejected the JDK's TIFF output")
+    assert(dec.get.width === w && dec.get.height === h)
+    assert(dec.get.pixels.toSeq === px.toSeq)
+  }
+
+  test("TIFF decode rejects malformed structures, never throws") {
+    val w = 11; val h = 9
+    val px = Array.tabulate[Byte](w * h)(i => (i * 13).toByte)
+    val good = graft.multimodal.TiffCodec.tiffEncode(w, h, px,
+      littleEndian = true, rowsPerStrip = 3, usePackBits = false)
+    def dec(b: Array[Byte]) = graft.multimodal.TiffCodec.tiffDecodePixels(b)
+    assert(dec(good).isDefined)
+    // Bad magic / version.
+    assert(dec("XX".getBytes ++ good.drop(2)).isEmpty)
+    val badVer = good.clone(); badVer(2) = 43
+    assert(dec(badVer).isEmpty)
+    // IFD offset past EOF.
+    val badIfd = good.clone(); badIfd(4) = 0xff.toByte; badIfd(5) = 0xff.toByte
+    assert(dec(badIfd).isEmpty)
+    // Truncations never throw.
+    for (len <- 0 until good.length) dec(good.take(len))
+    // Unsupported depth/compression via surgical IFD edits: locate the
+    // IFD (offset at header), entries are 12 bytes after the 2-byte count.
+    def ifdAt(b: Array[Byte]): Int =
+      ((b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24))
+    val ifd = ifdAt(good)
+    def withEntryValue(tagIdx: Int, v: Int): Array[Byte] = {
+      val m = good.clone()
+      val at = ifd + 2 + 12 * tagIdx + 8
+      m(at) = (v & 0xff).toByte; m(at + 1) = ((v >> 8) & 0xff).toByte
+      m
+    }
+    // Entry order (ascending tags): 0=w 1=h 2=bits 3=compression
+    // 4=photometric 5=offsets 6=samples 7=rowsPerStrip 8=counts.
+    assert(dec(withEntryValue(2, 16)).isEmpty, "16-bit depth")
+    assert(dec(withEntryValue(3, 5)).isEmpty, "LZW compression")
+    assert(dec(withEntryValue(4, 3)).isEmpty, "palette photometric")
+    assert(dec(withEntryValue(6, 3)).isEmpty, "RGB samples")
+    // Non-ascending IFD: swap the first two entries' tags.
+    val swapped = good.clone()
+    val e0 = ifd + 2; val e1 = e0 + 12
+    for (i <- 0 until 12) {
+      val t = swapped(e0 + i); swapped(e0 + i) = swapped(e1 + i); swapped(e1 + i) = t
+    }
+    assert(dec(swapped).isEmpty, "non-ascending IFD tags")
+  }
+
+  test("mm18 end-to-end: tiffPixelStats over realTiffTable matches the pixel formula") {
+    import spark.implicits._
+    val stats = Multimodal.tiffPixelStats(
+      Multimodal.realTiffTable(spark, docs)).collect()
+    assert(stats.nonEmpty)
+    val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 5).toSet
+    assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
+    stats.foreach { st =>
+      val id = st.doc_id; val k = id / 6
+      val w = (14 + k % 15).toInt; val h = (10 + (3 * k) % 13).toInt
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield ((id + 5L * x + 11L * y + (x * y) % 7) % 256).toInt
+      assert(st.n_pixels === w.toLong * h, s"id=$id")
+      assert(st.sum_lum === px.map(_.toLong).sum, s"id=$id")
+      assert(st.sum_sq === px.map(v => v.toLong * v).sum, s"id=$id")
+      assert(st.min_lum === px.min, s"id=$id")
+      assert(st.max_lum === px.max, s"id=$id")
     }
   }
 
