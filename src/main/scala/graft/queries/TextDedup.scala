@@ -190,6 +190,14 @@ object TextDedup extends QueryPack {
   private def lsh3(s: SparkSession, d: String): (DataFrame, DataFrame) =
     lshSig(s, d, n = 3, nHashes = 8)
 
+  // Dev-probe forwarders (graft.tools stage-timing only; no query uses them).
+  private[graft] def probeLsh3(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    lsh3(s, d)
+  private[graft] def probeCandidatePairs(capped: DataFrame): DataFrame =
+    candidatePairs(capped)
+  private[graft] def probeJaccard(cand: DataFrame, sh: DataFrame, th: Double): DataFrame =
+    jaccard(cand, sh, th)
+
   /** 20-token blocks of each document — the sub-document dedup unit for
     * t22/t23 ("paragraphs" for newline-free text; the machinery is
     * unit-agnostic). One row per (doc_id, block index, block text); the
@@ -322,25 +330,37 @@ object TextDedup extends QueryPack {
   }
 
   /** Exact Jaccard over distinct shingle sets, computed ONLY for candidate
-    * pairs: candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b, same shingle).
-    * The pair-restricted join order is what keeps this off the O(n²) cliff.
+    * pairs. Round-12 shape: each doc's shingle set is reduced ONCE (linear)
+    * to an array of 64-bit shingle hashes, candidates hash-join to the two
+    * arrays, and the intersection is a native per-pair `array_intersect` —
+    * so the shuffle moves O(pairs) rows, not the O(pairs × shingles/doc)
+    * exploded rows of the previous candidates ⋈ shingles(a) ⋈ shingles(b)
+    * plan (whose re-aggregation into pair groups dominated t13's 125×
+    * scale-curve wall clock). Hash-equality stands in for string-equality
+    * exactly as t3's md5-content-equality does: a cross-collision between
+    * the ≤~10³ distinct shingles of a compared pair happens with
+    * probability ≈ 10⁻¹³ per pair (birthday bound over 2⁻⁶⁴), vastly
+    * below the md5 assumptions the exact-dedup gates already rest on.
+    * Arrays hold distinct values by construction ([[shingles]] applies
+    * array_distinct per doc), so |array_intersect| is the set intersection
+    * size and na/nb are the array lengths — same numbers, same rounding,
+    * same oracle SQL as before.
     */
   private def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shA = sh.toDF("da", "sha")
-    val shB = sh.toDF("db", "shb")
-    val inter = cand
-      .join(shA, col("doc_a") === col("da"))
-      .join(shB, col("doc_b") === col("db") && col("sha") === col("shb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sa = sizes.toDF("ka", "na")
-    val sb = sizes.toDF("kb", "nb")
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(xxhash64(col("sh"))).as("shs"))
+    val a = sets.select(col("doc_id").as("da"), col("shs").as("sha"),
+      size(col("shs")).cast("long").as("na"))
+    val b = sets.select(col("doc_id").as("db"), col("shs").as("shb"),
+      size(col("shs")).cast("long").as("nb"))
+    val withInter = cand
+      .join(a, col("doc_a") === col("da"))
+      .join(b, col("doc_b") === col("db"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"))
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
-    inter
-      .join(sa, col("doc_a") === col("ka"))
-      .join(sb, col("doc_b") === col("kb"))
+    withInter
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
