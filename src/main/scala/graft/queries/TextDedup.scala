@@ -214,6 +214,48 @@ object TextDedup extends QueryPack {
       .select(col("doc_id"), col("pos").cast("long").as("b"), col("col").as("blk"))
   }
 
+  /** t35's window width: long enough that a repeat is memorization, not
+    * chance (the ExactSubstr paper uses 50 BPE tokens ≈ this many words);
+    * short enough that the fixture corpus (10..99-token docs) carries
+    * real cross-doc repeats. Mirrored in the oracle SQL.
+    */
+  private[queries] val SpanW = 15
+
+  /** Repeated-span dedup census (t35) over any (doc_id, text) frame — the
+    * core is separate from the query so specs can drive handcrafted
+    * corpora. See the t35 entry for semantics (mask-union cut of every
+    * non-first occurrence of a duplicated `w`-token window).
+    */
+  private[graft] def spanDedupCensus(docs: DataFrame, w: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    // (doc_id, start, md5(window)) for every length-w window; span TEXT
+    // never leaves the projection that hashes it.
+    val spans = docs.filter(size(t) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(t) - (w - 1)),
+          i => md5(concat_ws(" ", slice(t, i, lit(w)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("sh"))
+    val occ = spans.withColumn("occ", col("doc_id") * lit(1048576L) + col("p"))
+    val first = occ.groupBy(col("sh")).agg(min(col("occ")).as("keep_occ"))
+    // Cut-start positions per doc = every occurrence that lost the min.
+    val cutStarts = occ.join(first, "sh").filter(col("occ") =!= col("keep_occ"))
+      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("starts"))
+    docs.join(cutStarts, Seq("doc_id"), "left")
+      .withColumn("toks", t)
+      .withColumn("starts",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      // Token i survives iff no cut span [s, s+w) covers it — a per-doc
+      // HOF, so the mask costs no shuffle and no token-level explode.
+      .withColumn("kept", filter(col("toks"), (tok, i) =>
+        !exists(col("starts"), s => s <= i.cast("long") && i.cast("long") < s + lit(w.toLong))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        when(size(col("kept")) > 0,
+          md5(concat_ws(" ", col("kept")))).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc census after a block-level cut: blocks before/after, surviving
     * token count, and the md5 of the reassembled (order-preserving) kept
     * text — the hash pins block ORDER, not just the surviving set. Docs
@@ -718,6 +760,30 @@ object TextDedup extends QueryPack {
       val first = occ.groupBy(col("bh")).agg(min(col("occ")).as("keep_occ"))
       val kept = occ.join(first, "bh").filter(col("occ") === col("keep_occ"))
       blockCensus(batch, kept)
+    },
+
+    // T35: cross-doc REPEATED-SPAN dedup — the ExactSubstr pass (Lee et
+    // al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): duplicated token spans are removed wherever they RECUR,
+    // at EVERY starting position (overlapping windows), not just on t22's
+    // fixed block grid — the mode that catches a license paragraph pasted
+    // mid-document at an arbitrary offset. Suffix arrays don't distribute;
+    // the Spark-shaped equivalent hashes every 15-token window, keeps each
+    // span's global first occurrence (min packed doc_id·2^20+pos), and
+    // cuts every other occurrence under MASK-UNION semantics: a token is
+    // removed iff ANY non-first duplicate span covers it (aggressive,
+    // deterministic, order-free — documented difference from the
+    // sequential suffix-array cut, which this bounds from above). Census
+    // per doc: tokens before/after and the md5 of the surviving
+    // order-preserved text (NULL when nothing survives).
+    //
+    // Scale shape: one posexplode (≤ n_tok windows/doc), ONE groupBy on
+    // the 128-bit span hash (map-side-combinable MIN — the shuffle
+    // carries (hash, occ) pairs, never span text), one join back, and a
+    // per-doc HOF mask (no token-level shuffle). Linear no matter how
+    // dup-saturated the corpus is — same 100 TB story as t22.
+    "t35_span_dedup" -> { (s, d) =>
+      spanDedupCensus(Tables.documents(s, d), SpanW)
     },
 
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
@@ -1806,6 +1872,46 @@ object TextDedup extends QueryPack {
          |JOIN dedup dm ON dm.doc_id = m.member
          |ORDER BY cluster_rep, member""".stripMargin
     },
+
+    // t35 truth, CTE-for-CTE: every 15-token window hashed (0-based start
+    // p, same md5-of-space-joined-slice as the Spark side), global first
+    // occurrence by the packed doc_id*2^20+p key, mask-union removal (a
+    // token index is cut iff any losing occurrence's [p, p+15) covers it),
+    // census over the surviving order-preserved tokens.
+    "t35_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |spans AS (
+         |  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+         |         md5(array_to_string(t[u.p+1 : u.p+$SpanW], ' ')) AS sh
+         |  FROM toks, UNNEST(range(len(t) - ${SpanW - 1})) AS u(p)
+         |  WHERE len(t) >= $SpanW),
+         |occ AS (SELECT doc_id, p, sh, doc_id * 1048576 + p AS occ FROM spans),
+         |keep AS (SELECT sh, MIN(occ) AS keep_occ FROM occ GROUP BY sh),
+         |cuts AS (SELECT o.doc_id, o.p FROM occ o
+         |         JOIN keep k ON o.sh = k.sh AND o.occ <> k.keep_occ),
+         |tok_rows AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[u.i+1] AS tok
+         |  FROM toks, UNNEST(range(len(t))) AS u(i)),
+         |removed AS (
+         |  SELECT DISTINCT r.doc_id, r.i FROM tok_rows r
+         |  JOIN cuts c ON c.doc_id = r.doc_id
+         |             AND r.i >= c.p AND r.i < c.p + $SpanW),
+         |kept AS (
+         |  SELECT r.doc_id, r.i, r.tok FROM tok_rows r
+         |  LEFT JOIN removed x ON x.doc_id = r.doc_id AND x.i = r.i
+         |  WHERE x.doc_id IS NULL),
+         |census AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |         md5(string_agg(tok, ' ' ORDER BY i)) AS kh
+         |  FROM kept GROUP BY doc_id)
+         |SELECT td.doc_id,
+         |  CAST(len(td.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(td.t) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+         |  c.kh AS kept_hash
+         |FROM toks td
+         |LEFT JOIN census c ON c.doc_id = td.doc_id
+         |ORDER BY td.doc_id""".stripMargin,
 
     // Mirrors the Spark block pipeline CTE-for-CTE: same 20-token blocks
     // (list slice clips the last partial block on both engines), same

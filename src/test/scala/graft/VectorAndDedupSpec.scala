@@ -332,4 +332,26 @@ class VectorAndDedupSpec extends AnyFunSuite {
       else assert(kept(l) == totals(l), s"over-asked $l must keep everything")
     }
   }
+
+  test("t35 span dedup: mask-union semantics on a handcrafted corpus (w=3)") {
+    import graft.queries.TextDedup
+    val docs = Seq(
+      (1L, "a b c d e"),         // first owner of every one of its spans
+      (2L, "x y a b c"),         // shares doc 1's "a b c" at p=2 → cut 2..4
+      (3L, "a b c d e"),         // exact dup of doc 1 → fully cut
+      (4L, "q r"),               // shorter than w → untouched, no spans
+      (5L, "m n o m n o m n o")  // self-repeat: p3..p6 lose → cut 3..8
+    ).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = TextDedup.spanDedupCensus(docs, 3)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((5L, 0L, Some(md5hex("a b c d e")))))
+    assert(out(2L) === ((5L, 3L, Some(md5hex("x y")))))
+    assert(out(3L) === ((5L, 5L, None)))
+    assert(out(4L) === ((2L, 0L, Some(md5hex("q r")))))
+    assert(out(5L) === ((9L, 6L, Some(md5hex("m n o")))))
+  }
 }
