@@ -801,11 +801,13 @@ object Multimodal {
     * the pixel domain (px = (id + 5x + 11y + (x·y mod 7)) mod 256) and
     * the oracle replays the formula; the CONTAINER varies per image so
     * the structural surface is what the gate proves: byte order
-    * alternates II/MM with k, compression alternates none/PackBits,
-    * photometric alternates BlackIsZero/WhiteIsZero (stored bytes
-    * INVERTED — a decoder ignoring the tag shows a negative), and
-    * RowsPerStrip 1 + (k mod 4) forces multi-strip layouts with
-    * offset/count arrays in the data area.
+    * alternates II/MM with k, compression cycles none/PackBits/LZW
+    * (TIFF §13 MSB-first early-change LZW — the compression scanned
+    * documents actually ship with), LZW rows alternate the horizontal-
+    * differencing predictor (tag 317 = 2), photometric alternates
+    * BlackIsZero/WhiteIsZero (stored bytes INVERTED — a decoder ignoring
+    * the tag shows a negative), and RowsPerStrip 1 + (k mod 4) forces
+    * multi-strip layouts with offset/count arrays in the data area.
     */
   def realTiffTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import s.implicits._
@@ -820,11 +822,17 @@ object Multimodal {
             val x = i % w; val y = i / w
             ((id + 5L * x + 11L * y + (x * y) % 7) % 256).toByte
           }
+          val comp = (k % 3) match {
+            case 0 => 32773 // PackBits
+            case 1 => 1     // none
+            case _ => 5     // LZW
+          }
           MediaRow(id, "image", TiffCodec.tiffEncode(w, h, px,
             littleEndian = k % 2 == 0,
             rowsPerStrip = (1 + k % 4).toInt,
-            usePackBits = k % 3 == 0,
-            photometric = ((k / 2) % 2).toInt))
+            compression = comp,
+            photometric = ((k / 2) % 2).toInt,
+            predictor = if (comp == 5 && (k / 3) % 2 == 0) 2 else 1))
         }
       }
   }

@@ -43,11 +43,11 @@ object TiffCodec {
   private val TagPredictor = 317
 
   // LZW (TIFF 6.0 §13): MSB-first code packing, 9-bit initial width,
-  // 256 = Clear, 257 = EOI, first dictionary entry 258. Widths grow
-  // EARLY (at next-entry 510/1022/2046 — one code before the GIF
-  // convention) because the spec's sample encoder compares against
-  // MAXCODE−1; both libtiff and the JDK's TIFF plugin implement this
-  // "EarlyChange" form, and the interop spec pins ours against the JDK.
+  // 256 = Clear, 257 = EOI, first dictionary entry 258. The DECODER's
+  // widths grow EARLY (at next-entry 511/1023/2047, (1<<width)−1 — one
+  // entry before the GIF convention) because its table lags the
+  // encoder's by one; the paired encoder switch is at 512/1024/2048.
+  // The interop spec pins both directions against the JDK's TIFF codec.
   private val LzwClear = 256
   private val LzwEoi = 257
 
@@ -143,11 +143,13 @@ object TiffCodec {
         else {
           put(prefix)
           dict.put(key, Integer.valueOf(nextCode)); nextCode += 1
-          // Early change: grow when the NEXT entry to be assigned would
-          // no longer fit at this width minus the spec's one-code slack.
-          if (nextCode == 511 && width == 9) width = 10
-          else if (nextCode == 1023 && width == 10) width = 11
-          else if (nextCode == 2047 && width == 11) width = 12
+          // Width growth paired with the decoder's early-change points
+          // (511/1023/2047 on ITS one-entry-lagged table): the encoder
+          // switches one entry later, at 512/1024/2048 — pinned against
+          // the JDK's TIFF LZW codec in both directions.
+          if (nextCode == 512 && width == 9) width = 10
+          else if (nextCode == 1024 && width == 10) width = 11
+          else if (nextCode == 2048 && width == 11) width = 12
           else if (nextCode == 4095) { put(LzwClear); reset() }
           prefix = c
         }
@@ -187,10 +189,13 @@ object TiffCodec {
     val suffix = new Array[Byte](4096)
     val firstCh = new Array[Byte](4096)
     var nextEntry = 258
+    // TIFF §13 "early change": the decoder's table lags the encoder's by
+    // one entry, and the width switch fires at (1<<width)−1 — one entry
+    // EARLIER than the GIF convention — which re-aligns the two.
     def widthFor(): Unit =
-      if (nextEntry == 510 && width == 9) width = 10
-      else if (nextEntry == 1022 && width == 10) width = 11
-      else if (nextEntry == 2046 && width == 11) width = 12
+      if (nextEntry == 511 && width == 9) width = 10
+      else if (nextEntry == 1023 && width == 10) width = 11
+      else if (nextEntry == 2047 && width == 11) width = 12
     // Emit the string for `code` (literal or table entry) into out; -1 on
     // overflow. Returns the first character.
     def emit(code: Int): Int = {
@@ -250,14 +255,23 @@ object TiffCodec {
   /** Encode a complete single-page grayscale TIFF. `photometric` 1 stores
     * intensities directly (BlackIsZero); 0 stores INVERTED values
     * (WhiteIsZero) so a decoder that ignored the tag shows a negated
-    * image — the gate catches it. Layout: 8-byte header, strip data,
-    * offset/count arrays, IFD (tags ascending as the spec requires).
+    * image — the gate catches it. `compression` is the TIFF tag value:
+    * 1 none, 5 LZW, 32773 PackBits. `predictor` 2 applies horizontal
+    * differencing per row BEFORE compression (TIFF §14 — the form
+    * scanned-document LZW files ship with). Layout: 8-byte header, strip
+    * data, offset/count arrays, IFD (tags ascending as the spec requires).
     */
   def tiffEncode(w: Int, h: Int, pixels: Array[Byte], littleEndian: Boolean,
-      rowsPerStrip: Int, usePackBits: Boolean, photometric: Int = 1): Array[Byte] = {
+      rowsPerStrip: Int, compression: Int, photometric: Int = 1,
+      predictor: Int = 1): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h)
     require(rowsPerStrip >= 1)
     require(photometric == 0 || photometric == 1)
+    require(compression == 1 || compression == 5 || compression == 32773)
+    // TIFF 6.0 §14 defines the predictor FOR LZW; readers diverge on other
+    // pairings (the JDK ignores it for uncompressed data), so both codec
+    // directions restrict it to LZW.
+    require(predictor == 1 || (predictor == 2 && compression == 5))
     val stored =
       if (photometric == 1) pixels
       else pixels.map(p => (255 - (p & 0xff)).toByte)
@@ -266,7 +280,22 @@ object TiffCodec {
       val r0 = si * rowsPerStrip
       val rows = math.min(rowsPerStrip, h - r0)
       val raw = java.util.Arrays.copyOfRange(stored, r0 * w, (r0 + rows) * w)
-      if (usePackBits) packBits(raw) else raw
+      if (predictor == 2) { // horizontal differencing, per row, right-to-left
+        var r = 0
+        while (r < rows) {
+          var x = w - 1
+          while (x >= 1) {
+            raw(r * w + x) = (raw(r * w + x) - raw(r * w + x - 1)).toByte
+            x -= 1
+          }
+          r += 1
+        }
+      }
+      compression match {
+        case 5 => lzwCompress(raw)
+        case 32773 => packBits(raw)
+        case _ => raw
+      }
     }
 
     val out = new ByteArrayOutputStream()
@@ -296,7 +325,7 @@ object TiffCodec {
       stripOffsets.foreach(u32)
       strips.foreach(s => u32(s.length.toLong))
     }
-    // IFD: 9 entries, ascending tag order.
+    // IFD: 9 entries (10 with an explicit predictor), ascending tag order.
     def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
       u16(tag); u16(typ); u32(count)
       // A value shorter than 4 bytes sits LEFT-JUSTIFIED in the value
@@ -305,11 +334,11 @@ object TiffCodec {
       if (typ == TShort && count == 1) { u16(value.toInt); u16(0) }
       else u32(value)
     }
-    u16(9)
+    u16(if (predictor == 2) 10 else 9)
     entry(TagWidth, TLong, 1, w.toLong)
     entry(TagHeight, TLong, 1, h.toLong)
     entry(TagBits, TShort, 1, 8)
-    entry(TagCompression, TShort, 1, if (usePackBits) 32773 else 1)
+    entry(TagCompression, TShort, 1, compression.toLong)
     entry(TagPhotometric, TShort, 1, photometric.toLong)
     if (nStrips > 1) entry(TagStripOffsets, TLong, nStrips.toLong, offArrayAt)
     else entry(TagStripOffsets, TLong, 1, stripOffsets.head)
@@ -317,6 +346,7 @@ object TiffCodec {
     entry(TagRowsPerStrip, TLong, 1, rowsPerStrip.toLong)
     if (nStrips > 1) entry(TagStripByteCounts, TLong, nStrips.toLong, cntArrayAt)
     else entry(TagStripByteCounts, TLong, 1, strips.head.length.toLong)
+    if (predictor == 2) entry(TagPredictor, TShort, 1, 2)
     u32(0) // no next IFD
     out.toByteArray
   }
@@ -359,6 +389,7 @@ object TiffCodec {
     var w = -1L; var h = -1L
     var bits = 8L; var compression = 1L; var photometric = -1L
     var samples = 1L; var rowsPerStrip = Long.MaxValue
+    var predictor = 1L
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
 
@@ -400,6 +431,7 @@ object TiffCodec {
         case TagPhotometric => photometric = scalar(typ, count, valAt)
         case TagSamplesPerPixel => samples = scalar(typ, count, valAt)
         case TagRowsPerStrip => rowsPerStrip = scalar(typ, count, valAt)
+        case TagPredictor => predictor = scalar(typ, count, valAt)
         case TagStripOffsets =>
           stripOffsets = vector(typ, count, valAt)
           if (stripOffsets == null) return None
@@ -414,7 +446,8 @@ object TiffCodec {
     if (w <= 0 || h <= 0 || w * h > MaxPixels) return None
     if (bits != 8 || samples != 1) return None
     if (photometric != 0 && photometric != 1) return None
-    if (compression != 1 && compression != 32773) return None
+    if (compression != 1 && compression != 5 && compression != 32773) return None
+    if (predictor != 1 && !(predictor == 2 && compression == 5)) return None
     if (stripOffsets == null || stripCounts == null) return None
     if (rowsPerStrip <= 0) return None
     val rps = math.min(rowsPerStrip, h)
@@ -434,9 +467,24 @@ object TiffCodec {
         if (len != expected) return None
         System.arraycopy(b, off.toInt, out, r0 * wi, expected)
       } else {
-        unpackBits(b, off.toInt, len.toInt, expected) match {
+        val dec =
+          if (compression == 5) lzwDecompress(b, off.toInt, len.toInt, expected)
+          else unpackBits(b, off.toInt, len.toInt, expected)
+        dec match {
           case Some(strip) => System.arraycopy(strip, 0, out, r0 * wi, expected)
           case None => return None
+        }
+      }
+      if (predictor == 2) { // undo horizontal differencing, per row
+        var r = 0
+        while (r < rows) {
+          val base = (r0 + r) * wi
+          var x = 1
+          while (x < wi) {
+            out(base + x) = (out(base + x) + out(base + x - 1)).toByte
+            x += 1
+          }
+          r += 1
         }
       }
       si += 1

@@ -412,11 +412,15 @@ class MultimodalSpec extends AnyFunSuite {
         Array.tabulate(4)(b => { val c = new Array[Int](64); c(0) = 100 * b - 150; c(36) = b; c }),
         restartInterval = 2)
     }
-    // TIFF: mutations land in the offset-based IFD walk, strip assembly
-    // and PackBits control bytes.
+    // TIFF: mutations land in the offset-based IFD walk, strip assembly,
+    // PackBits control bytes, and LZW code/width machinery.
     val tiffGood = graft.multimodal.TiffCodec.tiffEncode(12, 10,
       Array.tabulate[Byte](120)(i => (i * 17 % 256).toByte),
-      littleEndian = false, rowsPerStrip = 3, usePackBits = true, photometric = 0)
+      littleEndian = false, rowsPerStrip = 3, compression = 32773, photometric = 0)
+    val tiffLzwGood = graft.multimodal.TiffCodec.tiffEncode(12, 10,
+      Array.tabulate[Byte](120)(i => (i * 17 % 256).toByte),
+      littleEndian = true, rowsPerStrip = 4, compression = 5, photometric = 1,
+      predictor = 2)
     val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
       Array.tabulate[Byte](64)(i => (i * 7).toByte)
     // MJPEG AVI: mutations land in the RIFF list walk, the avih/strh/strf
@@ -450,7 +454,8 @@ class MultimodalSpec extends AnyFunSuite {
       GifCodec.GifFrame(4, 4, 8, 8, Array.fill[Byte](64)(5))))
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
-        progColorGood, losslessGood, ext12Good, tiffGood, wavGood, aviGood, exifGood, gifGood);
+        progColorGood, losslessGood, ext12Good, tiffGood, tiffLzwGood,
+        wavGood, aviGood, exifGood, gifGood);
         _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
@@ -1684,18 +1689,37 @@ class MultimodalSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42424242L)
     for {
       le <- Seq(true, false)
-      pb <- Seq(true, false)
+      comp <- Seq(1, 5, 32773)
+      pred <- Seq(1, 2)
+      if pred == 1 || comp == 5 // §14: predictor is an LZW companion
       photo <- Seq(0, 1)
       rps <- Seq(1, 3, 1000)
     } {
       val w = 5 + rnd.nextInt(25); val h = 4 + rnd.nextInt(20)
       val px = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
-      val bytes = graft.multimodal.TiffCodec.tiffEncode(w, h, px, le, rps, pb, photo)
+      val bytes = graft.multimodal.TiffCodec.tiffEncode(w, h, px, le, rps,
+        compression = comp, photometric = photo, predictor = pred)
       val dec = graft.multimodal.TiffCodec.tiffDecodePixels(bytes)
-      assert(dec.isDefined, s"le=$le pb=$pb photo=$photo rps=$rps")
+      assert(dec.isDefined, s"le=$le comp=$comp pred=$pred photo=$photo rps=$rps")
       assert(dec.get.width === w && dec.get.height === h)
       assert(dec.get.pixels.toSeq === px.toSeq,
-        s"le=$le pb=$pb photo=$photo rps=$rps")
+        s"le=$le comp=$comp pred=$pred photo=$photo rps=$rps")
+    }
+    // LZW width growth + table reset: a strip long and varied enough to
+    // push the dictionary past the 9→10→11→12-bit boundaries and the
+    // 4096-entry reset (random bytes barely compress, so entries accrue
+    // at nearly one per input byte).
+    locally {
+      val w = 200; val h = 40
+      val px = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      for (pred <- Seq(1, 2)) {
+        val bytes = graft.multimodal.TiffCodec.tiffEncode(w, h, px,
+          littleEndian = true, rowsPerStrip = h, compression = 5,
+          photometric = 1, predictor = pred)
+        val dec = graft.multimodal.TiffCodec.tiffDecodePixels(bytes)
+        assert(dec.isDefined && dec.get.pixels.toSeq === px.toSeq,
+          s"LZW long-strip roundtrip pred=$pred")
+      }
     }
     // PackBits boundary shapes: long replicate (>128), long literal
     // (>128), alternating 2-runs.
@@ -1705,7 +1729,7 @@ class MultimodalSpec extends AnyFunSuite {
         Array.tabulate[Byte](64)(i => (i / 2 * 9).toByte))) {
       val enc = graft.multimodal.TiffCodec.packBits(row)
       val bytes = graft.multimodal.TiffCodec.tiffEncode(row.length, 1, row,
-        littleEndian = true, rowsPerStrip = 1, usePackBits = true)
+        littleEndian = true, rowsPerStrip = 1, compression = 32773)
       val dec = graft.multimodal.TiffCodec.tiffDecodePixels(bytes)
       assert(dec.isDefined && dec.get.pixels.toSeq === row.toSeq,
         s"packbits shape len=${enc.length}")
@@ -1715,17 +1739,21 @@ class MultimodalSpec extends AnyFunSuite {
   test("TIFF interop: ImageIO reads our files; our decoder reads ImageIO's TIFF output") {
     val w = 23; val h = 17
     val px = Array.tabulate[Byte](w * h)(i => (i * 37 % 256).toByte)
-    for (le <- Seq(true, false); pb <- Seq(true, false)) {
-      val bytes = graft.multimodal.TiffCodec.tiffEncode(w, h, px, le, 4, pb)
+    for (le <- Seq(true, false); comp <- Seq(1, 5, 32773); pred <- Seq(1, 2)
+         if pred == 1 || comp == 5) {
+      val bytes = graft.multimodal.TiffCodec.tiffEncode(w, h, px, le, 4,
+        compression = comp, photometric = 1, predictor = pred)
       val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      assert(bi != null, s"ImageIO rejected our TIFF (le=$le pb=$pb)")
+      assert(bi != null, s"ImageIO rejected our TIFF (le=$le comp=$comp pred=$pred)")
       assert(bi.getWidth === w && bi.getHeight === h)
       val ras = bi.getRaster
       for (y <- 0 until h; x <- 0 until w)
         assert(ras.getSample(x, y, 0) === (px(y * w + x) & 0xff),
-          s"ImageIO pixel ($x,$y) le=$le pb=$pb")
+          s"ImageIO pixel ($x,$y) le=$le comp=$comp pred=$pred")
     }
-    // Reverse: the JDK's own TIFF writer output decodes through our parser.
+    // Reverse: the JDK's own TIFF writer output decodes through our
+    // parser — default (uncompressed) AND its LZW encoder, which pins our
+    // early-change width handling against an independent implementation.
     val bi = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until h; x <- 0 until w)
@@ -1736,13 +1764,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dec.isDefined, "our decoder rejected the JDK's TIFF output")
     assert(dec.get.width === w && dec.get.height === h)
     assert(dec.get.pixels.toSeq === px.toSeq)
+    locally {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType("LZW")
+      val bos2 = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos2)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      val dec2 = graft.multimodal.TiffCodec.tiffDecodePixels(bos2.toByteArray)
+      assert(dec2.isDefined, "our decoder rejected the JDK's LZW TIFF output")
+      assert(dec2.get.pixels.toSeq === px.toSeq, "JDK LZW pixels")
+    }
   }
 
   test("TIFF decode rejects malformed structures, never throws") {
     val w = 11; val h = 9
     val px = Array.tabulate[Byte](w * h)(i => (i * 13).toByte)
     val good = graft.multimodal.TiffCodec.tiffEncode(w, h, px,
-      littleEndian = true, rowsPerStrip = 3, usePackBits = false)
+      littleEndian = true, rowsPerStrip = 3, compression = 1)
     def dec(b: Array[Byte]) = graft.multimodal.TiffCodec.tiffDecodePixels(b)
     assert(dec(good).isDefined)
     // Bad magic / version.
@@ -1768,9 +1810,28 @@ class MultimodalSpec extends AnyFunSuite {
     // Entry order (ascending tags): 0=w 1=h 2=bits 3=compression
     // 4=photometric 5=offsets 6=samples 7=rowsPerStrip 8=counts.
     assert(dec(withEntryValue(2, 16)).isEmpty, "16-bit depth")
-    assert(dec(withEntryValue(3, 5)).isEmpty, "LZW compression")
+    assert(dec(withEntryValue(3, 2)).isEmpty, "CCITT compression")
     assert(dec(withEntryValue(4, 3)).isEmpty, "palette photometric")
     assert(dec(withEntryValue(6, 3)).isEmpty, "RGB samples")
+    // Compression tag flipped to LZW over an UNCOMPRESSED payload: the
+    // raw bytes don't open with a Clear code, so the LZW path must
+    // reject, never mis-decode.
+    assert(dec(withEntryValue(3, 5)).isEmpty, "raw payload under LZW tag")
+    // Unknown predictor value on a file that carries the tag (10-entry
+    // IFD, predictor is entry index 9).
+    val lzwPred = graft.multimodal.TiffCodec.tiffEncode(w, h, px,
+      littleEndian = true, rowsPerStrip = 3, compression = 5,
+      photometric = 1, predictor = 2)
+    val ifdL = ifdAt(lzwPred)
+    val badPred = lzwPred.clone()
+    badPred(ifdL + 2 + 12 * 9 + 8) = 3
+    assert(dec(lzwPred).isDefined)
+    assert(dec(badPred).isEmpty, "predictor 3")
+    // Predictor on a non-LZW compression (readers diverge — reject).
+    val predNoLzw = lzwPred.clone()
+    predNoLzw(ifdL + 2 + 12 * 3 + 8) = (32773 & 0xff).toByte
+    predNoLzw(ifdL + 2 + 12 * 3 + 9) = ((32773 >> 8) & 0xff).toByte
+    assert(dec(predNoLzw).isEmpty, "predictor without LZW")
     // Non-ascending IFD: swap the first two entries' tags.
     val swapped = good.clone()
     val e0 = ifd + 2; val e1 = e0 + 12
