@@ -72,6 +72,10 @@ object Multimodal {
   case class AudioPcmStats(doc_id: Long, n_samples: Long, sum_abs: Long,
       sum_sq: Long, peak_abs: Int, zero_crossings: Long)
 
+  /** Frame-energy/VAD census of a decoded PCM stream (mm19). */
+  case class AudioFrameStats(doc_id: Long, n_frames: Long, n_voiced: Long,
+      longest_voiced_run: Long, voiced_energy: Long, max_frame_energy: Long)
+
   /** Pixel-domain statistics of a decoded image (mm7). */
   case class ImagePixelStats(doc_id: Long, n_pixels: Long, sum_lum: Long,
       sum_sq: Long, min_lum: Int, max_lum: Int)
@@ -907,6 +911,59 @@ object Multimodal {
           MediaCodec.pcmStats(m.content, h).map(st =>
             AudioPcmStats(m.doc_id, st.nSamples, st.sumAbs, st.sumSq,
               st.peakAbs, st.zeroCrossings)))
+      }
+    }
+  }
+
+  /** mm19's frame geometry and voiced gate, mirrored in the oracle SQL:
+    * 64-sample frames over the raw interleaved PCM stream (the mm6
+    * convention), a frame is "voiced" when its energy Σv² reaches the
+    * threshold — chosen between the fixture's q25/q75 frame energies so
+    * BOTH branches of the gate carry real rows.
+    */
+  private[graft] val AudioFrameLen = 64
+  private[graft] val VoicedEnergyMin = 41500000000L
+
+  /** Per-frame energy census over audio rows (mm19) — the VAD-style
+    * silence/activity segmentation a speech-curation pipeline runs before
+    * transcription: 16-bit PCM samples framed at [[AudioFrameLen]], frame
+    * energy Σv² (exact integer math), voiced-frame count, LONGEST voiced
+    * run (the segment a VAD would extract), voiced-energy mass and peak
+    * frame energy. One pass per row, no shuffle; the trailing partial
+    * frame is not scored (both engines drop it identically).
+    */
+  def audioFrameStats(media: Dataset[MediaRow]): Dataset[AudioFrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        MediaCodec.parseWav(m.content).flatMap { h =>
+          if (h.bitsPerSample != 16) None
+          else {
+            val b = m.content
+            val n = math.min(h.dataBytes, b.length - h.headerLen) / 2
+            val nFrames = n / AudioFrameLen
+            var f = 0
+            var nVoiced = 0L; var run = 0L; var longest = 0L
+            var voicedEnergy = 0L; var maxE = 0L
+            while (f < nFrames) {
+              var e = 0L; var j = 0
+              while (j < AudioFrameLen) {
+                val off = h.headerLen + 2 * (f * AudioFrameLen + j)
+                val v = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+                e += v.toLong * v
+                j += 1
+              }
+              if (e > maxE) maxE = e
+              if (e >= VoicedEnergyMin) {
+                nVoiced += 1; voicedEnergy += e
+                run += 1; if (run > longest) longest = run
+              } else run = 0
+              f += 1
+            }
+            Some(AudioFrameStats(m.doc_id, nFrames.toLong, nVoiced, longest,
+              voicedEnergy, maxE))
+          }
+        }
       }
     }
   }

@@ -269,6 +269,22 @@ object Media extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // MM19: frame-energy / VAD census — the silence/activity segmentation
+    // a speech-curation pipeline runs BEFORE transcription: 64-sample
+    // frames over the decoded PCM stream, exact integer frame energy,
+    // voiced gate at a fixture-calibrated threshold, LONGEST voiced run
+    // (the segment a VAD extracts), voiced-energy mass, peak frame. The
+    // oracle rebuilds every sample from the source bytes (mm6's
+    // hex-nibble reassembly) and replays the framing, gate and
+    // islands-style run length in SQL — a green hash proves the engine
+    // scored every frame of every audio row identically.
+    "mm19_audio_frame_stats" -> { (s, d) =>
+      Multimodal.audioFrameStats(
+        Multimodal.mediaTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // MM18: REAL TIFF decode — the scanned-document/scientific format
     // completes the common-image set (PNG/JPEG/GIF/TIFF). TIFF is an
     // offset-based container of untrusted 32-bit pointers, so the gated
@@ -764,6 +780,59 @@ object Media extends QueryPack {
         |  CAST(MIN(v - a) AS INT) AS min_lum,
         |  CAST(MAX(v + a) AS INT) AS max_lum
         |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mm19 truth: mm6's hex-nibble sample reassembly, then the same
+    // 64-sample framing (partial tail dropped via HAVING), the same
+    // integer energy gate, and the voiced-run length via the islands
+    // trick (frame_idx − ROW_NUMBER classifies consecutive voiced
+    // frames). Zero-frame audio docs stay in the census via LEFT JOIN.
+    "mm19_audio_frame_stats" ->
+      s"""WITH audio AS (
+         |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+         |  WHERE doc_id % 3 = 1
+         |), samp AS (
+         |  SELECT a.doc_id, u.i,
+         |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+         |  FROM audio a,
+         |    LATERAL (SELECT UNNEST(range(length(a.h) // 4)) AS i) u,
+         |    LATERAL (SELECT
+         |      (strpos('0123456789abcdef', substr(a.h, 4 * u.i + 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(a.h, 4 * u.i + 2, 1)) - 1)
+         |      + 256 * ((strpos('0123456789abcdef', substr(a.h, 4 * u.i + 3, 1)) - 1) * 16
+         |               + (strpos('0123456789abcdef', substr(a.h, 4 * u.i + 4, 1)) - 1))
+         |      AS raw) r
+         |), fr AS (
+         |  SELECT doc_id, i // ${Multimodal.AudioFrameLen} AS f,
+         |         SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS e
+         |  FROM samp GROUP BY doc_id, i // ${Multimodal.AudioFrameLen}
+         |  HAVING COUNT(*) = ${Multimodal.AudioFrameLen}
+         |), voiced AS (
+         |  SELECT doc_id, f FROM fr WHERE e >= ${Multimodal.VoicedEnergyMin}
+         |), runs AS (
+         |  SELECT doc_id,
+         |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+         |  FROM voiced
+         |), runlen AS (
+         |  SELECT doc_id, COUNT(*) AS len FROM runs GROUP BY doc_id, grp
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_frames,
+         |    SUM(CASE WHEN e >= ${Multimodal.VoicedEnergyMin} THEN 1 ELSE 0 END) AS n_voiced,
+         |    SUM(CASE WHEN e >= ${Multimodal.VoicedEnergyMin} THEN e ELSE 0 END) AS voiced_energy,
+         |    MAX(e) AS max_frame_energy
+         |  FROM fr GROUP BY doc_id
+         |), lng AS (
+         |  SELECT doc_id, MAX(len) AS longest FROM runlen GROUP BY doc_id
+         |)
+         |SELECT a.doc_id,
+         |  CAST(COALESCE(g.n_frames, 0) AS BIGINT) AS n_frames,
+         |  CAST(COALESCE(g.n_voiced, 0) AS BIGINT) AS n_voiced,
+         |  CAST(COALESCE(l.longest, 0) AS BIGINT) AS longest_voiced_run,
+         |  CAST(COALESCE(g.voiced_energy, 0) AS BIGINT) AS voiced_energy,
+         |  CAST(COALESCE(g.max_frame_energy, 0) AS BIGINT) AS max_frame_energy
+         |FROM audio a
+         |LEFT JOIN agg g ON g.doc_id = a.doc_id
+         |LEFT JOIN lng l ON l.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
 
     // TIFF truth from the pixel formula alone — the engine must arrive
     // at the same numbers THROUGH the endian-dispatched IFD walk, the

@@ -237,6 +237,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.pcmStats(odd, MediaCodec.parseWav(odd).get).get.nSamples === 6L)
   }
 
+  test("mm19 frame-energy census: voiced gate, longest run, partial tail dropped") {
+    import spark.implicits._
+    // 5 full frames: loud, loud, quiet, loud, quiet — plus a 10-sample
+    // partial tail that must NOT be scored.
+    val loud = Array.fill[Short](Multimodal.AudioFrameLen)(26000)   // 64·26000² ≈ 4.33e10 ≥ gate
+    val quiet = Array.fill[Short](Multimodal.AudioFrameLen)(20000)  // 64·20000² ≈ 2.56e10 < gate
+    val tail = Array.fill[Short](10)(30000)
+    val samples = loud ++ loud ++ quiet ++ loud ++ quiet ++ tail
+    val data = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val bytes = MediaCodec.wavHeader(8000, 1, 16, data.length) ++ data
+    val media = Seq(Multimodal.MediaRow(7L, "audio", bytes)).toDS()
+    val st = Multimodal.audioFrameStats(media).collect()
+    assert(st.length === 1)
+    val loudE = Multimodal.AudioFrameLen.toLong * 26000L * 26000L
+    assert(st(0).n_frames === 5L)
+    assert(st(0).n_voiced === 3L)
+    assert(st(0).longest_voiced_run === 2L)
+    assert(st(0).voiced_energy === 3L * loudE)
+    assert(st(0).max_frame_energy === loudE)
+  }
+
   // ---- mm8: baseline JPEG codec --------------------------------------
 
   /** The mm8 fixture in test form: coefficient blocks + the exact pixel
