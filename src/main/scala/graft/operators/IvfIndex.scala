@@ -68,15 +68,25 @@ object IvfIndex {
       .withColumn("sid", row_number().over(wSeed))
       .select(col("sid").as("csid"), col("emb").as("cemb"))
 
-    /** Nearest-center assignment: (vec_id, sid, emb). */
-    def assign(centers: DataFrame): DataFrame =
-      c.crossJoin(broadcast(centers))
+    /** Nearest-center assignment: (vec_id, sid, emb). The argmax buffer is
+      * a FLAT struct (cs, neg, sid) — carrying `emb` inside the max()
+      * forced SortAggregate (variable-length agg buffers are ineligible
+      * for hash aggregation), which SORTED the N×K expanded rows; with
+      * K ∝ N (the dense model) that sort spilled ~50 GB at the 125×
+      * scale octave. Flat buffer → HashAggregate with map-side combine:
+      * the N×K expansion pipelines into per-partition partial argmaxes
+      * and only N rows shuffle; `emb` is re-attached by an id join.
+      */
+    def assign(centers: DataFrame): DataFrame = {
+      val best = c.crossJoin(broadcast(centers))
         .groupBy(col("vec_id"))
         .agg(max(struct(
           roundedCos(col("emb"), col("cemb")).as("cs"),
-          (-col("csid")).as("neg"), col("csid").as("sid"),
-          col("emb").as("emb"))).as("m"))
-        .select(col("vec_id"), col("m.sid").as("sid"), col("m.emb").as("emb"))
+          (-col("csid")).as("neg"), col("csid").as("sid"))).as("m"))
+        .select(col("vec_id").as("avid"), col("m.sid").as("sid"))
+      c.join(best, col("vec_id") === col("avid"))
+        .select(col("vec_id"), col("sid"), col("emb"))
+    }
 
     /** Per-list decimal-exact means: (csid, cemb). */
     def means(asg: DataFrame): DataFrame = asg
@@ -104,15 +114,19 @@ object IvfIndex {
     * assignment, so an appended row lands in exactly the list a full
     * rebuild with the same centers would give it.
     */
-  def assignTo(vecs: DataFrame, centers: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centers))
+  def assignTo(vecs: DataFrame, centers: DataFrame): DataFrame = {
+    // Flat argmax buffer + id join-back, same reasoning as the build-side
+    // assign(): a hash agg with map-side combine instead of a sort over
+    // the |vecs|×K expansion.
+    val best = vecs.crossJoin(broadcast(centers))
       .groupBy(col("vec_id"))
       .agg(max(struct(
         roundedCos(col("emb"), col("cemb")).as("cs"),
-        (-col("csid")).as("neg"), col("csid").as("lid"),
-        col("emb").as("emb"), col("nrm").as("nrm"))).as("m"))
-      .select(col("vec_id"), col("m.lid").as("lid"),
-        col("m.emb").as("emb"), col("m.nrm").as("nrm"))
+        (-col("csid")).as("neg"), col("csid").as("lid"))).as("m"))
+      .select(col("vec_id").as("avid"), col("m.lid").as("lid"))
+    vecs.join(best, col("vec_id") === col("avid"))
+      .select(col("vec_id"), col("lid"), col("emb"), col("nrm"))
+  }
 
   /** Write the inverted file partitioned by list id — the layout that
     * turns "search list L" into "read partition L".
