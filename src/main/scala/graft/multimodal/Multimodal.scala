@@ -841,6 +841,85 @@ object Multimodal {
       }
   }
 
+  /** REAL Adobe CMYK JPEG table (mm20): every doc_id ≡ 2 (mod 7) document
+    * becomes a complete 4-component baseline JPEG (Nf = 4, all 1×1, APP14
+    * "Adobe" ColorTransform 0) — the print/scan variant. Per the Adobe
+    * convention the file stores INVERTED ink; the fixture formulas below
+    * are the STORED values (ink = 255 − stored), built with mm8's
+    * exactly-invertible coefficient construction: C carries the flat DC
+    * base v(b) = 28 + (id + 11b) mod 200 ± the AC(4,4) checkerboard of
+    * amplitude m(b) = (id + b) mod 8 (so the AC path is exercised inside
+    * a FOUR-component interleave); M/Y/K are DC-only constants
+    * 40 + (id + 7b) mod 180, 60 + (id + 13b) mod 160, 20 + (id + 3b) mod
+    * 100. Every 4th image (k ≡ 1 mod 4) carries restart markers, which
+    * must reset all FOUR predictors. w = 16 + 8·(k mod 3),
+    * h = 16 + 8·(5k mod 3), k = id/7.
+    */
+  def realCmykJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 7 === 2)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 7
+          val w = (16 + 8 * (k % 3)).toInt
+          val h = (16 + 8 * ((k * 5) % 3)).toInt
+          val nb = (w / 8) * (h / 8)
+          val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+          def flat(base: Long, mult: Long, mod: Long): Array[Array[Int]] =
+            Array.tabulate(nb) { b =>
+              val c = new Array[Int](64)
+              c(0) = (base + (id + mult * b) % mod).toInt - 128
+              c
+            }
+          val cBlocks = Array.tabulate(nb) { b =>
+            val c = new Array[Int](64)
+            c(0) = (28 + (id + 11L * b) % 200).toInt - 128
+            c(36) = ((id + b) % 8).toInt
+            c
+          }
+          MediaRow(id, "image", JpegCodec.jpegEncodeCmyk(w, h, q,
+            Array(cBlocks, flat(40, 7, 180), flat(60, 13, 160), flat(20, 3, 100)),
+            restartInterval = if (k % 4 == 1) 2 else 0))
+        }
+      }
+  }
+
+  /** Per-channel ink statistics of a decoded CMYK image (mm20). */
+  case class CmykStats(doc_id: Long, n_pixels: Long, sum_c: Long,
+      sum_sq_c: Long, sum_m: Long, sum_y: Long, sum_k: Long,
+      min_k: Int, max_k: Int)
+
+  /** Decode Adobe CMYK JPEGs and reduce to per-channel ink stats —
+    * mm20's gated surface (sum_sq_c pins the AC checkerboard, which
+    * cancels in plain sums; min/max_k pin the K plane's block spread).
+    */
+  def cmykPixelStats(media: Dataset[MediaRow]): Dataset[CmykStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        JpegCodec.jpegDecodeCmykPixels(m.content).map { img =>
+          val n = img.width * img.height
+          var sc = 0L; var ssc = 0L; var sm = 0L; var sy = 0L; var sk = 0L
+          var mnK = 255; var mxK = 0
+          var i = 0
+          while (i < n) {
+            val c = img.cmyk(4 * i) & 0xff
+            sc += c; ssc += c.toLong * c
+            sm += img.cmyk(4 * i + 1) & 0xff
+            sy += img.cmyk(4 * i + 2) & 0xff
+            val kk = img.cmyk(4 * i + 3) & 0xff
+            sk += kk
+            if (kk < mnK) mnK = kk
+            if (kk > mxK) mxK = kk
+            i += 1
+          }
+          CmykStats(m.doc_id, n.toLong, sc, ssc, sm, sy, sk, mnK, mxK)
+        }
+      }
+    }
+  }
+
   /** Decode TIFFs back to pixels and reduce to the same integer stats as
     * [[imagePixelStats]] — mm18's gated surface.
     */

@@ -285,6 +285,21 @@ object Media extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // MM20: Adobe CMYK JPEG decode — the 4-component print/scan variant
+    // (APP14 ColorTransform 0, stored samples INVERTED per the Adobe
+    // convention). The fixture interleaves FOUR components per MCU with
+    // the AC checkerboard riding the C channel and restart markers
+    // resetting all four DC predictors; the oracle replays the ink
+    // formulas (255 − stored) in closed form per block, so a decoder
+    // that missed the inversion, dropped the 4th predictor, or bound the
+    // APP14 wrongly goes red.
+    "mm20_cmyk_pixel_stats" -> { (s, d) =>
+      Multimodal.cmykPixelStats(
+        Multimodal.realCmykJpegTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // MM18: REAL TIFF decode — the scanned-document/scientific format
     // completes the common-image set (PNG/JPEG/GIF/TIFF). TIFF is an
     // offset-based container of untrusted 32-bit pointers, so the gated
@@ -779,6 +794,39 @@ object Media extends QueryPack {
         |  CAST(SUM(64 * v * v + 64 * a * a) AS BIGINT) AS sum_sq,
         |  CAST(MIN(v - a) AS INT) AS min_lum,
         |  CAST(MAX(v + a) AS INT) AS max_lum
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mm20 truth in closed form per block: the C plane stores v ± m
+    // (32 pixels each; ink 255−v∓m — the ± cancels in sums and adds 64m²
+    // in sum_sq), M/Y/K store per-block DC constants. A decoder that
+    // skipped the Adobe inversion would emit sums of v instead of 255−v.
+    "mm20_cmyk_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 7 AS k FROM documents WHERE doc_id % 7 = 2
+        |), dim AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * (k % 3) AS BIGINT) AS w,
+        |    CAST(16 + 8 * ((k * 5) % 3) AS BIGINT) AS h
+        |  FROM img
+        |), blk AS (
+        |  SELECT d.doc_id,
+        |    255 - (28 + (d.doc_id + 11 * bb.b) % 200) AS c,
+        |    (d.doc_id + bb.b) % 8 AS m_amp,
+        |    255 - (40 + (d.doc_id + 7 * bb.b) % 180) AS m,
+        |    255 - (60 + (d.doc_id + 13 * bb.b) % 160) AS y,
+        |    255 - (20 + (d.doc_id + 3 * bb.b) % 100) AS kk
+        |  FROM dim d,
+        |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(64 * c) AS BIGINT) AS sum_c,
+        |  CAST(SUM(64 * c * c + 64 * m_amp * m_amp) AS BIGINT) AS sum_sq_c,
+        |  CAST(SUM(64 * m) AS BIGINT) AS sum_m,
+        |  CAST(SUM(64 * y) AS BIGINT) AS sum_y,
+        |  CAST(SUM(64 * kk) AS BIGINT) AS sum_k,
+        |  CAST(MIN(kk) AS INT) AS min_k,
+        |  CAST(MAX(kk) AS INT) AS max_k
         |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mm19 truth: mm6's hex-nibble sample reassembly, then the same

@@ -1707,6 +1707,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm20 CMYK JPEG: roundtrip, Adobe inversion, 4-predictor restarts, structural rejects") {
+    // Exact roundtrip: DC-only M/Y/K planes + the AC checkerboard on C,
+    // with restarts every 2 MCUs (all four predictors must reset).
+    val w = 24; val h = 16
+    val nb = (w / 8) * (h / 8)
+    val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+    def flat(f: Int => Int): Array[Array[Int]] =
+      Array.tabulate(nb) { b => val c = new Array[Int](64); c(0) = f(b) - 128; c }
+    val cBlocks = Array.tabulate(nb) { b =>
+      val c = new Array[Int](64); c(0) = (60 + 9 * b) - 128; c(36) = b % 8; c
+    }
+    val stored = Array(cBlocks, flat(b => 40 + 11 * b), flat(b => 80 + 5 * b),
+      flat(b => 30 + 17 * b))
+    val bytes = JpegCodec.jpegEncodeCmyk(w, h, q, stored, restartInterval = 2)
+    val img = JpegCodec.jpegDecodeCmykPixels(bytes).get
+    assert(img.width === w && img.height === h)
+    // The (4,4) cosine basis is ±1/2 pointwise with sign s(x)·s(y),
+    // s = +,−,−,+ repeating (same convention the mm8 fixture pins).
+    val s44 = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8) * (w / 8) + (x / 8)
+      val sign = s44(x % 8) * s44(y % 8)
+      val expC = 255 - ((60 + 9 * b) + sign * (b % 8))
+      val i = 4 * (y * w + x)
+      assert((img.cmyk(i) & 0xff) === expC, s"C at ($x,$y)")
+      assert((img.cmyk(i + 1) & 0xff) === 255 - (40 + 11 * b), s"M at ($x,$y)")
+      assert((img.cmyk(i + 2) & 0xff) === 255 - (80 + 5 * b), s"Y at ($x,$y)")
+      assert((img.cmyk(i + 3) & 0xff) === 255 - (30 + 17 * b), s"K at ($x,$y)")
+    }
+    // Gray/color accessors must not accept a 4-component frame.
+    assert(JpegCodec.jpegDecodePixels(bytes).isEmpty)
+    assert(JpegCodec.jpegDecodeColorPixels(bytes).isEmpty)
+    // Rejects: 4-component without the Adobe APP14 (strip the first
+    // segment after SOI: APP14 is emitted first, len 14).
+    val noAdobe = bytes.take(2) ++ bytes.drop(2 + 2 + 2 + 12)
+    assert(JpegCodec.jpegDecodeCmykPixels(noAdobe).isEmpty, "no APP14")
+    // YCCK transform (APP14 transform byte = 2) rejects.
+    val ycck = bytes.clone()
+    ycck(2 + 4 + 11) = 2 // SOI(2) + marker+len(4) + 11 bytes into payload
+    assert(JpegCodec.jpegDecodeCmykPixels(ycck).isEmpty, "YCCK transform")
+    // Truncations never throw.
+    for (len <- 0 until bytes.length by 3) JpegCodec.jpegDecodeCmykPixels(bytes.take(len))
+  }
+
+  test("mm20 end-to-end: cmykPixelStats over realCmykJpegTable matches the ink formulas") {
+    import spark.implicits._
+    val stats = Multimodal.cmykPixelStats(
+      Multimodal.realCmykJpegTable(spark, docs)).collect()
+    assert(stats.nonEmpty)
+    val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 7 == 2).toSet
+    assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
+    stats.foreach { st =>
+      val id = st.doc_id; val k = id / 7
+      val w = 16 + 8 * (k % 3); val h = 16 + 8 * ((k * 5) % 3)
+      val nb = ((w / 8) * (h / 8)).toInt
+      def inks(base: Long, mult: Long, mod: Long) =
+        (0 until nb).map(b => 255 - (base + (id + mult * b) % mod))
+      val cs = inks(28, 11, 200); val ms2 = inks(40, 7, 180)
+      val ys = inks(60, 13, 160); val ks = inks(20, 3, 100)
+      val amps = (0 until nb).map(b => (id + b) % 8)
+      assert(st.n_pixels === w * h)
+      assert(st.sum_c === cs.map(64L * _).sum, s"id=$id")
+      assert(st.sum_sq_c === cs.lazyZip(amps).map((c, a) => 64L * c * c + 64L * a * a).sum, s"id=$id")
+      assert(st.sum_m === ms2.map(64L * _).sum, s"id=$id")
+      assert(st.sum_y === ys.map(64L * _).sum, s"id=$id")
+      assert(st.sum_k === ks.map(64L * _).sum, s"id=$id")
+      assert(st.min_k === ks.min, s"id=$id")
+      assert(st.max_k === ks.max, s"id=$id")
+    }
+  }
+
   test("TIFF codec: encode/decode round-trips across endians, strips, PackBits, photometrics") {
     val rnd = new scala.util.Random(42424242L)
     for {
