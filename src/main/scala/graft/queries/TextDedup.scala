@@ -147,7 +147,7 @@ object TextDedup extends QueryPack {
     * trivially reusing one build.
     */
   private val lshCache =
-    new graft.operators.BoundedCache[(DataFrame, DataFrame)]()
+    new graft.operators.BoundedCache[(DataFrame, DataFrame, DataFrame)]()
 
   /** Session-cached CURATION BASE shared by e6 (pipeline) and e7
     * (lineage): every document reduced to (doc_id, lang, keep, fp, n_tok)
@@ -175,7 +175,7 @@ object TextDedup extends QueryPack {
   }
 
   private def lshSig(s: SparkSession, d: String, n: Int, nHashes: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val key = s.sparkContext.applicationId + "|" +
       s.conf.get("spark.sql.shuffle.partitions") + "|" + d +
       s"|n=$n|h=$nHashes"
@@ -183,15 +183,19 @@ object TextDedup extends QueryPack {
       val sh = shingles(Tables.documents(s, d), n).localCheckpoint()
       val bands = capBuckets(bandKeys(sh, nHashes, bandSize = 2), BucketCap)
         .localCheckpoint()
-      (sh, bands)
+      // The per-doc hash-set arrays the set-array jaccard verify joins
+      // to — built once per session alongside sh/capped so the verify's
+      // warm path reads a checkpoint instead of re-aggregating shingles.
+      val sets = docSets(sh).localCheckpoint()
+      (sh, bands, sets)
     }
   }
 
-  private def lsh3(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private def lsh3(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     lshSig(s, d, n = 3, nHashes = 8)
 
   // Dev-probe forwarders (graft.tools stage-timing only; no query uses them).
-  private[graft] def probeLsh3(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[graft] def probeLsh3(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     lsh3(s, d)
   private[graft] def probeCandidatePairs(capped: DataFrame): DataFrame =
     candidatePairs(capped)
@@ -215,37 +219,40 @@ object TextDedup extends QueryPack {
   }
 
   /** t35's window width: long enough that a repeat is memorization, not
-    * chance (the ExactSubstr paper uses 50 BPE tokens ≈ this many words);
-    * short enough that the fixture corpus (10..99-token docs) carries
-    * real cross-doc repeats. Mirrored in the oracle SQL.
+    * chance, short enough that the fixture corpus (10..99-token docs)
+    * carries real cross-doc repeats. (The ExactSubstr paper's production
+    * setting is a 50-BPE-token window — proportionally longer because
+    * its documents are, too; the machinery is width-agnostic.) Mirrored
+    * in the oracle SQL.
     */
   private[queries] val SpanW = 15
 
-  /** Repeated-span dedup census (t35) over any (doc_id, text) frame — the
-    * core is separate from the query so specs can drive handcrafted
-    * corpora. See the t35 entry for semantics (mask-union cut of every
-    * non-first occurrence of a duplicated `w`-token window).
+  /** (doc_id, start, md5(window)) for every length-`w` token window —
+    * span TEXT never leaves the projection that hashes it, so the
+    * downstream shuffles carry (hash, position) pairs only.
     */
-  private[graft] def spanDedupCensus(docs: DataFrame, w: Int): DataFrame = {
+  private def spanHashes(docs: DataFrame, w: Int): DataFrame = {
     val t = split(col("text"), " ")
-    // (doc_id, start, md5(window)) for every length-w window; span TEXT
-    // never leaves the projection that hashes it.
-    val spans = docs.filter(size(t) >= w)
+    docs.filter(size(t) >= w)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(t) - (w - 1)),
           i => md5(concat_ws(" ", slice(t, i, lit(w)))))))
       .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("sh"))
-    val occ = spans.withColumn("occ", col("doc_id") * lit(1048576L) + col("p"))
-    val first = occ.groupBy(col("sh")).agg(min(col("occ")).as("keep_occ"))
-    // Cut-start positions per doc = every occurrence that lost the min.
-    val cutStarts = occ.join(first, "sh").filter(col("occ") =!= col("keep_occ"))
-      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("starts"))
+  }
+
+  /** Mask-union census shared by t35/t36: given per-doc cut-start
+    * positions ((doc_id, p) rows — each cuts tokens [p, p+w)), remove
+    * every covered token and emit (doc_id, n_tokens, n_removed,
+    * kept_hash) over ALL `docs`. The mask is a per-doc higher-order
+    * function — no token-level shuffle or explode.
+    */
+  private def spanMaskCensus(docs: DataFrame, cuts: DataFrame, w: Int): DataFrame = {
+    val cutStarts = cuts.groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("starts"))
     docs.join(cutStarts, Seq("doc_id"), "left")
-      .withColumn("toks", t)
+      .withColumn("toks", split(col("text"), " "))
       .withColumn("starts",
         coalesce(col("starts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
-      // Token i survives iff no cut span [s, s+w) covers it — a per-doc
-      // HOF, so the mask costs no shuffle and no token-level explode.
       .withColumn("kept", filter(col("toks"), (tok, i) =>
         !exists(col("starts"), s => s <= i.cast("long") && i.cast("long") < s + lit(w.toLong))))
       .select(col("doc_id"),
@@ -254,6 +261,21 @@ object TextDedup extends QueryPack {
         when(size(col("kept")) > 0,
           md5(concat_ws(" ", col("kept")))).as("kept_hash"))
       .orderBy("doc_id")
+  }
+
+  /** Repeated-span dedup census (t35) over any (doc_id, text) frame — the
+    * core is separate from the query so specs can drive handcrafted
+    * corpora. See the t35 entry for semantics (mask-union cut of every
+    * non-first occurrence of a duplicated `w`-token window).
+    */
+  private[graft] def spanDedupCensus(docs: DataFrame, w: Int): DataFrame = {
+    val occ = spanHashes(docs, w)
+      .withColumn("occ", col("doc_id") * lit(1048576L) + col("p"))
+    val first = occ.groupBy(col("sh")).agg(min(col("occ")).as("keep_occ"))
+    // Cut-start positions per doc = every occurrence that lost the min.
+    val cuts = occ.join(first, "sh").filter(col("occ") =!= col("keep_occ"))
+      .select(col("doc_id"), col("p"))
+    spanMaskCensus(docs, cuts, w)
   }
 
   /** Per-doc census after a block-level cut: blocks before/after, surviving
@@ -388,9 +410,13 @@ object TextDedup extends QueryPack {
     * size and na/nb are the array lengths — same numbers, same rounding,
     * same oracle SQL as before.
     */
-  private def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id"))
+  private def docSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(collect_list(xxhash64(col("sh"))).as("shs"))
+
+  private def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double,
+      prebuilt: Option[DataFrame] = None): DataFrame = {
+    val sets = prebuilt.getOrElse(docSets(sh))
     val a = sets.select(col("doc_id").as("da"), col("shs").as("sha"),
       size(col("shs")).cast("long").as("na"))
     val b = sets.select(col("doc_id").as("db"), col("shs").as("shb"),
@@ -617,8 +643,8 @@ object TextDedup extends QueryPack {
     "t4_minhash_neardup" -> { (s, d) =>
       // Shingles + capped bands come from the session-shared [[lsh3]]
       // materialization (t13/t15 reuse the same signature pipeline).
-      val (sh, capped) = lsh3(s, d)
-      jaccard(candidatePairs(capped), sh, 0.5)
+      val (sh, capped, sets) = lsh3(s, d)
+      jaccard(candidatePairs(capped), sh, 0.5, Some(sets))
     },
 
     // T19: EDIT-DISTANCE verification of the LSH candidates — the
@@ -636,7 +662,7 @@ object TextDedup extends QueryPack {
     // identical on any engine — inside codegen, no UDF; the text join is
     // two id-keyed hash joins against the small candidate set.
     "t19_fuzzy_verify" -> { (s, d) =>
-      val (_, capped) = lsh3(s, d)
+      val (_, capped, _) = lsh3(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       candidatePairs(capped)
         .join(docs.toDF("doc_a", "text_a"), "doc_a")
@@ -786,6 +812,35 @@ object TextDedup extends QueryPack {
       spanDedupCensus(Tables.documents(s, d), SpanW)
     },
 
+    // T36: t35's cut run INCREMENTALLY — the continuously-ingesting shape
+    // (t23's recipe at span granularity): the standing corpus maintains a
+    // distinct-span-hash artifact (persisted, read back as plain
+    // parquet); admitting a batch costs one semi-join (corpus-seen spans
+    // cut at EVERY batch occurrence — the corpus owns their first
+    // occurrence by definition), one anti-join, and t35's
+    // first-occurrence pass WITHIN the corpus-fresh remainder. Cost
+    // scales with the batch, never the corpus. Census is t35's, over the
+    // batch docs only.
+    "t36_incremental_span_dedup" -> { (s, d) =>
+      import graft.sources.ArtifactStore
+      val standing = ArtifactStore.snapshot(s, d, "t36_corpus_spans") {
+        spanHashes(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0), SpanW)
+          .select(col("sh")).distinct()
+      }
+      val batch = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val spans = spanHashes(batch, SpanW)
+      // Tier 1: corpus-seen spans cut at every batch position.
+      val seenCuts = spans.join(standing, Seq("sh"), "left_semi")
+        .select(col("doc_id"), col("p"))
+      // Tier 2: first-occurrence-wins among the corpus-fresh spans.
+      val fresh = spans.join(standing, Seq("sh"), "left_anti")
+        .withColumn("occ", col("doc_id") * lit(1048576L) + col("p"))
+      val first = fresh.groupBy(col("sh")).agg(min(col("occ")).as("keep_occ"))
+      val freshCuts = fresh.join(first, "sh").filter(col("occ") =!= col("keep_occ"))
+        .select(col("doc_id"), col("p"))
+      spanMaskCensus(batch, seenCuts.union(freshCuts), SpanW)
+    },
+
     // T5: n-gram Jaccard near-dup — word-bigram variant with lighter banding
     // (4 minhashes, 2 bands), higher threshold 0.6. The (shingles, capped
     // bands) build comes from the session-shared [[lshSig]] cache keyed by
@@ -793,8 +848,8 @@ object TextDedup extends QueryPack {
     // re-running the scan → minhash agg → cap pipeline (same policy as
     // the 3-gram pipeline t4/t13/t15/t19 share).
     "t5_ngram_jaccard" -> { (s, d) =>
-      val (sh, capped) = lshSig(s, d, n = 2, nHashes = 4)
-      jaccard(candidatePairs(capped), sh, 0.6)
+      val (sh, capped, sets) = lshSig(s, d, n = 2, nHashes = 4)
+      jaccard(candidatePairs(capped), sh, 0.6, Some(sets))
     },
 
     // T13: near-dup CLUSTER RESOLUTION — the action a dedup pipeline takes
@@ -805,8 +860,8 @@ object TextDedup extends QueryPack {
     // (representative, member count, max member) is oracle-gated against
     // the same pair CTEs + 16 unrolled propagation rounds.
     "t13_neardup_clusters" -> { (s, d) =>
-      val (sh, capped) = lsh3(s, d)
-      val pairs = jaccard(candidatePairs(capped), sh, 0.5)
+      val (sh, capped, sets) = lsh3(s, d)
+      val pairs = jaccard(candidatePairs(capped), sh, 0.5, Some(sets))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()
       labels.groupBy(col("lbl").as("cluster_rep"))
@@ -1484,7 +1539,7 @@ object TextDedup extends QueryPack {
     // already pays; at 100 TB the audit runs on a sampled candidate
     // stream, same plan.
     "t32_minhash_estimate" -> { (s, d) =>
-      val (sh, capped) = lsh3(s, d)
+      val (sh, capped, sets) = lsh3(s, d)
       val pairs = candidatePairs(capped)
       val sig = signatures(sh, 8)
       val sa = sig.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
@@ -1492,7 +1547,7 @@ object TextDedup extends QueryPack {
       val nMatch = (0 until 8)
         .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
-      val truth = jaccard(pairs, sh, 0.0)
+      val truth = jaccard(pairs, sh, 0.0, Some(sets))
         .select(col("doc_a"), col("doc_b"), col("jaccard").as("true_jaccard"))
       pairs.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
@@ -1890,6 +1945,61 @@ object TextDedup extends QueryPack {
          |keep AS (SELECT sh, MIN(occ) AS keep_occ FROM occ GROUP BY sh),
          |cuts AS (SELECT o.doc_id, o.p FROM occ o
          |         JOIN keep k ON o.sh = k.sh AND o.occ <> k.keep_occ),
+         |tok_rows AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[u.i+1] AS tok
+         |  FROM toks, UNNEST(range(len(t))) AS u(i)),
+         |removed AS (
+         |  SELECT DISTINCT r.doc_id, r.i FROM tok_rows r
+         |  JOIN cuts c ON c.doc_id = r.doc_id
+         |             AND r.i >= c.p AND r.i < c.p + $SpanW),
+         |kept AS (
+         |  SELECT r.doc_id, r.i, r.tok FROM tok_rows r
+         |  LEFT JOIN removed x ON x.doc_id = r.doc_id AND x.i = r.i
+         |  WHERE x.doc_id IS NULL),
+         |census AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |         md5(string_agg(tok, ' ' ORDER BY i)) AS kh
+         |  FROM kept GROUP BY doc_id)
+         |SELECT td.doc_id,
+         |  CAST(len(td.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(td.t) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+         |  c.kh AS kept_hash
+         |FROM toks td
+         |LEFT JOIN census c ON c.doc_id = td.doc_id
+         |ORDER BY td.doc_id""".stripMargin,
+
+    // t36: same span CTEs with the standing corpus (doc_id % 5 <> 0) as a
+    // MATERIALIZED distinct-hash set; corpus-seen batch spans cut at
+    // every occurrence, corpus-fresh spans get t35's first-occurrence
+    // pass within the batch, and the same mask-union census runs over
+    // the batch docs only.
+    "t36_incremental_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |corpus_sh AS MATERIALIZED (
+         |  SELECT DISTINCT md5(array_to_string(t[u.p+1 : u.p+$SpanW], ' ')) AS sh
+         |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+         |        WHERE doc_id % 5 <> 0) c,
+         |       UNNEST(range(len(t) - ${SpanW - 1})) AS u(p)
+         |  WHERE len(t) >= $SpanW),
+         |spans AS (
+         |  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+         |         md5(array_to_string(t[u.p+1 : u.p+$SpanW], ' ')) AS sh
+         |  FROM toks, UNNEST(range(len(t) - ${SpanW - 1})) AS u(p)
+         |  WHERE len(t) >= $SpanW),
+         |seen_cuts AS (
+         |  SELECT doc_id, p FROM spans WHERE sh IN (SELECT sh FROM corpus_sh)),
+         |fresh AS (
+         |  SELECT doc_id, p, sh, doc_id * 1048576 + p AS occ FROM spans
+         |  WHERE sh NOT IN (SELECT sh FROM corpus_sh)),
+         |keep AS (SELECT sh, MIN(occ) AS keep_occ FROM fresh GROUP BY sh),
+         |fresh_cuts AS (
+         |  SELECT f.doc_id, f.p FROM fresh f
+         |  JOIN keep k ON f.sh = k.sh AND f.occ <> k.keep_occ),
+         |cuts AS (
+         |  SELECT doc_id, p FROM seen_cuts
+         |  UNION ALL SELECT doc_id, p FROM fresh_cuts),
          |tok_rows AS (
          |  SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[u.i+1] AS tok
          |  FROM toks, UNNEST(range(len(t))) AS u(i)),

@@ -21,7 +21,7 @@ object T13Probe {
       r
     }
 
-    val (sh, capped) = t("lsh3 build (sh+capped)") { TextDedup.probeLsh3(spark, dir) }
+    val (sh, capped, _) = t("lsh3 build (sh+capped+sets)") { TextDedup.probeLsh3(spark, dir) }
     t("shingle rows")(println(s"  sh rows = ${sh.count()}"))
     t("capped rows")(println(s"  capped rows = ${capped.count()}"))
     val cand = TextDedup.probeCandidatePairs(capped)

@@ -354,4 +354,25 @@ class VectorAndDedupSpec extends AnyFunSuite {
     assert(out(4L) === ((2L, 0L, Some(md5hex("q r")))))
     assert(out(5L) === ((9L, 6L, Some(md5hex("m n o")))))
   }
+
+  test("t36 incremental span dedup: batch-only census, corpus tier binds, cuts ⊇ t35's") {
+    def census(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val t36 = census("t36_incremental_span_dedup")
+    val t35 = census("t35_span_dedup")
+    val batchIds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(t36.keySet === batchIds, "census covers exactly the batch")
+    // Same token counts; t36 can only cut MORE than t35 (the corpus tier
+    // cuts spans regardless of who held the global first occurrence).
+    batchIds.foreach { id =>
+      assert(t36(id)._1 === t35(id)._1, s"n_tokens id=$id")
+      assert(t36(id)._2 >= t35(id)._2, s"t36 cuts ⊉ t35 cuts for id=$id")
+    }
+    // The corpus tier binds on the fixture (some doc loses strictly more).
+    assert(batchIds.exists(id => t36(id)._2 > t35(id)._2),
+      "corpus tier never bound — fixture degenerate")
+  }
 }
