@@ -29,6 +29,27 @@ object IvfIndex {
   private def roundedCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     round(cosine(a, b), 6)
 
+  /** The nearest-center argmax packed into ONE LongType value so the
+    * per-vector aggregation is `max(long)` — the only buffer shape that
+    * gets HashAggregate with map-side combine (structs, flat or not, are
+    * variable-length buffers → SortAggregate over the full N×K
+    * expansion). High bits: the 6-dp cosine as an integer —
+    * round(roundedCos·10⁶) recovers exactly the integer the 6-dp rounding
+    * produced (representation error ≪ 0.5), so the ordering is
+    * IDENTICAL to the oracle's round(cos, 6) comparisons. Low bits:
+    * 2³¹ − csid, so equal-cosine ties go to the SMALLEST center id —
+    * the same tiebreak as the previous max(struct(cs, −csid, …)).
+    */
+  private def packedArgmax(emb: org.apache.spark.sql.Column,
+      cemb: org.apache.spark.sql.Column,
+      csid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (round(roundedCos(emb, cemb) * lit(1000000), 0).cast("long") + lit(2000000L)) *
+      lit(4294967296L) + (lit(2147483648L) - csid)
+
+  /** Inverse of [[packedArgmax]]'s low bits: the winning center id. */
+  private def unpackSid(packed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(2147483648L) - pmod(packed, lit(4294967296L))).cast("int")
+
   /** `iters` deterministic Lloyd's iterations over `corpus` (columns:
     * vec_id, emb: array<double>, nrm: double):
     *
@@ -68,22 +89,22 @@ object IvfIndex {
       .withColumn("sid", row_number().over(wSeed))
       .select(col("sid").as("csid"), col("emb").as("cemb"))
 
-    /** Nearest-center assignment: (vec_id, sid, emb). The argmax buffer is
-      * a FLAT struct (cs, neg, sid) — carrying `emb` inside the max()
-      * forced SortAggregate (variable-length agg buffers are ineligible
-      * for hash aggregation), which SORTED the N×K expanded rows; with
-      * K ∝ N (the dense model) that sort spilled ~50 GB at the 125×
-      * scale octave. Flat buffer → HashAggregate with map-side combine:
-      * the N×K expansion pipelines into per-partition partial argmaxes
-      * and only N rows shuffle; `emb` is re-attached by an id join.
+    /** Nearest-center assignment: (vec_id, sid, emb). The argmax is a
+      * max() over ONE packed LONG — any struct in an agg buffer (even a
+      * flat one, and a fortiori the original one carrying `emb`) is a
+      * variable-length buffer, ineligible for hash aggregation: the
+      * planner fell back to SortAggregate and SORTED the N×K
+      * vector-by-center expansion, which with K ∝ N (the dense model)
+      * spilled ~50 GB and ran the 125× scale probe out of disk. A LongType
+      * buffer gets HashAggregate with map-side combine: the expansion
+      * pipelines into per-partition partial maxes and only N rows shuffle.
+      * `emb` is re-attached by an id join.
       */
     def assign(centers: DataFrame): DataFrame = {
       val best = c.crossJoin(broadcast(centers))
         .groupBy(col("vec_id"))
-        .agg(max(struct(
-          roundedCos(col("emb"), col("cemb")).as("cs"),
-          (-col("csid")).as("neg"), col("csid").as("sid"))).as("m"))
-        .select(col("vec_id").as("avid"), col("m.sid").as("sid"))
+        .agg(max(packedArgmax(col("emb"), col("cemb"), col("csid"))).as("pk"))
+        .select(col("vec_id").as("avid"), unpackSid(col("pk")).as("sid"))
       c.join(best, col("vec_id") === col("avid"))
         .select(col("vec_id"), col("sid"), col("emb"))
     }
@@ -115,15 +136,13 @@ object IvfIndex {
     * rebuild with the same centers would give it.
     */
   def assignTo(vecs: DataFrame, centers: DataFrame): DataFrame = {
-    // Flat argmax buffer + id join-back, same reasoning as the build-side
-    // assign(): a hash agg with map-side combine instead of a sort over
-    // the |vecs|×K expansion.
+    // Packed-long argmax + id join-back, same reasoning as the build-side
+    // assign(): max(long) is hash-aggregable with map-side combine, so
+    // the |vecs|×K expansion never reaches a sort.
     val best = vecs.crossJoin(broadcast(centers))
       .groupBy(col("vec_id"))
-      .agg(max(struct(
-        roundedCos(col("emb"), col("cemb")).as("cs"),
-        (-col("csid")).as("neg"), col("csid").as("lid"))).as("m"))
-      .select(col("vec_id").as("avid"), col("m.lid").as("lid"))
+      .agg(max(packedArgmax(col("emb"), col("cemb"), col("csid"))).as("pk"))
+      .select(col("vec_id").as("avid"), unpackSid(col("pk")).as("lid"))
     vecs.join(best, col("vec_id") === col("avid"))
       .select(col("vec_id"), col("lid"), col("emb"), col("nrm"))
   }

@@ -209,6 +209,16 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .agg(expr("hll_union_agg(ball)").as("ball"))
         .localCheckpoint()
       rows += h -> census(balls)
+      // Shuffle files and superseded checkpoint blocks are reclaimed by
+      // the ContextCleaner only AFTER a driver GC notices the
+      // dereferenced dependencies — and a large driver heap may never GC
+      // inside this loop, so each round's |E|·sketch-size shuffle files
+      // accumulate on disk (measured on the 125× scale probe: the
+      // sketch-union shuffles piled past the host's disk budget and
+      // failed the spill). One explicit GC per round bounds retained
+      // spill to ~one round's working set; its cost is microseconds
+      // against a round's edge join.
+      System.gc()
     }
     val s = edges.sparkSession
     import s.implicits._

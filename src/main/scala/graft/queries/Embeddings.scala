@@ -639,17 +639,24 @@ object Embeddings extends QueryPack {
         .select(col("m"), col("cid"), col("sub").as("csub"),
           dotNative(col("sub"), col("sub")).as("cn"))
       // Nearest-codeword assignment against codebook `cb` (m, cid, csub,
-      // cn): argmin as a hash agg (no per-(vec,m) window sort) — struct
-      // ordering is (l2 asc, cid asc), the deterministic tiebreak. The
-      // codebook is 64 rows, always broadcast.
+      // cn): argmin as min() over ONE packed long — a struct agg buffer
+      // (variable-length) would fall back to SortAggregate and sort the
+      // (N·m)×64 expansion; a LongType buffer gets a true hash agg with
+      // map-side combine (the IvfIndex.assign lesson). High bits: the
+      // 6-dp-rounded l2 as an integer (round(l2·10⁶) recovers it
+      // exactly); low bits: cid — so ordering is (l2 asc, cid asc), the
+      // same deterministic tiebreak. The codebook is 64 rows, always
+      // broadcast.
       def pqAssign(cb: DataFrame): DataFrame = subs.join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("cid"),
-          round(dotNative(col("sub"), col("sub"))
+        .select(col("vec_id"), col("m"),
+          (round(round(dotNative(col("sub"), col("sub"))
             - lit(2.0) * dotNative(col("sub"), col("csub")) + col("cn"), 6)
-            .as("l2"))
+            * lit(1000000), 0).cast("long") * lit(4294967296L) + col("cid"))
+            .as("pk"))
         .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("l2"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+        .agg(min(col("pk")).as("best"))
+        .select(col("vec_id"), col("m"),
+          pmod(col("best"), lit(4294967296L)).cast("int").as("cid"))
       // One Lloyd's update: per-(subspace, code) decimal-exact means of
       // the assigned subvectors (DECIMAL(28,10) partial sums are
       // order-independent → bit parity with the oracle replay), packed
