@@ -170,7 +170,15 @@ object Embeddings extends QueryPack {
     import graft.sources.ArtifactStore
     val c = corpus(s, d)
     lazy val m = graft.operators.IvfIndex.build(c, denseNLists(c.count()), ivfIters)
-    val lists = ArtifactStore.snapshot(s, d, "ivf_dense_lists", Seq("lid"))(m.lists)
+    // UNPARTITIONED, unlike the serving model's nLists=8 layout: here
+    // K ∝ N, so partitionBy(lid) would write K directories of tiny files
+    // (measured at the 125× probe: 3,907 partitions turned the snapshot
+    // write + every subsequent file-listing into the dominant cost and
+    // evicted the partition-metadata cache). The dense model's consumers
+    // (v14, v10) JOIN the whole inverted file on lid rather than pruning
+    // to single lists, so the layout bought nothing — a plain snapshot
+    // with normal-sized files is the scale-correct shape.
+    val lists = ArtifactStore.snapshot(s, d, "ivf_dense_lists")(m.lists)
     val cents = ArtifactStore.snapshot(s, d, "ivf_dense_centers")(m.centers)
     (lists, cents)
   }
