@@ -180,6 +180,18 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // edges on dst — materializing the dst layout here removes a per-round
     // edge shuffle (localCheckpoint preserves outputPartitioning).
     val e = edges.repartition(col("dst")).localCheckpoint()
+    // Each round shuffles ≈ |E| · 2^lgK sketch bytes, and those shuffle
+    // files are reclaimed only after a driver GC notices the dereferenced
+    // dependencies — a large driver heap may never GC inside the loop, so
+    // rounds ACCUMULATE on local disk (measured at the 125× probe:
+    // ~37 GB/round overran the host's disk budget). An explicit GC per
+    // round bounds retention to ~one round's working set, but a full STW
+    // collect of a big heap costs tens of seconds (measured 3× on the
+    // 25× probe when applied unconditionally) — so it is gated on the
+    // round's sketch-shuffle volume: only when a round writes ≳ 16 GB
+    // (edges ≥ 2^(34−lgK)) does retention threaten the disk before the
+    // cleaner's natural pace reclaims it.
+    val gcPerRound = e.count() >= (1L << (34 - lgK))
     // No distinct before the sketch build: hll_sketch_agg dedups by
     // construction, so union(src, dst) feeds the groupBy directly.
     var balls = e.select(col("src").as("id"))
@@ -209,16 +221,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .agg(expr("hll_union_agg(ball)").as("ball"))
         .localCheckpoint()
       rows += h -> census(balls)
-      // Shuffle files and superseded checkpoint blocks are reclaimed by
-      // the ContextCleaner only AFTER a driver GC notices the
-      // dereferenced dependencies — and a large driver heap may never GC
-      // inside this loop, so each round's |E|·sketch-size shuffle files
-      // accumulate on disk (measured on the 125× scale probe: the
-      // sketch-union shuffles piled past the host's disk budget and
-      // failed the spill). One explicit GC per round bounds retained
-      // spill to ~one round's working set; its cost is microseconds
-      // against a round's edge join.
-      System.gc()
+      if (gcPerRound) System.gc() // see the gate's derivation above
     }
     val s = edges.sparkSession
     import s.implicits._
