@@ -80,7 +80,14 @@ object ScaleCurve {
     // should track ~5× on 5× rows) and the IVF-routed NN-graph — v3's
     // production sibling, whose candidate work is Σ|list|² not N².
     "mm13_video_frame_stats", "mm14_exif_metadata", "mm15_gif_frame_stats",
-    "v14_nn_graph_ivf")
+    "v14_nn_graph_ivf",
+    // round-12 late additions: the ExactSubstr-style span dedup (window
+    // hash + first-occurrence groupBy + per-doc HOF mask — the t22 cost
+    // shape over overlapping windows) and its O(batch) incremental form,
+    // plus the three new decoders (per-row flatMap decode, ~5× on 5×).
+    "t35_span_dedup", "t36_incremental_span_dedup",
+    "mm18_tiff_pixel_stats", "mm19_audio_frame_stats",
+    "mm20_cmyk_pixel_stats")
 
   private[tools] def synthesize(s: SparkSession, src: String, dst: String,
       copies: Int = 5): Unit = {
@@ -182,7 +189,7 @@ object ScaleCurve {
     }
 
     val md = new StringBuilder
-    md.append("# Bench scale curve — 5× synthesized data (round 11)\n\n")
+    md.append("# Bench scale curve — 5× synthesized data (round 12)\n\n")
     md.append("5× dataset: union of sf0.1 with per-copy shifted keys ")
     md.append("(disjoint graph replicas; document copies carry a one-token\n")
     md.append("suffix so near-dup candidates cross copies; see ")
