@@ -79,7 +79,7 @@ object ScaleCurve {
     // round-12 additions: the three new decoders (per-row flatMap decode,
     // should track ~5× on 5× rows) and the IVF-routed NN-graph — v3's
     // production sibling, whose candidate work is Σ|list|² not N².
-    "mm13_video_frame_stats", "mm14_exif_metadata", "mm15_gif_frame_stats",
+    "mm13_video_frame_stats", "mm14_image_exif_meta", "mm15_gif_frame_stats",
     "v14_nn_graph_ivf",
     // round-12 late additions: the ExactSubstr-style span dedup (window
     // hash + first-occurrence groupBy + per-doc HOF mask — the t22 cost
@@ -167,10 +167,18 @@ object ScaleCurve {
       s"ScaleCurve: resolved sf0.1 base $base does not exist " +
         "(set SPARK_GRAFT_DATA_DIR to the directory holding the sf* dirs)")
     val big = s"${System.getProperty("java.io.tmpdir")}/graft_sf05"
-    println("[scale] synthesizing 5x dataset...")
-    synthesize(spark, base, big)
+    if (new java.io.File(s"$big/events.parquet").isDirectory)
+      println("[scale] reusing existing 5x dataset")
+    else {
+      println("[scale] synthesizing 5x dataset...")
+      synthesize(spark, base, big)
+    }
 
-    val rows = Queries.flatMap { q =>
+    // Args = run only the named queries and APPEND their rows (the
+    // ScaleCurve125 convention) — the dev loop for adding one row
+    // without re-measuring the whole table.
+    val selected = if (args.nonEmpty) args.toSeq else Queries
+    val rows = selected.flatMap { q =>
       try {
         val (c1, t1, n1) = time(spark, q, base)
         val (c5, t5, n5) = time(spark, q, big)
@@ -189,7 +197,8 @@ object ScaleCurve {
     }
 
     val md = new StringBuilder
-    md.append("# Bench scale curve — 5× synthesized data (round 12)\n\n")
+    if (args.isEmpty) {
+      md.append("# Bench scale curve — 5× synthesized data (round 12)\n\n")
     md.append("5× dataset: union of sf0.1 with per-copy shifted keys ")
     md.append("(disjoint graph replicas; document copies carry a one-token\n")
     md.append("suffix so near-dup candidates cross copies; see ")
@@ -215,6 +224,9 @@ object ScaleCurve {
     md.append("its output can't. (For\nsmall-fixed-output queries — top-k, ")
     md.append("global aggregates — rows × sits near 1\nand the warm-ratio arm ")
     md.append("is the operative one.)\n\n")
+    md.append("| query | sf0.1 build+first (s) | sf0.1 warm (s) | 5× build+first (s) | 5× warm (s) | warm ratio | rows sf0.1 | rows 5× | rows × | time÷rows | role |\n")
+    md.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
+    }
     // Row-level role tags so the table reads standalone: a 100×-scale
     // reviewer must see in the TABLE (not only the prose) that t19 is the
     // deliberately-untier'd demonstrator and t21 the production path.
@@ -223,16 +235,16 @@ object ScaleCurve {
         "DEMO — untier'd all-candidate verify; what happens WITHOUT tiering",
       "t21_tiered_verify" ->
         "PRODUCTION path for t19's workload (exact→LSH→char, cluster-bounded)")
-    md.append("| query | sf0.1 build+first (s) | sf0.1 warm (s) | 5× build+first (s) | 5× warm (s) | warm ratio | rows sf0.1 | rows 5× | rows × | time÷rows | role |\n")
-    md.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
     rows.foreach { case (q, c1, t1, c5, t5, r, n1, n5) =>
       val rowsRatio = if (n1 > 0) n5.toDouble / n1 else Double.NaN
       md.append(f"| $q | $c1%.2f | $t1%.2f | $c5%.2f | $t5%.2f | $r%.2f " +
         f"| $n1%d | $n5%d | $rowsRatio%.2f | ${r / rowsRatio}%.2f " +
         s"| ${tags.getOrElse(q, "")} |\n")
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("audits/bench_scale_curve.md"), md.toString)
+    val outPath = java.nio.file.Paths.get("audits/bench_scale_curve.md")
+    if (args.isEmpty) java.nio.file.Files.writeString(outPath, md.toString)
+    else java.nio.file.Files.writeString(outPath, md.toString,
+      java.nio.file.StandardOpenOption.APPEND, java.nio.file.StandardOpenOption.CREATE)
     println(s"[scale] wrote audits/bench_scale_curve.md")
     spark.stop()
   }
