@@ -443,7 +443,11 @@ object TiffCodec {
       e += 1
     }
 
-    if (w <= 0 || h <= 0 || w * h > MaxPixels) return None
+    // Bound each untrusted u32 dimension BEFORE multiplying: two factors
+    // each <= 2^26 cannot overflow a Long product, so the w*h gate is sound.
+    // (Unbounded, w=0xFFFFFFFF × h=0x7FFFFFFF wraps past 2^63 negative and
+    // would slip the gate into a NegativeArraySizeException downstream.)
+    if (w <= 0 || h <= 0 || w > MaxPixels || h > MaxPixels || w * h > MaxPixels) return None
     if (bits != 8 || samples != 1) return None
     if (photometric != 0 && photometric != 1) return None
     if (compression != 1 && compression != 5 && compression != 32773) return None

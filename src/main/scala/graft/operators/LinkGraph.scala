@@ -165,16 +165,38 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * `b_h(v) = b_{h-1}(v) ∪ ⋃_{v→w} b_{h-1}(w)` — then
     * `N(h) = Σ_v |b_h(v)|` estimated from the sketches. THE tractable way
     * to measure reachable-pair growth / effective diameter at 100 TB:
-    * state is one ~KB sketch per node (the exact census carries a
+    * state is one fixed-width sketch per node (the exact census carries a
     * (source, node) PAIR frontier, quadratic in reach), each round is ONE
-    * edge join + ONE sketch-union HashAggregate, and the error is the
-    * standard HLL bound (~1.6% at lgK = 12; exact in sparse mode for
-    * small balls). Engine-specific sketch bytes — like a3_approx_distinct
-    * this cannot cross the DuckDB oracle gate, so the accuracy contract
-    * is spec-pinned against the exact census (LinkGraphSpec) and the
-    * query ships rows-only. Returns `(h, est_pairs)` for h = 0..rounds.
+    * edge join + ONE sketch-union aggregate, and the error is the
+    * standard HLL bound (~6.5% per NODE at lgK = 8; the census reads the
+    * SUM over all nodes, where independent per-node errors cancel to
+    * ≈ 1/√(2·2^lgK·|V|) relative — per-mille at any real |V|).
+    * Engine-specific sketch bytes — like a3_approx_distinct this cannot
+    * cross the DuckDB oracle gate, so the accuracy contract is
+    * spec-pinned against the exact census (LinkGraphSpec) and the query
+    * ships rows-only. Returns `(h, est_pairs)` for h = 0..rounds.
+    *
+    * REPRESENTATION (round 13): the 2^lgK registers are packed 8-per-long
+    * into (2^lgK)/8 flat BIGINT columns, and the per-round ball union is
+    * [[LaneMaxAgg]] per column — a DeclarativeAggregate over an
+    * all-primitive fixed-width buffer, so every round plans as a true
+    * HashAggregate with MAP-SIDE partial aggregation and whole-stage
+    * codegen. The previous `hll_sketch_agg`/`hll_union_agg` formulation
+    * (variable-width Datasketches blobs → TypedImperativeAggregate)
+    * planned as ObjectHashAggregate, whose 128-distinct-key fallback
+    * SORTED the full |E|-row contribution input every round — the
+    * measured 125×-scale killer (SCALE.md). Register derivation and the
+    * estimator live in [[PackedHll]]; the per-node init is pure builtin
+    * codegen expressions (xxhash64 → bucket/trailing-zero rho → one
+    * shifted lane), no custom eval on the init path at all.
     */
-  def hyperBallCensus(rounds: Int, lgK: Int = 12): DataFrame = {
+  def hyperBallCensus(rounds: Int, lgK: Int = 8): DataFrame = {
+    // Lane packing needs m a multiple of 8 (lgK >= 3); 14 caps the agg
+    // column count at 2048 (codegen method-size sanity, far past any use).
+    require(lgK >= 3 && lgK <= 14, s"lgK must be in [3, 14], got $lgK")
+    val m = 1 << lgK
+    val nLanes = m / 8
+    val laneCols = (0 until nLanes).map(j => s"l$j")
     // Edges pre-partitioned on dst ONCE: every round's contribution join
     // probes balls (already hash(id)-partitioned by its groupBy) against
     // edges on dst — materializing the dst layout here removes a per-round
@@ -192,12 +214,26 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // (edges ≥ 2^(34−lgK)) does retention threaten the disk before the
     // cleaner's natural pace reclaims it.
     val gcPerRound = e.count() >= (1L << (34 - lgK))
-    // No distinct before the sketch build: hll_sketch_agg dedups by
-    // construction, so union(src, dst) feeds the groupBy directly.
+    // Init: each node's ball is {itself}, i.e. exactly ONE register set —
+    // bucket = xxhash64(id) & (m-1), rho = trailing zeros of the remaining
+    // bits + 1 (tz = bit_count((w & -w) - 1); P(tz >= k) = 2^-k, as
+    // uniform as leading-run length and builtin-expressible). The single
+    // rho lands in lane bucket>>3 at byte offset bucket&7; every other
+    // lane is 0. All builtin codegen'd expressions.
+    val laneInit = laneCols.zipWithIndex.map { case (c, j) =>
+      s"IF(shiftright(bucket, 3) = $j, " +
+        s"shiftleft(CAST(rho AS BIGINT), (bucket & 7) * 8), CAST(0 AS BIGINT)) AS $c"
+    }
     var balls = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .groupBy(col("id"))
-      .agg(expr(s"hll_sketch_agg(id, $lgK)").as("ball"))
+      .distinct()
+      .selectExpr("id",
+        s"CAST(xxhash64(id) & ${m - 1}L AS INT) AS bucket",
+        s"shiftrightunsigned(xxhash64(id), $lgK) AS w")
+      .selectExpr(Seq("id", "bucket",
+        s"CASE WHEN w = 0 THEN ${64 - lgK + 1} " +
+          "ELSE bit_count((w & -w) - 1) + 1 END AS rho"): _*)
+      .selectExpr(("id" +: laneInit): _*)
       .localCheckpoint()
     // Census per round is EAGER (one 1-row aggregate collect — the
     // control-plane idiom the iterative loops already use for
@@ -209,16 +245,19 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // unreferenced so the context cleaner reclaims its blocks.
     // coalesce(…, 0): sum over zero rows is NULL — an empty edge frame must
     // yield a 0-census, not an NPE out of a public method.
+    val laneArray = s"array(${laneCols.mkString(", ")})"
     def census(b: DataFrame): Long =
-      b.agg(coalesce(round(sum(expr("hll_sketch_estimate(ball)")), 0), lit(0))
+      b.agg(coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
         .cast("long")).head().getLong(0)
     val rows = scala.collection.mutable.ArrayBuffer(0 -> census(balls))
+    val laneAggs = laneCols.map(c => expr(s"graft_lanemax_agg($c)").as(c))
+    val outCols = (col("id") +: laneCols.map(col)).map(c => c)
     for (h <- 1 to rounds) {
       val contrib = e.join(balls, e("dst") === balls("id"))
-        .select(e("src").as("id"), col("ball"))
-      balls = contrib.union(balls.select(col("id"), col("ball")))
+        .select(e("src").as("id") +: laneCols.map(col): _*)
+      balls = contrib.union(balls.select(outCols: _*))
         .groupBy(col("id"))
-        .agg(expr("hll_union_agg(ball)").as("ball"))
+        .agg(laneAggs.head, laneAggs.tail: _*)
         .localCheckpoint()
       rows += h -> census(balls)
       if (gcPerRound) System.gc() // see the gate's derivation above

@@ -83,6 +83,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
 
+    // Packed-HLL primitives for the HyperBall census (PackedHll.scala):
+    // a declarative lane-max aggregate (HashAggregate, never
+    // ObjectHashAggregate) over byte-lane-packed registers, plus the
+    // estimator that reads them back. See LinkGraph.hyperBallCensus.
+    ext.injectFunction((
+      FunctionIdentifier("graft_lanemax_agg"),
+      info("graft_lanemax_agg",
+        "graft_lanemax_agg(v) - per-byte-lane unsigned max aggregate over BIGINTs"),
+      (args: Seq[Expression]) => graft.operators.LaneMaxAgg(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_estimate"),
+      info("graft_hll_estimate",
+        "graft_hll_estimate(lanes) - HLL cardinality estimate from packed register lanes"),
+      (args: Seq[Expression]) => graft.operators.PackedHllEstimate(args(0))))
+
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       info("graft_might_contain",

@@ -564,13 +564,17 @@ object Graph extends QueryPack {
     // LinkGraphSpec). Output: cumulative reachable-pair estimate per hop
     // h = 0..3 over ALL nodes — the global N(h) an effective-diameter
     // estimate reads, which the sampled-exact form can only approximate.
-    // lgK = 10 (1024 registers, ~3.3% standard error): the census reads
-    // an aggregate N(h), where per-node errors average out further —
-    // HyperBall itself ships b=4..8 registers on billion-node graphs.
-    // Sketch bytes scale linearly with 2^lgK and dominate the round
-    // shuffle, so this is the cost knob.
+    // lgK = 8 (256 registers packed into 32 BIGINT lanes — see
+    // PackedHll.scala): per-NODE error is ~6.5%, but the census reads the
+    // SUM over all nodes, where independent errors cancel to
+    // ≈ 1/√(2·256·|V|) relative — already per-mille at sf0.01's |V| —
+    // and HyperBall itself ships b=4..8 registers on billion-node
+    // graphs. The packed-lane form unions as a true HashAggregate with
+    // map-side combine (the round-12 ObjectHashAggregate sort-fallback,
+    // which re-sorted |E| sketch rows per round, is gone), and the round
+    // shuffle is a fixed 2^lgK bytes/node — this is the cost knob.
     "g13_neighborhood_hll" -> { (s, d) =>
-      symGraph(s, d).hyperBallCensus(3, lgK = 10).orderBy("h")
+      symGraph(s, d).hyperBallCensus(3, lgK = 8).orderBy("h")
     },
 
     // G14: LOCAL CLUSTERING COEFFICIENT over the co-occurrence projection —

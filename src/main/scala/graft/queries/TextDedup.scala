@@ -429,6 +429,11 @@ object TextDedup extends QueryPack {
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
     withInter
+      // The oracle's `jac` CTE inner-joins on shared shingles, so a candidate
+      // pair with ZERO intersection is structurally absent there; mirror that
+      // exclusion here, otherwise a band-key collision between disjoint
+      // shingle sets would emit jaccard 0.0 and pass a threshold of 0.0.
+      .filter(col("inter") > 0)
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")

@@ -237,9 +237,10 @@ class LinkGraphSpec extends AnyFunSuite {
       (0 until h).foldLeft(Set(v))((s, _) => s ++ s.flatMap(adj.getOrElse(_, Set.empty)))
     for (h <- 0 to 3) {
       val exact = adj.keySet.toSeq.map(v => ball(v, h).size.toLong).sum
-      // Balls this small sit in the sketch's exact (sparse) regime; allow
-      // 2% slack so the pin is about the algorithm, not datasketches
-      // internals.
+      // Balls this small sit deep in the packed sketch's linear-counting
+      // regime (n ≪ m = 256 registers, PackedHll.estimate), where the
+      // m·ln(m/zeros) estimator is near-exact; allow 2% slack so the pin
+      // is about the algorithm, not the estimator's last digit.
       assert(math.abs(got(h) - exact) <= math.max(1L, exact / 50),
         s"h=$h est=${got(h)} exact=$exact")
     }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PackedHll
+
+/** Packed-HLL primitives (PackedHll.scala): the lane-max kernel, the
+  * estimator's accuracy across regimes, and — the round-13 point of the
+  * rewrite — the PLAN-SHAPE pin that the ball-union aggregate plans as a
+  * true HashAggregate (declarative, fixed-width primitive buffer), never
+  * the ObjectHashAggregate whose 128-key sort fallback was the measured
+  * 125×-scale killer of the hll_union_agg formulation (SCALE.md).
+  */
+class PackedHllSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("laneMax takes the per-byte-lane unsigned max") {
+    // Lane 0: 0x01 vs 0x02; lane 1: 0xFF vs 0x00 (unsigned — 0xFF wins);
+    // lane 7: 0x30 vs 0x40.
+    val a = 0x300000000000FF01L
+    val b = 0x400000000000_0002L
+    val r = PackedHll.laneMax(a, b)
+    assert((r & 0xFFL) === 0x02L)
+    assert(((r >>> 8) & 0xFFL) === 0xFFL)
+    assert(((r >>> 56) & 0xFFL) === 0x40L)
+    // Commutative, idempotent, zero-identity.
+    assert(PackedHll.laneMax(b, a) === r)
+    assert(PackedHll.laneMax(r, r) === r)
+    assert(PackedHll.laneMax(a, 0L) === a)
+  }
+
+  test("estimate is near-exact in the linear-counting regime and within the HLL bound beyond it") {
+    // Build sketches by driving the REAL init + union path: n distinct ids
+    // through the same xxhash64/bucket/rho derivation hyperBallCensus uses,
+    // globally lane-max-aggregated into one sketch.
+    def estimateOf(n: Int): Double = {
+      val lanes = (0 until 32).map(j => s"l$j")
+      val laneInit = lanes.zipWithIndex.map { case (c, j) =>
+        s"IF(shiftright(bucket, 3) = $j, " +
+          s"shiftleft(CAST(rho AS BIGINT), (bucket & 7) * 8), CAST(0 AS BIGINT)) AS $c"
+      }
+      val aggs = lanes.map(c => expr(s"graft_lanemax_agg($c)").as(c))
+      (1 to n).toDF("id")
+        .selectExpr("CAST(xxhash64(id) & 255L AS INT) AS bucket",
+          "shiftrightunsigned(xxhash64(id), 8) AS w")
+        .selectExpr("bucket",
+          "CASE WHEN w = 0 THEN 57 ELSE bit_count((w & -w) - 1) + 1 END AS rho")
+        .selectExpr(laneInit: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"graft_hll_estimate(array(${lanes.mkString(", ")})) AS est")
+        .as[Double].head()
+    }
+    // Linear counting (n ≪ m = 256): near-exact (one bucket collision
+    // among 20 ids — expected count ~0.7 — moves the estimate by ~1.3).
+    assert(math.abs(estimateOf(20) - 20) <= 2.0)
+    assert(math.abs(estimateOf(100) - 100) <= 5.0)
+    // Raw-HLL regime: standard error 1.04/√256 ≈ 6.5%; pin at 3σ.
+    assert(math.abs(estimateOf(10000) - 10000) <= 10000 * 0.195)
+  }
+
+  test("ball-union aggregate plans as HashAggregate, never ObjectHashAggregate") {
+    // The exact shape of hyperBallCensus's per-round union: long lanes
+    // grouped by node id under graft_lanemax_agg. A fixed-width primitive
+    // buffer must hash-aggregate with a map-side partial; any
+    // ObjectHashAggregate (sort-fallback at 128 keys) or SortAggregate
+    // here is a regression to the round-12 scale killer.
+    val aggs = (0 until 32).map(j => expr(s"graft_lanemax_agg(l$j)").as(s"l$j"))
+    val df = (1 to 1000).map(i => (i % 97).toLong)
+      .toDF("id")
+      .selectExpr(("id" +: (0 until 32).map(j => s"xxhash64(id, $j) AS l$j")): _*)
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"), s"ObjectHashAggregate leaked into:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"SortAggregate leaked into:\n$plan")
+    // And the union itself is correct: aggregating a sketch with itself is
+    // a no-op (idempotent lane max).
+    val once = df.selectExpr("id", "l0")
+    val twice = df.union(df).groupBy("id")
+      .agg(expr("graft_lanemax_agg(l0)").as("l0"), aggs.tail: _*)
+      .selectExpr("id", "l0")
+    assert(once.except(twice).count() === 0 && twice.except(once).count() === 0)
+  }
+}
