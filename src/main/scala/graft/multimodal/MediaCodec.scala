@@ -90,22 +90,37 @@ object MediaCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode an 8-bit grayscale image as a complete, spec-valid PNG.
-    * `filterFor(row)` picks the scanline filter (0..4) — varying it
-    * exercises every reconstruction branch a decoder must implement.
+  /** Adam7 pass grid (ISO/IEC 15948 §8.2): (xStart, yStart, xStep, yStep)
+    * per pass. A pass whose sub-image is empty for the given dimensions
+    * contributes no scanline bytes at all (not even filter bytes).
     */
-  def pngEncode(w: Int, h: Int, pixels: Array[Byte],
-      filterFor: Int => Int = _ => 0): Array[Byte] = {
-    require(w > 0 && h > 0 && pixels.length == w * h)
-    val raw = new Array[Byte]((w + 1) * h)
-    for (y <- 0 until h) {
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Sub-image dimensions of Adam7 pass `i` for a w×h image. */
+  private def adam7Dims(w: Int, h: Int, i: Int): (Int, Int) = {
+    val (x0, y0, dx, dy) = Adam7(i)
+    (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+      if (h > y0) (h - y0 + dy - 1) / dy else 0)
+  }
+
+  /** Filter one pw×ph sub-image into `raw` at `off` (one filter byte +
+    * pw filtered bytes per row, ISO/IEC 15948 §9). Returns the offset
+    * after the last written byte. Shared by the sequential encode (the
+    * whole image is "one pass") and each Adam7 pass.
+    */
+  private def filterInto(raw: Array[Byte], off: Int, pw: Int, ph: Int,
+      sub: Array[Byte], filterFor: Int => Int): Int = {
+    var o = off
+    for (y <- 0 until ph) {
       val f = filterFor(y); require(f >= 0 && f <= 4)
-      raw(y * (w + 1)) = f.toByte
-      for (x <- 0 until w) {
-        val cur = pixels(y * w + x) & 0xff
-        val a = if (x > 0) pixels(y * w + x - 1) & 0xff else 0
-        val b = if (y > 0) pixels((y - 1) * w + x) & 0xff else 0
-        val c = if (x > 0 && y > 0) pixels((y - 1) * w + x - 1) & 0xff else 0
+      raw(o) = f.toByte; o += 1
+      for (x <- 0 until pw) {
+        val cur = sub(y * pw + x) & 0xff
+        val a = if (x > 0) sub(y * pw + x - 1) & 0xff else 0
+        val b = if (y > 0) sub((y - 1) * pw + x) & 0xff else 0
+        val c = if (x > 0 && y > 0) sub((y - 1) * pw + x - 1) & 0xff else 0
         val filt = f match {
           case 0 => cur
           case 1 => cur - a
@@ -113,9 +128,46 @@ object MediaCodec {
           case 3 => cur - (a + b) / 2
           case 4 => cur - paeth(a, b, c)
         }
-        raw(y * (w + 1) + 1 + x) = (filt & 0xff).toByte
+        raw(o) = (filt & 0xff).toByte; o += 1
       }
     }
+    o
+  }
+
+  /** Encode an 8-bit grayscale image as a complete, spec-valid PNG.
+    * `filterFor(row)` picks the scanline filter (0..4) — varying it
+    * exercises every reconstruction branch a decoder must implement.
+    * With `interlaced = true` the image is written with Adam7 interlacing
+    * (interlace method 1): seven passes, each filtered as an independent
+    * sub-image — the old-web-crawl layout the decoder must also handle.
+    */
+  def pngEncode(w: Int, h: Int, pixels: Array[Byte],
+      filterFor: Int => Int = _ => 0, interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h)
+    val raw: Array[Byte] =
+      if (!interlaced) {
+        val r = new Array[Byte]((w + 1) * h)
+        filterInto(r, 0, w, h, pixels, filterFor)
+        r
+      } else {
+        val sizes = (0 until 7).map { i =>
+          val (pw, ph) = adam7Dims(w, h, i)
+          if (pw > 0 && ph > 0) (pw + 1) * ph else 0
+        }
+        val r = new Array[Byte](sizes.sum)
+        var off = 0
+        for (i <- 0 until 7) {
+          val (pw, ph) = adam7Dims(w, h, i)
+          if (pw > 0 && ph > 0) {
+            val (x0, y0, dx, dy) = Adam7(i)
+            val sub = new Array[Byte](pw * ph)
+            for (yy <- 0 until ph; xx <- 0 until pw)
+              sub(yy * pw + xx) = pixels((y0 + yy * dy) * w + (x0 + xx * dx))
+            off = filterInto(r, off, pw, ph, sub, filterFor)
+          }
+        }
+        r
+      }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val out = new java.io.ByteArrayOutputStream()
@@ -123,7 +175,8 @@ object MediaCodec {
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte)
       .array()
     PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
@@ -142,6 +195,7 @@ object MediaCodec {
     if (b.length < 8 + 25 || !b.take(8).sameElements(PngSig)) return None
     var p = 8
     var w = -1; var h = -1
+    var interlace = 0
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended && p + 12 <= b.length) {
@@ -157,18 +211,21 @@ object MediaCodec {
           // dimensions already used for sizing decisions.
           if (len != 13 || w != -1) return None
           w = be32(b, p + 8); h = be32(b, p + 12)
-          // 8-bit grayscale, zlib compression 0, filter method 0, no
-          // interlace — the implemented subset; any other declared
-          // method must REJECT, never mis-decode. Dimension bound in
-          // LONG arithmetic: a crafted CRC-valid IHDR like 46341×46341
-          // would overflow (w+1)*h negative (NegativeArraySizeException
-          // out of the task) or pre-allocate GBs before any IDAT sanity
-          // check — same corrupt-header class parseWav guards against.
-          // The raw scanline buffer is also trivially bounded by the
-          // container itself: it can never legitimately exceed what the
-          // (already length-checked) compressed stream could encode.
+          // 8-bit grayscale, zlib compression 0, filter method 0,
+          // interlace 0 (sequential) or 1 (Adam7 — the old-web-crawl
+          // layout) — the implemented subset; any other declared method
+          // must REJECT, never mis-decode. Dimension bound in LONG
+          // arithmetic: a crafted CRC-valid IHDR like 46341×46341 would
+          // overflow (w+1)*h negative (NegativeArraySizeException out of
+          // the task) or pre-allocate GBs before any IDAT sanity check —
+          // same corrupt-header class parseWav guards against. The raw
+          // scanline buffer is also trivially bounded by the container
+          // itself: it can never legitimately exceed what the (already
+          // length-checked) compressed stream could encode.
           if (w <= 0 || h <= 0 || b(p + 16) != 8 || b(p + 17) != 0 ||
-            b(p + 18) != 0 || b(p + 19) != 0 || b(p + 20) != 0) return None
+            b(p + 18) != 0 || b(p + 19) != 0 ||
+            (b(p + 20) != 0 && b(p + 20) != 1)) return None
+          interlace = b(p + 20)
           if ((w.toLong + 1L) * h.toLong > MaxPngPixels) return None
         case "IDAT" =>
           if (w == -1) return None // IDAT before IHDR: malformed ordering
@@ -183,9 +240,19 @@ object MediaCodec {
     // IEND must be present AND terminal: trailing bytes (or whole chunks)
     // after it are a structural violation, not ignorable slack.
     if (!ended || w < 0 || p != b.length) return None
+    // Interlace 1 (Adam7) stores each pass as an independent sub-image
+    // with its own filter bytes; the zlib stream length is the exact sum
+    // of per-pass (pw+1)·ph (≤ (w+1)·h + 6·h extra filter bytes, still
+    // inside the MaxPngPixels bound checked above with slack to spare).
+    val passSizes: Seq[Int] =
+      if (interlace == 0) Seq((w + 1) * h)
+      else (0 until 7).map { i =>
+        val (pw, ph) = adam7Dims(w, h, i)
+        if (pw > 0 && ph > 0) (pw + 1) * ph else 0
+      }
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val raw = new Array[Byte]((w + 1) * h)
+    val raw = new Array[Byte](passSizes.sum)
     try {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
@@ -214,26 +281,85 @@ object MediaCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    val px = new Array[Byte](w * h)
-    for (y <- 0 until h) {
-      val f = raw(y * (w + 1)) & 0xff
-      if (f > 4) return None
-      for (x <- 0 until w) {
-        val filt = raw(y * (w + 1) + 1 + x) & 0xff
-        val a = if (x > 0) px(y * w + x - 1) & 0xff else 0
-        val bb = if (y > 0) px((y - 1) * w + x) & 0xff else 0
-        val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
-        val cur = f match {
-          case 0 => filt
-          case 1 => filt + a
-          case 2 => filt + bb
-          case 3 => filt + (a + bb) / 2
-          case 4 => filt + paeth(a, bb, c)
+    // Reconstruct one filtered pw×ph sub-image starting at raw(off) —
+    // the whole image for interlace 0, one Adam7 pass for interlace 1
+    // (each pass filters against ITS OWN previous scanline, per spec).
+    def reconstructSub(off: Int, pw: Int, ph: Int): Option[Array[Byte]] = {
+      val sub = new Array[Byte](pw * ph)
+      for (y <- 0 until ph) {
+        val f = raw(off + y * (pw + 1)) & 0xff
+        if (f > 4) return None
+        for (x <- 0 until pw) {
+          val filt = raw(off + y * (pw + 1) + 1 + x) & 0xff
+          val a = if (x > 0) sub(y * pw + x - 1) & 0xff else 0
+          val bb = if (y > 0) sub((y - 1) * pw + x) & 0xff else 0
+          val c = if (x > 0 && y > 0) sub((y - 1) * pw + x - 1) & 0xff else 0
+          val cur = f match {
+            case 0 => filt
+            case 1 => filt + a
+            case 2 => filt + bb
+            case 3 => filt + (a + bb) / 2
+            case 4 => filt + paeth(a, bb, c)
+          }
+          sub(y * pw + x) = (cur & 0xff).toByte
         }
-        px(y * w + x) = (cur & 0xff).toByte
       }
+      Some(sub)
     }
-    Some(PngPixels(w, h, px))
+    if (interlace == 0) reconstructSub(0, w, h).map(PngPixels(w, h, _))
+    else {
+      val px = new Array[Byte](w * h)
+      var off = 0
+      for (i <- 0 until 7) {
+        val (pw, ph) = adam7Dims(w, h, i)
+        if (pw > 0 && ph > 0) {
+          val (x0, y0, dx, dy) = Adam7(i)
+          reconstructSub(off, pw, ph) match {
+            case None => return None
+            case Some(sub) =>
+              for (yy <- 0 until ph; xx <- 0 until pw)
+                px((y0 + yy * dy) * w + (x0 + xx * dx)) = sub(yy * pw + xx)
+          }
+          off += (pw + 1) * ph
+        }
+      }
+      Some(PngPixels(w, h, px))
+    }
+  }
+
+  /** Box-filter downsample by an integer factor `f`: each output pixel is
+    * the FLOOR mean of its f×f source block (pure integer arithmetic —
+    * bit-exact replayable by a SQL oracle, unlike float-weighted
+    * resamplers), and edge rows/columns that don't fill a whole block are
+    * cropped (output dims = floor(w/f) × floor(h/f)). The f×f mean is the
+    * exact area-average for integer-ratio downscale — what a thumbnail /
+    * training-resolution pipeline runs after decode. Returns None when a
+    * dimension is smaller than the factor (no complete block).
+    */
+  def boxDownsample(img: PngPixels, f: Int): Option[PngPixels] = {
+    require(f > 0)
+    val ow = img.width / f
+    val oh = img.height / f
+    if (ow == 0 || oh == 0) return None
+    val out = new Array[Byte](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var s = 0
+        var dy = 0
+        while (dy < f) {
+          val base = (oy * f + dy) * img.width + ox * f
+          var dx = 0
+          while (dx < f) { s += img.pixels(base + dx) & 0xff; dx += 1 }
+          dy += 1
+        }
+        out(oy * ow + ox) = (s / (f * f)).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    Some(PngPixels(ow, oh, out))
   }
 
   /** 39-byte JPEG prefix: SOI + JFIF APP0 (16-byte segment) + baseline

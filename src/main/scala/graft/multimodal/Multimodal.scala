@@ -235,7 +235,10 @@ object Multimodal {
     * inflate + full filter reconstruction sample-exactly — pixel decode
     * here is NOT a stub (zlib ships with the JVM; only formats needing
     * external codec libraries — JPEG entropy coding, video — remain
-    * header-only).
+    * header-only). Round 13: every doc_id ≡ 0 (mod 12) row — half the
+    * table — is written ADAM7-INTERLACED (interlace method 1), the
+    * old-web-crawl layout; the oracle is formula-only and unchanged, so
+    * green means the decoder handled both layouts through the container.
     */
   def realPngTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import s.implicits._
@@ -249,7 +252,8 @@ object Multimodal {
           for (y <- 0 until h; x <- 0 until w)
             px(y * w + x) = ((id + 7L * x + 13L * y) % 256).toByte
           MediaRow(id, "image",
-            MediaCodec.pngEncode(w, h, px, filterFor = r => ((id + r) % 5).toInt))
+            MediaCodec.pngEncode(w, h, px, filterFor = r => ((id + r) % 5).toInt,
+              interlaced = id % 12 == 0))
         }
       }
   }
@@ -972,6 +976,35 @@ object Multimodal {
       rows.flatMap { m =>
         MediaCodec.pngDecodePixels(m.content).map(img =>
           grayStats(m.doc_id, img.pixels))
+      }
+    }
+  }
+
+  /** Output-image stats of a pixel-level resize (mm21). */
+  case class ResizeStats(doc_id: Long, out_w: Int, out_h: Int,
+    n_pixels: Long, sum_lum: Long, sum_sq: Long, min_lum: Int, max_lum: Int)
+
+  /** REAL pixel-level resize (mm21): decode each PNG, box-filter
+    * downsample by integer factor `f` ([[MediaCodec.boxDownsample]] —
+    * floor-mean over f×f blocks, edge remainders cropped; exact integer
+    * arithmetic so the oracle replays every OUTPUT pixel from the source
+    * formula), then reduce the RESIZED image to the mm7 stats plus its
+    * dimensions. This is the verb mm4's metadata-only resize stops short
+    * of — the thumbnail / training-resolution step an image pipeline runs
+    * after decode. Same per-partition batching as [[imagePixelStats]];
+    * undecodable or smaller-than-factor rows drop out.
+    */
+  def resizePixelStats(media: Dataset[MediaRow], f: Int): Dataset[ResizeStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        MediaCodec.pngDecodePixels(m.content)
+          .flatMap(img => MediaCodec.boxDownsample(img, f))
+          .map { r =>
+            val st = grayStats(m.doc_id, r.pixels)
+            ResizeStats(m.doc_id, r.width, r.height, st.n_pixels,
+              st.sum_lum, st.sum_sq, st.min_lum, st.max_lum)
+          }
       }
     }
   }

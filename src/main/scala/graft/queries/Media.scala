@@ -313,6 +313,21 @@ object Media extends QueryPack {
         Multimodal.realTiffTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM21: REAL pixel-level resize — decode the mm7 PNGs (half of them
+    // Adam7-interlaced as of round 13), box-filter downsample 2× (floor
+    // mean over each 2×2 block, exact integer arithmetic), and gate stats
+    // of the RESIZED image plus its dimensions. The oracle replays every
+    // output pixel from the source formula, so a green hash proves both
+    // the decode (through either interlace layout) AND the resample math
+    // — the verb mm4's metadata-only resize stops short of, and the most
+    // common multimodal-pipeline op after decode.
+    "mm21_resize_pixels" -> { (s, d) =>
+      Multimodal.resizePixelStats(
+        Multimodal.realPngTable(s, Tables.documents(s, d)), f = 2)
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -902,6 +917,36 @@ object Media extends QueryPack {
         |    LATERAL (SELECT UNNEST(range(d.h)) AS y) yy
         |)
         |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(g) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(g) AS INT) AS min_lum,
+        |  CAST(MAX(g) AS INT) AS max_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Resize truth from the source-pixel formula alone: each 2× output
+    // pixel is the floor mean of its 2×2 source block
+    // g(x,y) = (id + 7x + 13y) % 256 — the engine must arrive at the
+    // same numbers THROUGH the deflated (and, for half the rows,
+    // Adam7-interlaced) container AND the box filter.
+    "mm21_resize_pixels" ->
+      """WITH img AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
+        |    CAST(16 + (doc_id * 3) % 16 AS INT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), px AS (
+        |  SELECT i.doc_id, i.w // 2 AS ow, i.h // 2 AS oh,
+        |    ((i.doc_id + 7 * (2 * xx.x) + 13 * (2 * yy.y)) % 256
+        |     + (i.doc_id + 7 * (2 * xx.x + 1) + 13 * (2 * yy.y)) % 256
+        |     + (i.doc_id + 7 * (2 * xx.x) + 13 * (2 * yy.y + 1)) % 256
+        |     + (i.doc_id + 7 * (2 * xx.x + 1) + 13 * (2 * yy.y + 1)) % 256) // 4 AS g
+        |  FROM img i,
+        |    LATERAL (SELECT UNNEST(range(i.w // 2)) AS x) xx,
+        |    LATERAL (SELECT UNNEST(range(i.h // 2)) AS y) yy
+        |)
+        |SELECT doc_id,
+        |  CAST(MIN(ow) AS INT) AS out_w,
+        |  CAST(MIN(oh) AS INT) AS out_h,
         |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
         |  CAST(SUM(g) AS BIGINT) AS sum_lum,
         |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,

@@ -177,6 +177,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hdr.exists(i => i.width == 37 && i.height == 23))
   }
 
+  test("PNG Adam7 interlaced: round-trips pixel-exactly and agrees with the JDK's ImageIO") {
+    val rnd = new scala.util.Random(7)
+    // Sizes that exercise EMPTY passes (smaller than one 8×8 tile, single
+    // row/column) and non-multiples of the pass grid — the cases where a
+    // wrong ceil() in the per-pass dims or a pass-order slip corrupts the
+    // scatter.
+    for ((w, h) <- Seq((16, 16), (7, 3), (1, 1), (1, 9), (9, 1), (37, 23), (8, 8), (5, 12))) {
+      val px = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val bytes = MediaCodec.pngEncode(w, h, px, r => r % 5, interlaced = true)
+      val back = MediaCodec.pngDecodePixels(bytes)
+        .getOrElse(fail(s"decode failed for ${w}x$h"))
+      assert(back.width === w && back.height === h)
+      assert(back.pixels.toSeq === px.toSeq, s"${w}x$h not reconstructed")
+      // Interlaced and sequential encodes of the same pixels must decode
+      // identically (layout-invariance of the decode surface).
+      val seq0 = MediaCodec.pngDecodePixels(MediaCodec.pngEncode(w, h, px, r => r % 5))
+      assert(seq0.get.pixels.toSeq === back.pixels.toSeq)
+      // Independent codec: the JDK's own ImageIO PNG reader must recover
+      // the same pixels from our interlaced bytes.
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected our interlaced ${w}x$h PNG")
+      val got = for (y <- 0 until h; x <- 0 until w)
+        yield (img.getRaster.getSample(x, y, 0) & 0xff).toByte
+      assert(got === px.toSeq, s"ImageIO disagreement at ${w}x$h")
+    }
+  }
+
+  test("boxDownsample: floor-mean blocks, crops edge remainders, rejects smaller-than-factor") {
+    import graft.multimodal.MediaCodec.PngPixels
+    // 4×3 by factor 2 → 2×1: the third row is an incomplete block and
+    // must be CROPPED, and means floor (395/4 = 98.75 → 98).
+    val src = PngPixels(4, 3, Array[Byte](
+      10, 20, 30, 40,
+      50, 60, 70, 255.toByte,
+      1, 2, 3, 4))
+    val out = MediaCodec.boxDownsample(src, 2).get
+    assert(out.width === 2 && out.height === 1)
+    assert(out.pixels.map(_ & 0xff).toSeq === Seq((10 + 20 + 50 + 60) / 4,
+      (30 + 40 + 70 + 255) / 4))
+    // Factor 1 is the identity.
+    assert(MediaCodec.boxDownsample(src, 1).get.pixels.toSeq === src.pixels.toSeq)
+    // No complete block in a dimension → None, not a zero-size image.
+    assert(MediaCodec.boxDownsample(src, 5).isEmpty)
+  }
+
   test("PNG decode rejects corrupt bytes: CRC damage, truncated IDAT, bad filter, wrong depth") {
     val px = Array.tabulate[Byte](16 * 16)(i => i.toByte)
     val good = MediaCodec.pngEncode(16, 16, px, r => r % 5)
@@ -414,6 +459,10 @@ class MultimodalSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260814L)
     val pngGood = MediaCodec.pngEncode(24, 16,
       Array.tabulate[Byte](24 * 16)(i => (i * 13 % 256).toByte), r => r % 5)
+    // Adam7: mutations land in the per-pass dims/offset bookkeeping.
+    val pngInterlacedGood = MediaCodec.pngEncode(24, 16,
+      Array.tabulate[Byte](24 * 16)(i => (i * 13 % 256).toByte), r => r % 5,
+      interlaced = true)
     val (_, _, _, jpgGood, _) = jpegFixture(21L)
     // Color, 4:2:0 and progressive (gray + color) variants: mutations land
     // in the multi-component SOF/SOS headers, interleave bookkeeping, and
@@ -475,7 +524,7 @@ class MultimodalSpec extends AnyFunSuite {
         Array.tabulate[Byte](256)(i => (i * 31 % 256).toByte), interlace = true),
       GifCodec.GifFrame(4, 4, 8, 8, Array.fill[Byte](64)(5))))
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
-    for (base <- Seq(pngGood, jpgGood, colorGood, j420Good, progGood,
+    for (base <- Seq(pngGood, pngInterlacedGood, jpgGood, colorGood, j420Good, progGood,
         progColorGood, losslessGood, ext12Good, tiffGood, tiffLzwGood,
         wavGood, aviGood, exifGood, gifGood);
         _ <- 0 until 300) {
