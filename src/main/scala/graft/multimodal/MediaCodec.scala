@@ -515,6 +515,46 @@ object MediaCodec {
     Some(PcmStats(n.toLong, sumAbs, sumSq, peak, zc))
   }
 
+  /** Multi-width PCM decode with channel-mean mono downmix (mm22): 8-bit
+    * (stored UNSIGNED per the WAV convention, centered as v−128), 16-bit
+    * and 24-bit (signed little-endian) frames, any channel count. Each
+    * frame downmixes to `floorDiv(Σ_c v_c, channels)` — floor (not
+    * truncate-toward-zero) so the rounding is a single exact integer rule
+    * a SQL oracle replays with floor(sum/ch). A trailing PARTIAL frame
+    * (data bytes not a multiple of block align — the truncated-chunk
+    * shape real lakes contain) is ignored, never mis-read. Other widths
+    * (32-bit, float) return None: reject, never mis-decode.
+    */
+  def pcmMonoMix(b: Array[Byte], h: WavHeader): Option[Array[Int]] = {
+    if (h.bitsPerSample != 8 && h.bitsPerSample != 16 && h.bitsPerSample != 24)
+      return None
+    val bps = h.bitsPerSample / 8
+    val block = bps * h.channels
+    val avail = math.min(h.dataBytes, b.length - h.headerLen)
+    val n = avail / block
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var sum = 0L
+      var c = 0
+      while (c < h.channels) {
+        val off = h.headerLen + i * block + c * bps
+        val v = h.bitsPerSample match {
+          case 8 => (b(off) & 0xff) - 128
+          case 16 => ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+          case _ => // 24-bit signed LE: assemble then sign-extend via << 8 >> 8
+            (((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+              ((b(off + 2) & 0xff) << 16)) << 8) >> 8
+        }
+        sum += v
+        c += 1
+      }
+      out(i) = Math.floorDiv(sum, h.channels).toInt
+      i += 1
+    }
+    Some(out)
+  }
+
   // ---- REAL MJPEG-in-AVI video codec ---------------------------------
   // AVI is RIFF (same container family as WAV, little-endian chunk walk
   // per the Microsoft Multimedia Programming Interface spec): a 'hdrl'

@@ -1080,6 +1080,91 @@ object Multimodal {
     }
   }
 
+  /** Mono-downmix stats of a multi-width WAV (mm22). */
+  case class AudioMixStats(doc_id: Long, channels: Int, bits: Int,
+    n_samples: Long, sum_abs: Long, sum_sq: Long, peak_abs: Int,
+    zero_crossings: Long)
+
+  /** REAL multi-format WAV table (mm22): every audio document (doc_id ≡ 1
+    * mod 3) becomes a complete RIFF/WAVE whose sample width AND channel
+    * count cycle with k = id/3 — bits = 8·(1 + k%3) ∈ {8, 16, 24},
+    * channels = 1 + k%2 — covering the six layout combinations real audio
+    * lakes mix (mm5/mm6 decode 16-bit mono only). Samples follow
+    * closed-form formulas of (id, frame, channel) sized to each width
+    * (8-bit stored UNSIGNED per the WAV convention); every 4th row (k ≡ 0
+    * mod 4) carries the extra LIST chunk so fixed-offset parsing fails.
+    */
+  def realMultiWavTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = id / 3
+          val bits = (8 * (1 + k % 3)).toInt
+          val ch = (1 + k % 2).toInt
+          val nf = (40 + id % 50).toInt
+          val bps = bits / 8
+          val data = new Array[Byte](nf * ch * bps)
+          var o = 0
+          for (i <- 0 until nf; c <- 0 until ch) bits match {
+            case 8 =>
+              data(o) = ((id + 5L * i + 3L * c) % 256).toInt.toByte // unsigned
+              o += 1
+            case 16 =>
+              val v = ((7L * id + 11L * i + 17L * c) % 4001 - 2000).toInt
+              data(o) = (v & 0xff).toByte
+              data(o + 1) = ((v >> 8) & 0xff).toByte
+              o += 2
+            case _ =>
+              val v = ((13L * id + 23L * i + 29L * c) % 100001 - 50000).toInt
+              data(o) = (v & 0xff).toByte
+              data(o + 1) = ((v >> 8) & 0xff).toByte
+              data(o + 2) = ((v >> 16) & 0xff).toByte
+              o += 3
+          }
+          MediaRow(id, "audio",
+            MediaCodec.wavHeader(16000, ch, bits, data.length,
+              padChunk = k % 4 == 0) ++ data)
+        }
+      }
+  }
+
+  /** Decode multi-width WAVs, downmix to mono ([[MediaCodec.pcmMonoMix]] —
+    * exact floor-mean integer semantics), and reduce the MIXED stream to
+    * the mm6 sample stats plus the recovered layout. The oracle replays
+    * the per-channel formulas and the floor-mean in SQL, so a green hash
+    * proves width dispatch, sign handling (8-bit unsigned centering,
+    * 24-bit sign extension) and the downmix rule all at once.
+    */
+  def audioMixStats(media: Dataset[MediaRow]): Dataset[AudioMixStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        MediaCodec.parseWav(m.content).flatMap { h =>
+          MediaCodec.pcmMonoMix(m.content, h).map { mono =>
+            var sumAbs = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+            var prevNeg = false
+            var i = 0
+            while (i < mono.length) {
+              val v = mono(i)
+              val a = math.abs(v)
+              sumAbs += a
+              sumSq += v.toLong * v
+              if (a > peak) peak = a
+              val neg = v < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            AudioMixStats(m.doc_id, h.channels, h.bitsPerSample,
+              mono.length.toLong, sumAbs, sumSq, peak, zc)
+          }
+        }
+      }
+    }
+  }
+
   /** Batched feature extraction: ONE decoder per partition, rows streamed
     * through (the mapPartitions analogue of a pandas-batch UDF).
     */

@@ -328,6 +328,19 @@ object Media extends QueryPack {
         Multimodal.realPngTable(s, Tables.documents(s, d)), f = 2)
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM22: multi-width WAV decode + stereo downmix — real audio lakes
+    // are not 16-bit mono (the only layout mm5/mm6 decode): the fixture
+    // cycles 8/16/24-bit × mono/stereo, and the gated stats run over the
+    // channel-mean MONO mix (exact floor-division semantics). A decoder
+    // that missed the 8-bit unsigned convention, botched 24-bit sign
+    // extension, or averaged with truncate-toward-zero goes red.
+    "mm22_audio_mix_stats" -> { (s, d) =>
+      Multimodal.audioMixStats(
+        Multimodal.realMultiWavTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -952,6 +965,47 @@ object Media extends QueryPack {
         |  CAST(SUM(g * g) AS BIGINT) AS sum_sq,
         |  CAST(MIN(g) AS INT) AS min_lum,
         |  CAST(MAX(g) AS INT) AS max_lum
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Downmix truth from the per-channel sample formulas alone — the
+    // engine must arrive at the same numbers THROUGH the RIFF walk, the
+    // per-width byte decode (8-bit unsigned centering, 16/24-bit signed
+    // LE) and the floor-mean downmix. floor(SUM/ch) in DOUBLE is exact
+    // here (|sum| < 2^25 ≪ 2^53).
+    "mm22_audio_mix_stats" ->
+      """WITH audio AS (
+        |  SELECT doc_id, doc_id // 3 AS k FROM documents WHERE doc_id % 3 = 1
+        |), fmtc AS (
+        |  SELECT doc_id, CAST(8 * (1 + k % 3) AS INT) AS bits,
+        |    CAST(1 + k % 2 AS INT) AS ch,
+        |    CAST(40 + doc_id % 50 AS INT) AS nf
+        |  FROM audio
+        |), samp AS (
+        |  SELECT f.doc_id, f.ch, f.bits, u.i, cc.c,
+        |    CASE WHEN f.bits = 8 THEN (f.doc_id + 5 * u.i + 3 * cc.c) % 256 - 128
+        |         WHEN f.bits = 16 THEN (7 * f.doc_id + 11 * u.i + 17 * cc.c) % 4001 - 2000
+        |         ELSE (13 * f.doc_id + 23 * u.i + 29 * cc.c) % 100001 - 50000 END AS v
+        |  FROM fmtc f,
+        |    LATERAL (SELECT UNNEST(range(f.nf)) AS i) u,
+        |    LATERAL (SELECT UNNEST(range(f.ch)) AS c) cc
+        |), mono AS (
+        |  SELECT doc_id, ch, bits, i,
+        |    CAST(floor(SUM(v) / ch) AS BIGINT) AS m
+        |  FROM samp GROUP BY doc_id, ch, bits, i
+        |), lagged AS (
+        |  SELECT doc_id, ch, bits, m,
+        |    LAG(m) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+        |  FROM mono
+        |)
+        |SELECT doc_id,
+        |  CAST(MIN(ch) AS INT) AS channels,
+        |  CAST(MIN(bits) AS INT) AS bits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(m)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(m * m) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(m)) AS INT) AS peak_abs,
+        |  CAST(SUM(CASE WHEN pm IS NOT NULL AND ((m < 0) != (pm < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -265,6 +265,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.pngDecodePixels(fdict).isEmpty)
   }
 
+  test("pcmMonoMix: 8-bit unsigned centering, 24-bit sign extension, floor-mean stereo downmix, partial trailing frame ignored") {
+    import graft.multimodal.WavHeader
+    // 24-bit stereo: two frames, hand-built little-endian triplets.
+    //   frame 0: L = -1 (ff ff ff), R = 2 (02 00 00) → floor(1/2) = 0
+    //   frame 1: L = -5, R = 2 → floor(-3/2) = -2 (floor, NOT trunc -1)
+    val s24 = Array[Byte](
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0x02, 0x00, 0x00,
+      0xfb.toByte, 0xff.toByte, 0xff.toByte, 0x02, 0x00, 0x00)
+    val wav24 = MediaCodec.wavHeader(8000, 2, 24, s24.length) ++ s24
+    val h24 = MediaCodec.parseWav(wav24).get
+    assert(MediaCodec.pcmMonoMix(wav24, h24).get.toSeq === Seq(0, -2))
+    // 8-bit mono is stored UNSIGNED: byte 0x00 → -128, 0x80 → 0, 0xff → 127.
+    val s8 = Array[Byte](0x00, 0x80.toByte, 0xff.toByte)
+    val wav8 = MediaCodec.wavHeader(8000, 1, 8, 3) ++ s8
+    assert(MediaCodec.pcmMonoMix(wav8, MediaCodec.parseWav(wav8).get).get.toSeq
+      === Seq(-128, 0, 127))
+    // Partial trailing frame (7 bytes of 16-bit stereo = 1 full frame + 3
+    // bytes): the incomplete frame must be ignored, not mis-read.
+    val s16 = Array[Byte](0x01, 0x00, 0x02, 0x00, 0x03, 0x00, 0x04)
+    val wav16 = MediaCodec.wavHeader(8000, 2, 16, 7) ++ s16
+    assert(MediaCodec.pcmMonoMix(wav16, MediaCodec.parseWav(wav16).get).get.toSeq
+      === Seq(1)) // floor((1+2)/2)
+    // Unimplemented widths reject.
+    assert(MediaCodec.pcmMonoMix(wav16,
+      WavHeader(8000, 1, 32, 4, wav16.length - 7)).isEmpty)
+  }
+
   test("PCM sample decode: hand-computed stats on a crafted stream; odd trailing byte ignored") {
     val samples = Seq[Short](0, 100, -100, 32767, -32768, 0)
     val data = samples.flatMap(s =>
@@ -494,6 +521,10 @@ class MultimodalSpec extends AnyFunSuite {
       predictor = 2)
     val wavGood = MediaCodec.wavHeader(16000, 2, 16, 64) ++
       Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    // 24-bit stereo WAV: mutations land in the width dispatch, the
+    // 3-byte frame stride and the downmix loop's bounds arithmetic.
+    val wav24Good = MediaCodec.wavHeader(16000, 2, 24, 60) ++
+      Array.tabulate[Byte](60)(i => (i * 11).toByte)
     // MJPEG AVI: mutations land in the RIFF list walk, the avih/strh/strf
     // field checks, and the per-frame JPEG decode.
     val (_, _, _, aviGood) = aviFixture(17L, nF = 2)
@@ -512,7 +543,10 @@ class MultimodalSpec extends AnyFunSuite {
       JpegCodec.jpegDecode12(b)
       graft.multimodal.TiffCodec.tiffDecodePixels(b)
       MediaCodec.parseImageHeader(b)
-      MediaCodec.parseWav(b).foreach(h => MediaCodec.pcmStats(b, h))
+      MediaCodec.parseWav(b).foreach { h =>
+        MediaCodec.pcmStats(b, h)
+        MediaCodec.pcmMonoMix(b, h)
+      }
       MediaCodec.aviDecodeMjpegFrames(b)
       graft.multimodal.ExifCodec.parseJpegMeta(b)
       GifCodec.gifDecodeFrames(b)
@@ -526,7 +560,7 @@ class MultimodalSpec extends AnyFunSuite {
     for (_ <- 0 until 200) decodeAll(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
     for (base <- Seq(pngGood, pngInterlacedGood, jpgGood, colorGood, j420Good, progGood,
         progColorGood, losslessGood, ext12Good, tiffGood, tiffLzwGood,
-        wavGood, aviGood, exifGood, gifGood);
+        wavGood, wav24Good, aviGood, exifGood, gifGood);
         _ <- 0 until 300) {
       val mut = base.clone()
       rnd.nextInt(3) match {
