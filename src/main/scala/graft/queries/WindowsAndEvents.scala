@@ -455,6 +455,44 @@ object WindowsAndEvents extends QueryPack {
       }
     },
 
+    // ST17: transformWithState EVENT-TIME TIMERS as a REAL streaming run —
+    // the st4 gap-sessionization re-expressed on Spark 4's processor-timer
+    // surface (explicit registerTimer/deleteTimer + handleExpiredTimer
+    // eviction over RocksDB, StreamOps.SessionTimerProcessor) instead of
+    // fMGWS's hasTimedOut re-entry. The emission set is the SAME state
+    // machine — sessions closed by a later event emit from the data batch,
+    // the final open session emits iff its timer fired strictly before the
+    // final watermark — so the st4 oracle replay gates this query
+    // unchanged: a timer mis-registration, a stale-timer double fire, or a
+    // wrong watermark comparator each change the landed set and go red.
+    "st17_tws_session_timers" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val base = scratchDir(s, d, "st17_sink")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val events = StreamOps.eventsStream(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .withWatermark("ts", "10 minutes")
+          .as[StreamOps.Event](org.apache.spark.sql.Encoders.product[StreamOps.Event])
+        val q = StreamOps.parquetAppendSink(
+          StreamOps.userSessionsTws(events, gapMs = 45 * 60 * 1000L).toDF(),
+          s"$base/staging", s"$base/ckpt")
+        q.awaitTermination()
+        graft.sources.SnapshotSink.overwrite(
+          s.read.parquet(s"$base/staging"), s"$base/snapshot")
+        s.read.parquet(s"$base/snapshot")
+          .orderBy("user_id", "session_start")
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None    => s.conf.unset(providerKey)
+        }
+      }
+    },
+
     // ST8: stream-STREAM join as a REAL streaming run — two watermarked
     // streams over the events source (errors / purchases) joined on user
     // within a 1-day event-time range, landed via foreachBatch and
@@ -1000,6 +1038,34 @@ object WindowsAndEvents extends QueryPack {
     // fired: end_ms + gap STRICTLY below the final watermark (max event-ms
     // − 10-minute delay), evaluated in the trailing no-data batch.
     "st4_stream_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS tms FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, tms,
+        |    CASE WHEN LAG(tms) OVER w IS NULL
+        |           OR tms - LAG(tms) OVER w >= 2700000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tms ASC, event_id ASC)
+        |), grouped AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |), sessions AS (
+        |  SELECT user_id, sid, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+        |    COUNT(*) AS n_events
+        |  FROM grouped GROUP BY user_id, sid
+        |), wm AS (
+        |  SELECT (MAX(epoch_us(ts)) // 1000) - 600000 AS wm_ms FROM events
+        |)
+        |SELECT user_id, make_timestamp(start_ms * 1000) AS session_start,
+        |  make_timestamp(end_ms * 1000) AS session_end, n_events
+        |FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM sessions), wm
+        |WHERE sid < max_sid OR end_ms + 2700000 < wm_ms
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same truth as st4_stream_roundtrip: the timer-driven TWS machine
+    // emits exactly the fMGWS emission set (gap splits on ms deltas;
+    // last session iff end_ms + gap strictly below the final watermark).
+    "st17_tws_session_timers" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS tms FROM events
         |), marked AS (

@@ -280,6 +280,89 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** ST17: transformWithState EVENT-TIME TIMERS — the processor-timer
+    * surface st16's ValueState/MapState half leaves out, and the last
+    * Spark-4 arbitrary-state primitive: timeout-driven eviction, the
+    * streaming form of the reference's `next_update` recrawl scheduling.
+    * Same gap-sessionization state machine as [[userSessionsTimeout]]
+    * (st4), but where fMGWS delivers timeouts as a hasTimedOut re-entry,
+    * here the processor REGISTERS an explicit timer at `session_end +
+    * gap` on every update (deleting the stale one — an un-deleted timer
+    * from a superseded session would fire later and evict a session that
+    * was since extended), and the runtime calls [[handleExpiredTimer]]
+    * once the event-time watermark passes it. Emission set is identical
+    * to st4's machine — sessions closed by a later event emit from the
+    * data batch; the final open session emits iff its timer fired before
+    * end of input — so the st4 oracle replay gates this query unchanged.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var session: ValueState[UserSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[UserSession]("session",
+        E.product[UserSession], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+      var cur = if (session.exists()) Some(session.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.endMs < gapMs =>
+            cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionOut(uid,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+            cur = Some(UserSession(t, t, 1))
+          case None =>
+            cur = Some(UserSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        // One LIVE timer per key: drop whatever was scheduled for the
+        // superseded session end, then arm the new eviction time.
+        getHandle.listTimers().foreach(old => getHandle.deleteTimer(old))
+        getHandle.registerTimer(s.endMs + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // Guard against a stale fire racing a same-batch extension: only the
+      // timer matching the CURRENT session's eviction time may emit.
+      if (session.exists()) {
+        val s = session.get()
+        if (s.endMs + gapMs == expired.getExpiryTimeInMs) {
+          session.clear()
+          return Iterator.single(SessionOut(uid,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Run [[SessionTimerProcessor]] over a watermarked event stream
+    * (TimeMode.EventTime — timers clock on the event-time watermark).
+    * Caller owns the watermark and the RocksDB provider, as with
+    * [[userStatsTws]].
+    */
+  def userSessionsTws(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** ST7: foreachBatch parquet-append sink — the merge-style sink pattern
     * (each micro-batch lands atomically via the file sink protocol; for
     * true upsert semantics the batch would go through

@@ -152,6 +152,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ST17: transformWithState timers evict idle sessions exactly once; stale timers never fire (RocksDB)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val watermarked = ms.toDF().withWatermark("ts", "0 seconds").as[Event]
+      val q = StreamOps.userSessionsTws(watermarked, gapMs = 30 * 60 * 1000L)
+        .toDF().writeStream.format("memory").queryName("tws_timer_test")
+        .outputMode("append").start()
+      try {
+        // Batch 1: one session for user 1 (10:00 + 10:10) — timer armed at
+        // 10:40, nothing emitted.
+        ms.addData(ev(1, "2024-01-01T10:00:00Z"), ev(2, "2024-01-01T10:10:00Z"))
+        q.processAllAvailable()
+        assert(spark.table("tws_timer_test").isEmpty)
+        // Batch 2: 10:20 EXTENDS the session across the batch boundary —
+        // the 10:40 timer is now STALE (replaced by 10:50). If it weren't
+        // deleted/guarded, the watermark sweep below would fire it and
+        // evict a session that was since extended.
+        ms.addData(ev(3, "2024-01-01T10:20:00Z"))
+        q.processAllAvailable()
+        assert(spark.table("tws_timer_test").isEmpty)
+        // Sentinel user drags the watermark past BOTH timer times; the
+        // next batch's timer sweep must fire the live 10:50 timer exactly
+        // once, emitting the full extended session via handleExpiredTimer.
+        ms.addData(ev(4, "2024-01-01T11:30:00Z", uid = 99))
+        q.processAllAvailable()
+        ms.addData(ev(5, "2024-01-01T11:31:00Z", uid = 99))
+        q.processAllAvailable()
+        val got = spark.table("tws_timer_test")
+          .select(col("user_id"), col("session_start").cast("string"),
+            col("session_end").cast("string"), col("n_events"))
+          .as[(Long, String, String, Long)].collect().toSeq
+        assert(got === Seq((1L, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 3L)),
+          s"expected exactly one timer-evicted session, got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("ST2: session windows split on the gap and emit after the watermark passes") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
