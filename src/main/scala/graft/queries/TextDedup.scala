@@ -130,6 +130,13 @@ object TextDedup extends QueryPack {
     */
   private[queries] val BucketCap = 64
 
+  /** t37's fixed rank-ordered merge table: the eight most common English
+    * bigrams, applied in list order. All pairs are single-char symbols,
+    * so every merged symbol is 2 chars and atomic to later ranks —
+    * exactly the first 8 rounds of a character-BPE trainer's merge list.
+    */
+  private val BpeMerges = Seq("th", "he", "in", "er", "an", "re", "on", "at")
+
   /** t19's edit-distance bound: candidates farther than this are not
     * near-dups and are dropped BEFORE the full DP cost is paid (Spark's
     * threshold levenshtein early-abandons at O(len·MaxEdit)). Mirrored in
@@ -1373,6 +1380,50 @@ object TextDedup extends QueryPack {
         .limit(100)
     },
 
+    // T37: BPE APPLY — t30 counts merge candidates; this actually APPLIES
+    // a fixed rank-ordered merge table (the 8 most common English
+    // bigrams), turning the text stack into a real token-count source for
+    // t10's packing. Ranks apply SEQUENTIALLY, each as a greedy
+    // left-to-right non-overlapping pass over the word's symbol sequence
+    // — the classic BPE tiling (a run "aaa" under merge (a,a) becomes
+    // [aa, a], never re-merging the freshly made symbol). The pass is ONE
+    // codegen-free but shuffle-free `aggregate` HOF fold per rank over a
+    // sentinel-delimited symbol string ("|t|h|e|"): a merge fires only on
+    // `endswith(acc, '|p1|') AND x = p2` — exact SYMBOL boundaries, so a
+    // merged 2-char symbol is atomic for every later rank. Corpus-scale
+    // trick is t30's: fold over the DISTINCT VOCAB only (Zipf: orders of
+    // magnitude smaller than the token stream), then join multiplicities
+    // back per doc. The oracle replays the identical fold with DuckDB's
+    // list_reduce, term for term.
+    "t37_bpe_apply" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val wc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      // "|c|c|…|": one sentinel per symbol boundary; symbols are [a-z] so
+      // the sentinel can never occur inside one.
+      var vocab = words.select("word").distinct().withColumn("seg",
+        concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")))
+      BpeMerges.foreach { p =>
+        val (p1, p2) = (p.substring(0, 1), p.substring(1, 2))
+        vocab = vocab.withColumn("seg", expr(
+          s"""aggregate(filter(split(seg, '[|]'), x -> x != ''), '|',
+             |  (acc, x) -> CASE WHEN endswith(acc, '|$p1|') AND x = '$p2'
+             |    THEN concat(left(acc, length(acc) - 2), '$p1$p2|')
+             |    ELSE concat(acc, x, '|') END)""".stripMargin))
+      }
+      val segged = vocab.withColumn("n_syms",
+        size(filter(split(col("seg"), "[|]"), x => x =!= lit(""))).cast("long"))
+      wc.join(segged, Seq("word"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
+          sum(col("n_syms") * col("cnt")).as("n_symbols"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_symbols"), 6))
+        .orderBy("doc_id")
+    },
+
     // T31: t11's contamination check with the BLOOM PRE-PASS t11's own
     // comment promises (the 100 TB fallback plan made concrete): sketch
     // the held-out n-gram hashes once (graft_bloom_agg scalar subquery —
@@ -2413,6 +2464,44 @@ object TextDedup extends QueryPack {
         |)
         |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs FROM pairs
         |GROUP BY pair ORDER BY n_pairs DESC, pair ASC LIMIT 100""".stripMargin,
+
+    // The identical sentinel-string fold, rank by rank, via DuckDB's
+    // list_reduce — a merge fires only on an exact symbol-boundary match
+    // (ends_with '|p1|'), so both engines tile greedily left-to-right
+    // without re-merging fresh symbols.
+    "t37_bpe_apply" -> {
+      val stages = Seq("th", "he", "in", "er", "an", "re", "on", "at")
+        .zipWithIndex.map { case (p, i) =>
+          val (p1, p2) = (p.substring(0, 1), p.substring(1, 2))
+          val prev = if (i == 0) "seg0" else s"s$i"
+          s"""s${i + 1} AS (
+             |  SELECT word, list_reduce(
+             |    list_prepend('|', list_filter(string_split(seg, '|'), x -> x <> '')),
+             |    (acc, x) -> CASE WHEN ends_with(acc, '|$p1|') AND x = '$p2'
+             |      THEN left(acc, length(acc) - 2) || '$p1$p2|'
+             |      ELSE acc || x || '|' END) AS seg
+             |  FROM $prev
+             |)""".stripMargin
+        }.mkString(", ")
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |), ok AS (
+         |  SELECT doc_id, word FROM words WHERE regexp_matches(word, '^[a-z]+$$')
+         |), wc AS (
+         |  SELECT doc_id, word, COUNT(*) AS cnt FROM ok GROUP BY doc_id, word
+         |), seg0 AS (
+         |  SELECT DISTINCT word, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg FROM ok
+         |), $stages, segged AS (
+         |  SELECT word, len(list_filter(string_split(seg, '|'), x -> x <> '')) AS n_syms FROM s8
+         |)
+         |SELECT w.doc_id,
+         |  CAST(SUM(w.cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(length(w.word) * w.cnt) AS BIGINT) AS n_chars,
+         |  CAST(SUM(s.n_syms * w.cnt) AS BIGINT) AS n_symbols,
+         |  round(CAST(SUM(length(w.word) * w.cnt) AS DOUBLE) / SUM(s.n_syms * w.cnt), 6) AS compression
+         |FROM wc w JOIN segged s ON w.word = s.word
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // Identical to t11's oracle BY DESIGN: the bloom pre-pass is a pure
     // pruning optimization (false positives re-checked by the exact semi

@@ -24,6 +24,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     Gen.alphaNumChar, Gen.oneOf(' ', ' ', '\t', '.', ',', '!', '?', '/', '#'),
     Gen.alphaChar.map(_.toUpper))).map(_.mkString)
 
+  test("t37's BPE fold tiles greedily left-to-right without re-merging fresh symbols") {
+    // The exact sentinel-string fold t37_bpe_apply chains per rank
+    // (TextDedup.scala): a merge fires only on an exact symbol-boundary
+    // match, so the classic BPE tiling falls out — "nanana" under (a,n)
+    // is [n, an, an], never a cascade through the freshly merged symbol.
+    def stage(p1: String, p2: String): String =
+      s"""aggregate(filter(split(seg, '[|]'), x -> x != ''), '|',
+         |  (acc, x) -> CASE WHEN endswith(acc, '|$p1|') AND x = '$p2'
+         |    THEN concat(left(acc, length(acc) - 2), '$p1$p2|')
+         |    ELSE concat(acc, x, '|') END) AS seg""".stripMargin
+    val seg0 = Seq("that", "nanana", "ananan", "the", "x").toDF("word")
+      .selectExpr("word", "concat('|', regexp_replace(word, '(.)', '$1|')) AS seg")
+    val afterTh = seg0.selectExpr("word", stage("t", "h"))
+    val afterAt = afterTh.selectExpr("word", stage("a", "n"))
+      .selectExpr("word", stage("a", "t"))
+    val got = afterAt.as[(String, String)].collect().toMap
+    assert(got("the") === "|th|e|")          // th wins; h no longer pairable
+    assert(got("that") === "|th|at|")        // two ranks compose
+    assert(got("nanana") === "|n|an|an|a|") // greedy left tiling, odd tail
+    assert(got("ananan") === "|an|an|an|")   // clean tiling of a pure run
+    assert(got("x") === "|x|")               // single symbol untouched
+  }
+
   test("normalize is idempotent") {
     val df = samples(messy).toDF("s")
       .select(normalize(col("s")).as("once"))
