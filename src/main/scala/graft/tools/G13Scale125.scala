@@ -3,15 +3,16 @@ package graft.tools
 import graft.GraftSession
 import graft.operators.LinkGraph
 
-/** AUDIT-ONLY (round 12): the g13 HyperBall census at the 125× octave.
-  * At the gated lgK = 10 a single round's sketch-union sort carries
-  * |E|·2^lgK ≈ 150M × 1 KB ≈ 150 GB of spill — beyond this single box's
-  * free disk no matter the heap (on a cluster the same bytes distribute
-  * across executors' local disks; the operator's shape is unchanged).
-  * The measurable single-box point is lgK = 8 (≈ 37 GB/round, inside the
-  * disk budget), which together with the sf0.1 lgK table
-  * (`audits/g13b_lgk_knob.md`) pins the documented "cost ∝ 2^lgK" knob
-  * with a real 125× wall-clock. Usage:
+/** AUDIT-ONLY (round 12; re-run round 13 on the packed-lane census): the
+  * g13 HyperBall census at the 125× octave. In round 12, at lgK = 10 the
+  * hll_union_agg formulation's per-round sketch-union SORT carried
+  * |E|·2^lgK ≈ 150 GB of spill — beyond this single box's free disk —
+  * which motivated both the lgK = 8 measurement point and, in round 13,
+  * the packed-lane HashAggregate rewrite (PackedHll.scala) that removed
+  * the sort entirely (the gated query now ships lgK = 8 packed; see
+  * `audits/g13_packed_ab.md` for the A/B). Together with the sf0.1 lgK
+  * table (`audits/g13b_lgk_knob.md`) this pins the documented
+  * "cost ∝ 2^lgK" knob with a real 125× wall-clock. Usage:
   *   runMain graft.tools.G13Scale125 [lgK] [dir125] — times sf0.1 then
   * dir125, cold + best-of-2 warm each, and prints one summary line.
   */

@@ -88,19 +88,20 @@ object HyperBallKnob {
     }.toMap
 
     val md = new StringBuilder
-    md.append("# g13b HyperBall lgK cost knob — measured (round 11)\n\n")
+    md.append("# g13b HyperBall lgK cost knob — measured (round 13, packed lanes)\n\n")
     md.append("Error vs the EXACT neighborhood function N(h) (tagged pair-BFS,\n")
     md.append("sf0.01 — the quadratic-state census HyperBall replaces); time at\n")
     md.append("sf0.1 on the maintained symmetrized edge table (warm best-of-2,\n")
     md.append(s"3 rounds, ${nodesBig} nodes). Sketch state ∝ nodes × 2^lgK\n")
-    md.append("registers, and the per-round union shuffle carries it — the\n")
-    md.append("documented cost knob, now with numbers. HyperBall itself ships\n")
-    md.append("lgK 4–8 at billion-node scale; the gated query g13b ships an\n")
-    md.append("EXPLICIT lgK=10 (Graph.scala — 1 KB/node, classic HLL bound\n")
-    md.append("~3.3%, measured far tighter below because sparse-mode HLL is\n")
-    md.append("near-exact for small balls), while the LinkGraph API default is\n")
-    md.append("12; at 100 TB the table below says what each step of the knob\n")
-    md.append("buys and costs.\n\n")
+    md.append("registers packed 8-per-long (PackedHll.scala), and the per-round\n")
+    md.append("union shuffle carries it — the documented cost knob, now with\n")
+    md.append("numbers. HyperBall itself ships lgK 4–8 at billion-node scale;\n")
+    md.append("the gated query g13b ships lgK=8 (Graph.scala — 256 B/node;\n")
+    md.append("classic per-node HLL bound ~6.5%, measured far tighter below\n")
+    md.append("because linear counting is near-exact for small balls and the\n")
+    md.append("census SUM averages independent per-node errors down by another\n")
+    md.append("1/√|V|), matching the LinkGraph API default; at 100 TB the table\n")
+    md.append("below says what each step of the knob buys and costs.\n\n")
     md.append(s"Environment: cores=$cpus (SPARK_GRAFT_CPUS), data=$dataBase\n")
     md.append("(SPARK_GRAFT_DATA_DIR); defaults 32 / /root/testdata.\n\n")
     md.append("| lgK | max err h=1..3 (sf0.01) | err h=3 | sf0.1 warm (s) |\n")

@@ -87,7 +87,13 @@ object ScaleCurve {
     // plus the three new decoders (per-row flatMap decode, ~5× on 5×).
     "t35_span_dedup", "t36_incremental_span_dedup",
     "mm18_tiff_pixel_stats", "mm19_audio_frame_stats",
-    "mm20_cmyk_pixel_stats")
+    "mm20_cmyk_pixel_stats",
+    // round-13 additions: pixel resize + multi-width WAV downmix (per-row
+    // flatMap decode, ~5× on 5× rows), the BPE apply (vocab-collapsed
+    // fold — sub-linear in corpus like t30), and the timer-driven TWS
+    // sessionization (stream landing ∝ events, the st4 cost shape).
+    "mm21_resize_pixels", "mm22_audio_mix_stats", "t37_bpe_apply",
+    "st17_tws_session_timers")
 
   private[tools] def synthesize(s: SparkSession, src: String, dst: String,
       copies: Int = 5): Unit = {
