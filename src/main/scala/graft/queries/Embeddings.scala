@@ -582,20 +582,10 @@ object Embeddings extends QueryPack {
     "st15_stream_ivf_append" -> { (s, d) =>
       val base = scratchDir(s, d, "st15_sink")
       val standing = s"$base/lists"
-      // The fixture table is either a single FILE named embeddings.parquet
-      // (driver layout) or a Spark-written DIRECTORY of part files (the
-      // ScaleCurve synthesized layout). A file source must be rooted at a
-      // directory (FileStreamSource pins basePath to the source path), so:
-      // directory layout → stream the table dir itself; file layout →
-      // stream the parent dir with a leaf-name glob (which would silently
-      // match ZERO part files if applied to the directory layout).
-      val tablePath = s"$d/embeddings.parquet"
-      val hp = new org.apache.hadoop.fs.Path(tablePath)
-      val isDir = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getFileStatus(hp).isDirectory
-      val reader = s.readStream.schema(s.read.parquet(tablePath).schema)
-      val stream = (if (isDir) reader.parquet(tablePath)
-        else reader.option("pathGlobFilter", "embeddings.parquet").parquet(d))
+      // Dual-layout file stream (single-file driver layout vs Spark-written
+      // directory) — the shared dispatch in StreamOps.tableFileStream.
+      val stream = graft.streaming.StreamOps.tableFileStream(
+          s, d, "embeddings", s.read.parquet(s"$d/embeddings.parquet").schema)
         .filter(col("vec_id") % 7 === 0)
       val q = stream.writeStream
         .option("checkpointLocation", s"$base/ckpt")

@@ -407,14 +407,33 @@ object StreamOps {
       }
       .start()
 
+  /** File-stream reader over a fixture table that handles BOTH on-disk
+    * layouts: a single FILE named `<table>.parquet` (the driver's
+    * testdata layout) or a Spark-written DIRECTORY of part files (any
+    * Spark-materialized table — the production layout, and ScaleCurve's
+    * synthesized dirs). A file source must be rooted at a directory
+    * (FileStreamSource pins basePath to the source path), so: directory
+    * layout → stream the table dir itself; file layout → stream the
+    * parent dir with a leaf-name glob. Applying the glob to the
+    * directory layout would silently match ZERO part files and land an
+    * empty stream — the bug the 5× scale curve caught on st17.
+    */
+  private[graft] def tableFileStream(s: SparkSession, dir: String,
+      table: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val tablePath = s"$dir/$table.parquet"
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val isDir = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp).isDirectory
+    val reader = s.readStream.schema(schema)
+    if (isDir) reader.parquet(tablePath)
+    else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Streaming source over the documents parquet — the continuously-
     * ingesting corpus feed that the streaming dedup (t17) consumes.
     */
   def documentsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(graft.Tables.documents(s, dir).schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    tableFileStream(s, dir, "documents", graft.Tables.documents(s, dir).schema)
 
   /** JSON timestamp format for the kafka-shaped wire payload: the default
     * (`...SSSXXX`) truncates to milliseconds and the fixture carries
@@ -538,13 +557,8 @@ object StreamOps {
     // Sniff the on-disk ts type via the batch reader: older generators wrote
     // TIMESTAMP(NANOS) (decoded as long under the legacy conf, truncated to
     // µs here), the current one writes TIMESTAMP(MICROS) (streamed as-is).
-    // The table is a single file; the file-stream source wants a directory,
-    // so stream the sf dir with a glob restricted to the events table.
     val rawBatch = s.read.parquet(s"$dir/events.parquet")
-    val raw = s.readStream
-      .schema(rawBatch.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val raw = tableFileStream(s, dir, "events", rawBatch.schema)
     rawBatch.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
