@@ -214,27 +214,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // (edges ≥ 2^(34−lgK)) does retention threaten the disk before the
     // cleaner's natural pace reclaims it.
     val gcPerRound = e.count() >= (1L << (34 - lgK))
-    // Init: each node's ball is {itself}, i.e. exactly ONE register set —
-    // bucket = xxhash64(id) & (m-1), rho = trailing zeros of the remaining
-    // bits + 1 (tz = bit_count((w & -w) - 1); P(tz >= k) = 2^-k, as
-    // uniform as leading-run length and builtin-expressible). The single
-    // rho lands in lane bucket>>3 at byte offset bucket&7; every other
-    // lane is 0. All builtin codegen'd expressions.
-    val laneInit = laneCols.zipWithIndex.map { case (c, j) =>
-      s"IF(shiftright(bucket, 3) = $j, " +
-        s"shiftleft(CAST(rho AS BIGINT), (bucket & 7) * 8), CAST(0 AS BIGINT)) AS $c"
-    }
-    var balls = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .selectExpr("id",
-        s"CAST(xxhash64(id) & ${m - 1}L AS INT) AS bucket",
-        s"shiftrightunsigned(xxhash64(id), $lgK) AS w")
-      .selectExpr(Seq("id", "bucket",
-        s"CASE WHEN w = 0 THEN ${64 - lgK + 1} " +
-          "ELSE bit_count((w & -w) - 1) + 1 END AS rho"): _*)
-      .selectExpr(("id" +: laneInit): _*)
-      .localCheckpoint()
+    var balls = packedInitBalls(e, lgK)
     // Census per round is EAGER (one 1-row aggregate collect — the
     // control-plane idiom the iterative loops already use for
     // convergence checks): a lazy union of per-round censuses would keep
@@ -265,6 +245,131 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     val s = edges.sparkSession
     import s.implicits._
     rows.toSeq.toDF("h", "est_pairs")
+  }
+
+  /** Round-0 packed-HLL ball table: each node's ball is {itself}, i.e.
+    * exactly ONE register set — bucket = xxhash64(id) & (m-1), rho =
+    * trailing zeros of the remaining bits + 1 (tz = bit_count((w & -w)
+    * - 1); P(tz >= k) = 2^-k, as uniform as leading-run length and
+    * builtin-expressible). The single rho lands in lane bucket>>3 at
+    * byte offset bucket&7; every other lane is 0. All builtin codegen'd
+    * expressions — no custom eval on the init path at all. Shared by
+    * [[hyperBallCensus]] and [[hyperBallDiameter]].
+    */
+  private def packedInitBalls(e: DataFrame, lgK: Int): DataFrame = {
+    val m = 1 << lgK
+    val laneCols = (0 until (m / 8)).map(j => s"l$j")
+    val laneInit = laneCols.zipWithIndex.map { case (c, j) =>
+      s"IF(shiftright(bucket, 3) = $j, " +
+        s"shiftleft(CAST(rho AS BIGINT), (bucket & 7) * 8), CAST(0 AS BIGINT)) AS $c"
+    }
+    e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .selectExpr("id",
+        s"CAST(xxhash64(id) & ${m - 1}L AS INT) AS bucket",
+        s"shiftrightunsigned(xxhash64(id), $lgK) AS w")
+      .selectExpr(Seq("id", "bucket",
+        s"CASE WHEN w = 0 THEN ${64 - lgK + 1} " +
+          "ELSE bit_count((w & -w) - 1) + 1 END AS rho"): _*)
+      .selectExpr(("id" +: laneInit): _*)
+      .localCheckpoint()
+  }
+
+  /** HyperBall run to CONVERGENCE with the paper's systolic optimization
+    * (Boldi & Vigna, "HyperBall: Counting the Distance Distribution of
+    * Large Graphs in Memory"; Palmer et al.'s ANF before it): each round,
+    * only nodes whose sketch CHANGED last round contribute to their
+    * neighbors, and the loop stops when NO sketch changes — the graph's
+    * horizon is exhausted and the census is at its fixpoint.
+    *
+    * CORRECTNESS of the skip: if b_{h-1}(w) = b_{h-2}(w), then w's
+    * round-h contribution b_{h-1}(w) was already delivered to every
+    * in-neighbor v in the round after w last changed (induction from
+    * round 1, where every round-0 ball is new and all nodes contribute),
+    * so it is ⊆ b_{h-1}(v) and re-sending it is a no-op. Delta
+    * propagation is therefore semantically INVISIBLE — the per-round
+    * sketches are bit-identical to full propagation (spec-pinned against
+    * [[hyperBallCensus]] in LinkGraphSpec).
+    *
+    * Why the fixed-round census doesn't do this: while balls grow,
+    * nearly every node changes every round, so the skip saves nothing
+    * and the changed-flag bookkeeping isn't free. A convergence run is
+    * the opposite shape — near the horizon almost NOTHING changes, and
+    * delta propagation turns the tail rounds from |E|-joins into
+    * |changed-frontier|-joins. That decay is what makes running to the
+    * horizon (the effective-diameter question) affordable at 100-TB
+    * scale, where the horizon of a web-ish graph sits far past any
+    * fixed round budget.
+    *
+    * The changed flag costs NO extra join or pass: the same
+    * HashAggregate that lane-maxes the union also carries the standing
+    * row's lanes (a declarative MAX over `IF(is_ball=1, lane, NULL)` —
+    * exactly one standing row per group), and the flag is a null-safe
+    * post-agg lane comparison.
+    *
+    * Output mirrors the exact census's shape (`g13_neighborhood`):
+    * one row per round h = 0..horizon with the estimated cumulative
+    * reachable pairs and the integer 90%-of-horizon marker
+    * (est·10 ≥ final·9; the smallest flagged h is the effective-
+    * diameter estimate).
+    */
+  def hyperBallDiameter(lgK: Int = 8, maxRounds: Int = 64): DataFrame = {
+    require(lgK >= 3 && lgK <= 14, s"lgK must be in [3, 14], got $lgK")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val m = 1 << lgK
+    val laneCols = (0 until (m / 8)).map(j => s"l$j")
+    val e = edges.repartition(col("dst")).localCheckpoint()
+    val gcPerRound = e.count() >= (1L << (34 - lgK)) // see hyperBallCensus
+    var balls = packedInitBalls(e, lgK)
+    // Round 0: every ball was just created, so every node contributes.
+    var changed = balls
+    val laneArray = s"array(${laneCols.mkString(", ")})"
+    val newAggs = laneCols.map(c => expr(s"graft_lanemax_agg($c)").as(c))
+    val oldAggs = laneCols.map(c =>
+      expr(s"max(IF(is_ball = 1, $c, CAST(NULL AS BIGINT)))").as(s"o_$c"))
+    // Null-safe: a group without a standing row cannot occur (round 0
+    // covers every src and dst), but IS DISTINCT FROM keeps the flag
+    // total rather than null-poisoned if that invariant ever moved.
+    val chgExpr = laneCols.map(c => s"$c IS DISTINCT FROM o_$c")
+      .mkString("(", ") OR (", ")")
+    def censusOf(b: DataFrame): Long =
+      b.agg(coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
+        .cast("long")).head().getLong(0)
+    val rows = scala.collection.mutable.ArrayBuffer(0 -> censusOf(balls))
+    var h = 1
+    var nChanged = 1L
+    while (h <= maxRounds && nChanged > 0) {
+      val contrib = e.join(changed, e("dst") === changed("id"))
+        .select(e("src").as("id") +: (laneCols.map(col) :+ lit(0).as("is_ball")): _*)
+      val agg = contrib
+        .union(balls.select(col("id") +: (laneCols.map(col) :+ lit(1).as("is_ball")): _*))
+        .groupBy(col("id"))
+        .agg((newAggs ++ oldAggs).head, (newAggs ++ oldAggs).tail: _*)
+        .selectExpr((Seq("id") ++ laneCols :+ s"CAST($chgExpr AS INT) AS chg"): _*)
+        .localCheckpoint()
+      // ONE eager action per round: census + changed count together (the
+      // same control-plane idiom as hyperBallCensus's per-round census).
+      val stat = agg.agg(
+        coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
+          .cast("long"),
+        coalesce(sum(col("chg")), lit(0)).cast("long")).head()
+      nChanged = stat.getLong(1)
+      // A no-change round's census equals the previous round's — the
+      // fixpoint confirmation is not a new census row.
+      if (nChanged > 0) rows += h -> stat.getLong(0)
+      balls = agg.select(col("id") +: laneCols.map(col): _*)
+      changed = agg.filter(col("chg") === 1)
+        .select(col("id") +: laneCols.map(col): _*)
+      if (gcPerRound) System.gc()
+      h += 1
+    }
+    val s = edges.sparkSession
+    import s.implicits._
+    val finalPairs = rows.last._2
+    rows.toSeq.toDF("h", "est_pairs")
+      .withColumn("at_eff_horizon",
+        (col("est_pairs") * 10 >= lit(finalPairs) * 9).cast("int"))
   }
 
   /** Fixed-point PageRank: `iters` rounds of

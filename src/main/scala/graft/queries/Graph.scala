@@ -577,6 +577,24 @@ object Graph extends QueryPack {
       symGraph(s, d).hyperBallCensus(3, lgK = 8).orderBy("h")
     },
 
+    // G16 (rows-only): EFFECTIVE DIAMETER via HyperBall run to
+    // CONVERGENCE with the paper's systolic delta propagation — each
+    // round only nodes whose sketch changed contribute, and the loop
+    // stops when nothing does (the fixpoint = the graph's horizon), so
+    // unlike g13b's fixed 3 rounds this reads the WHOLE neighborhood
+    // function and marks the 90% effective-diameter hop. Delta
+    // propagation is semantically invisible (sketches bit-identical to
+    // full propagation — spec-pinned vs hyperBallCensus in
+    // LinkGraphSpec); what it changes is the COST SHAPE: tail rounds
+    // join only the |changed| frontier instead of |E|, the property
+    // that makes horizon runs affordable at scale. Rows-only for the
+    // same reason as g13b (sketch estimates can't cross the DuckDB
+    // gate); the exact sibling g13_neighborhood carries the oracle and
+    // the spec pins accuracy + termination on known graphs.
+    "g16_effective_diameter" -> { (s, d) =>
+      symGraph(s, d).hyperBallDiameter(lgK = 8, maxRounds = 32).orderBy("h")
+    },
+
     // G14: LOCAL CLUSTERING COEFFICIENT over the co-occurrence projection —
     // cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the per-node density measure
     // behind community/spam detection (a node whose neighbors all know each

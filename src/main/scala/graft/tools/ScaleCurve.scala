@@ -93,7 +93,12 @@ object ScaleCurve {
     // fold — sub-linear in corpus like t30), and the timer-driven TWS
     // sessionization (stream landing ∝ events, the st4 cost shape).
     "mm21_resize_pixels", "mm22_audio_mix_stats", "t37_bpe_apply",
-    "st17_tws_session_timers")
+    "st17_tws_session_timers",
+    // g16: HyperBall run to CONVERGENCE (systolic delta propagation) —
+    // cost ∝ rounds-to-horizon × per-round frontier, the decay the
+    // delta skip buys; rows stay = horizon+1 so the warm-ratio arm is
+    // the operative bar.
+    "g16_effective_diameter")
 
   private[tools] def synthesize(s: SparkSession, src: String, dst: String,
       copies: Int = 5): Unit = {

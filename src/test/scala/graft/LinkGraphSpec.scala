@@ -248,6 +248,48 @@ class LinkGraphSpec extends AnyFunSuite {
     assert((0 to 2).forall(h => got(h) <= got(h + 1)))
   }
 
+  test("hyperBallDiameter: delta propagation is invisible, terminates at the horizon, marks 90%") {
+    import spark.implicits._
+    // Same 12-node graph as the census test; its diameter is 9
+    // (9→8→7→1→{2,6}…→4→10→11→12).
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (1L, 7L), (7L, 8L), (8L, 9L), (4L, 10L), (10L, 11L), (11L, 12L))
+    val sym = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val g = new LinkGraph(sym)
+    val dia = g.hyperBallDiameter(lgK = 8, maxRounds = 32)
+      .orderBy("h").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    // (1) Delta propagation must be semantically INVISIBLE: the sketches
+    //     are bit-identical to full propagation, so the h ≤ 3 census
+    //     values equal hyperBallCensus's EXACTLY (same estimator, same
+    //     registers — not "within tolerance").
+    val full = g.hyperBallCensus(3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val diaByH = dia.map(t => t._1 -> t._2).toMap
+    for (h <- 0 to 3)
+      assert(diaByH(h) === full(h), s"delta/full census diverged at h=$h")
+    // (2) Terminates at the sketch fixpoint: no later than the true
+    //     diameter (sets saturate at h = 9; sketches can only freeze
+    //     earlier, never later), and deep enough to see the whole horizon.
+    assert(dia.last._1 <= 9, s"ran past the diameter: h=${dia.last._1}")
+    // (3) The fixpoint census ≈ total reachable pairs (all 12 nodes reach
+    //     all 12 = 144). Pin at 3%: the linear-counting estimator
+    //     m·ln(m/(m−n)) carries a POSITIVE bias ≈ n/2m per node
+    //     (12/512 ≈ 2.3% here — second-order term of the log), so the
+    //     saturated census reads 147, not 144; the census test's h ≤ 3
+    //     rows sit below saturation where the bias is smaller.
+    val exactTotal = 12L * 12L
+    assert(math.abs(dia.last._2 - exactTotal) <= math.max(2L, exactTotal * 3 / 100),
+      s"fixpoint census ${dia.last._2} vs exact $exactTotal")
+    // (4) Monotone census, and the horizon marker is exactly
+    //     est·10 ≥ final·9 with the last row always flagged.
+    assert(dia.sliding(2).forall { case Seq(a, b) => a._2 <= b._2 })
+    val fin = dia.last._2
+    assert(dia.forall { case (_, est, m) =>
+      m === (if (est * 10 >= fin * 9) 1 else 0) })
+    assert(dia.last._3 === 1)
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),

@@ -85,4 +85,25 @@ class PackedHllSpec extends AnyFunSuite {
       .selectExpr("id", "l0")
     assert(once.except(twice).count() === 0 && twice.except(once).count() === 0)
   }
+
+  test("diameter-loop aggregate (lane-max + standing-row max) still plans as HashAggregate") {
+    // hyperBallDiameter's per-round union carries the changed-flag
+    // bookkeeping IN the same aggregate: the lane-max per lane plus a
+    // declarative MAX over IF(is_ball=1, lane, NULL) that recovers the
+    // standing row's lanes. Both are declarative with primitive buffers —
+    // mixing them must not knock the plan off HashAggregate.
+    val aggs = (0 until 32).map(j => expr(s"graft_lanemax_agg(l$j)").as(s"l$j")) ++
+      (0 until 32).map(j =>
+        expr(s"max(IF(is_ball = 1, l$j, CAST(NULL AS BIGINT)))").as(s"o_l$j"))
+    val df = (1 to 1000).map(i => (i % 97).toLong)
+      .toDF("id")
+      .selectExpr(("id" +: "CAST(id % 2 AS INT) AS is_ball" +:
+        (0 until 32).map(j => s"xxhash64(id, $j) AS l$j")): _*)
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"), s"ObjectHashAggregate leaked into:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"SortAggregate leaked into:\n$plan")
+  }
 }
