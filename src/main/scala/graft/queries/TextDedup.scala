@@ -137,6 +137,79 @@ object TextDedup extends QueryPack {
     */
   private val BpeMerges = Seq("th", "he", "in", "er", "an", "re", "on", "at")
 
+  /** Per-doc BPE token accounting shared by t37 (apply + compression) and
+    * t38 (token-budget shard packing): greedy left-to-right application of
+    * [[BpeMerges]] in rank order, folded over the DISTINCT vocab only
+    * (cost ∝ Σ|word| over the vocab, not the corpus), then joined back to
+    * per-doc word multiplicities. The fold carries the segmentation as a
+    * sentinel-delimited string "|c|c|…|" — one '|' per symbol boundary;
+    * symbols are [a-z] so the sentinel can never occur inside one — and a
+    * merge fires only on an exact symbol-boundary match (endswith '|p1|'
+    * and next symbol = p2), so freshly merged symbols stay atomic to later
+    * ranks, exactly the greedy BPE tiling. Returns one row per doc with at
+    * least one [a-z]+ word: (doc_id, n_words, n_chars, n_symbols).
+    */
+  private def bpeDocSymbols(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val wc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    var vocab = words.select("word").distinct().withColumn("seg",
+      concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")))
+    BpeMerges.foreach { p =>
+      val (p1, p2) = (p.substring(0, 1), p.substring(1, 2))
+      vocab = vocab.withColumn("seg", expr(
+        s"""aggregate(filter(split(seg, '[|]'), x -> x != ''), '|',
+           |  (acc, x) -> CASE WHEN endswith(acc, '|$p1|') AND x = '$p2'
+           |    THEN concat(left(acc, length(acc) - 2), '$p1$p2|')
+           |    ELSE concat(acc, x, '|') END)""".stripMargin))
+    }
+    val segged = vocab.withColumn("n_syms",
+      size(filter(split(col("seg"), "[|]"), x => x =!= lit(""))).cast("long"))
+    wc.join(segged, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
+        sum(col("n_syms") * col("cnt")).as("n_symbols"))
+  }
+
+  /** The t37/t38 oracle's shared CTE chain: DuckDB replay of
+    * [[bpeDocSymbols]] — the identical greedy fold via list_reduce over
+    * the distinct vocab, ending in a `docsyms` per-doc table.
+    */
+  private lazy val BpeOracleDocsyms: String = {
+    val stages = BpeMerges.zipWithIndex.map { case (p, i) =>
+      val (p1, p2) = (p.substring(0, 1), p.substring(1, 2))
+      val prev = if (i == 0) "seg0" else s"s$i"
+      s"""s${i + 1} AS (
+         |  SELECT word, list_reduce(
+         |    list_prepend('|', list_filter(string_split(seg, '|'), x -> x <> '')),
+         |    (acc, x) -> CASE WHEN ends_with(acc, '|$p1|') AND x = '$p2'
+         |      THEN left(acc, length(acc) - 2) || '$p1$p2|'
+         |      ELSE acc || x || '|' END) AS seg
+         |  FROM $prev
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), ok AS (
+       |  SELECT doc_id, word FROM words WHERE regexp_matches(word, '^[a-z]+$$')
+       |), wc AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM ok GROUP BY doc_id, word
+       |), seg0 AS (
+       |  SELECT DISTINCT word, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg FROM ok
+       |), $stages, segged AS (
+       |  SELECT word, len(list_filter(string_split(seg, '|'), x -> x <> '')) AS n_syms
+       |  FROM s${BpeMerges.size}
+       |), docsyms AS (
+       |  SELECT w.doc_id,
+       |    CAST(SUM(w.cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(length(w.word) * w.cnt) AS BIGINT) AS n_chars,
+       |    CAST(SUM(s.n_syms * w.cnt) AS BIGINT) AS n_symbols
+       |  FROM wc w JOIN segged s ON w.word = s.word GROUP BY w.doc_id
+       |)""".stripMargin
+  }
+
   /** t19's edit-distance bound: candidates farther than this are not
     * near-dups and are dropped BEFORE the full DP cost is paid (Spark's
     * threshold levenshtein early-abandons at O(len·MaxEdit)). Mirrored in
@@ -1396,32 +1469,37 @@ object TextDedup extends QueryPack {
     // back per doc. The oracle replays the identical fold with DuckDB's
     // list_reduce, term for term.
     "t37_bpe_apply" -> { (s, d) =>
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-      val wc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      // "|c|c|…|": one sentinel per symbol boundary; symbols are [a-z] so
-      // the sentinel can never occur inside one.
-      var vocab = words.select("word").distinct().withColumn("seg",
-        concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")))
-      BpeMerges.foreach { p =>
-        val (p1, p2) = (p.substring(0, 1), p.substring(1, 2))
-        vocab = vocab.withColumn("seg", expr(
-          s"""aggregate(filter(split(seg, '[|]'), x -> x != ''), '|',
-             |  (acc, x) -> CASE WHEN endswith(acc, '|$p1|') AND x = '$p2'
-             |    THEN concat(left(acc, length(acc) - 2), '$p1$p2|')
-             |    ELSE concat(acc, x, '|') END)""".stripMargin))
-      }
-      val segged = vocab.withColumn("n_syms",
-        size(filter(split(col("seg"), "[|]"), x => x =!= lit(""))).cast("long"))
-      wc.join(segged, Seq("word"))
-        .groupBy("doc_id")
-        .agg(sum(col("cnt")).as("n_words"),
-          sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
-          sum(col("n_syms") * col("cnt")).as("n_symbols"))
+      bpeDocSymbols(s, d)
         .withColumn("compression",
           round(col("n_chars").cast("double") / col("n_symbols"), 6))
         .orderBy("doc_id")
+    },
+
+    // T38: SHARD PACKING BY REAL TOKEN BUDGET — t10's deterministic
+    // cumulative-sum packing re-keyed from whitespace word counts to
+    // t37's actual BPE symbol counts, i.e. the composition a training-
+    // data pipeline runs: tokenize-by-merge-table, then cut shards at a
+    // fixed token budget. Same scalable shape as t10 (per-lang window
+    // cumsum — one shuffle per lang partition, no driver loop; the fold
+    // itself runs over the DISTINCT vocab like t37, so the expensive
+    // part is sub-linear in the corpus). Docs with no [a-z]+ word carry
+    // zero BPE tokens and are excluded by the same inner join both here
+    // and in the oracle.
+    "t38_bpe_shard_packing" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val syms = bpeDocSymbols(s, d).select(col("doc_id"), col("n_symbols"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      syms.join(docs, Seq("doc_id"))
+        .withColumn("cum_before",
+          sum(col("n_symbols")).over(w) - col("n_symbols"))
+        .withColumn("shard", expr("cum_before DIV 4000"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_symbols")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "shard")
     },
 
     // T31: t11's contamination check with the BLOOM PRE-PASS t11's own
@@ -2469,39 +2547,25 @@ object TextDedup extends QueryPack {
     // list_reduce — a merge fires only on an exact symbol-boundary match
     // (ends_with '|p1|'), so both engines tile greedily left-to-right
     // without re-merging fresh symbols.
-    "t37_bpe_apply" -> {
-      val stages = Seq("th", "he", "in", "er", "an", "re", "on", "at")
-        .zipWithIndex.map { case (p, i) =>
-          val (p1, p2) = (p.substring(0, 1), p.substring(1, 2))
-          val prev = if (i == 0) "seg0" else s"s$i"
-          s"""s${i + 1} AS (
-             |  SELECT word, list_reduce(
-             |    list_prepend('|', list_filter(string_split(seg, '|'), x -> x <> '')),
-             |    (acc, x) -> CASE WHEN ends_with(acc, '|$p1|') AND x = '$p2'
-             |      THEN left(acc, length(acc) - 2) || '$p1$p2|'
-             |      ELSE acc || x || '|' END) AS seg
-             |  FROM $prev
-             |)""".stripMargin
-        }.mkString(", ")
-      s"""WITH words AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-         |), ok AS (
-         |  SELECT doc_id, word FROM words WHERE regexp_matches(word, '^[a-z]+$$')
-         |), wc AS (
-         |  SELECT doc_id, word, COUNT(*) AS cnt FROM ok GROUP BY doc_id, word
-         |), seg0 AS (
-         |  SELECT DISTINCT word, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg FROM ok
-         |), $stages, segged AS (
-         |  SELECT word, len(list_filter(string_split(seg, '|'), x -> x <> '')) AS n_syms FROM s8
+    "t37_bpe_apply" ->
+      s"""$BpeOracleDocsyms
+         |SELECT doc_id, n_words, n_chars, n_symbols,
+         |  round(CAST(n_chars AS DOUBLE) / n_symbols, 6) AS compression
+         |FROM docsyms ORDER BY doc_id""".stripMargin,
+
+    // t38: the SAME docsyms chain as t37, then t10's cumulative-sum
+    // packing keyed by the real BPE symbol count (budget 4000/shard).
+    "t38_bpe_shard_packing" ->
+      s"""$BpeOracleDocsyms, packed AS (
+         |  SELECT d.lang, ds.doc_id, ds.n_symbols,
+         |    CAST((SUM(ds.n_symbols) OVER (PARTITION BY d.lang ORDER BY ds.doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ds.n_symbols) // 4000
+         |         AS BIGINT) AS shard
+         |  FROM docsyms ds JOIN documents d ON ds.doc_id = d.doc_id
          |)
-         |SELECT w.doc_id,
-         |  CAST(SUM(w.cnt) AS BIGINT) AS n_words,
-         |  CAST(SUM(length(w.word) * w.cnt) AS BIGINT) AS n_chars,
-         |  CAST(SUM(s.n_syms * w.cnt) AS BIGINT) AS n_symbols,
-         |  round(CAST(SUM(length(w.word) * w.cnt) AS DOUBLE) / SUM(s.n_syms * w.cnt), 6) AS compression
-         |FROM wc w JOIN segged s ON w.word = s.word
-         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
-    },
+         |SELECT lang, shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_symbols) AS BIGINT) AS shard_tokens, MIN(doc_id) AS first_doc
+         |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 
     // Identical to t11's oracle BY DESIGN: the bloom pre-pass is a pure
     // pruning optimization (false positives re-checked by the exact semi

@@ -93,6 +93,7 @@ object ScaleCurve {
     // fold — sub-linear in corpus like t30), and the timer-driven TWS
     // sessionization (stream landing ∝ events, the st4 cost shape).
     "mm21_resize_pixels", "mm22_audio_mix_stats", "t37_bpe_apply",
+    "t38_bpe_shard_packing",
     "st17_tws_session_timers",
     // g16: HyperBall run to CONVERGENCE (systolic delta propagation) —
     // cost ∝ rounds-to-horizon × per-round frontier, the decay the
