@@ -290,6 +290,24 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(dia.last._3 === 1)
   }
 
+  test("hyperBallDiameter: empty and disconnected graphs") {
+    import spark.implicits._
+    // Empty edge frame: one h=0 row, census 0, flagged, no NPE.
+    val empty = new LinkGraph(Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .hyperBallDiameter(lgK = 8).collect()
+    assert(empty.length === 1)
+    assert(empty.head.getInt(0) === 0 && empty.head.getLong(1) === 0L)
+    // Two disconnected components (a 2-path and a 3-path, symmetrized):
+    // converges at the max component horizon (2), and the fixpoint census
+    // is the SUM of per-component reachable pairs: 2² + 3² = 13.
+    val base = Seq((1L, 2L), (10L, 11L), (11L, 12L))
+    val two = new LinkGraph((base ++ base.map(_.swap)).toDF("src", "dst"))
+      .hyperBallDiameter(lgK = 8)
+      .orderBy("h").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(two.last._1 <= 2, s"ran past the larger component's diameter: $two")
+    assert(math.abs(two.last._2 - 13L) <= 1, s"fixpoint census: $two")
+  }
+
   test("lineitem graph: degree table totals match the edge count") {
     val e = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey").cast("string").as("src"),
