@@ -677,6 +677,30 @@ object Graph extends QueryPack {
   private val KCoreK = 4
   private val KCoreOracleRounds = 6
 
+  /** Dump-time guards for the rows-only sketch queries (applied by
+    * Verify): the DuckDB gate can't see sketch internals, so the
+    * structural invariants a broken census would violate are REQUIRED
+    * here — a silent rows-only dump of garbage must fail loudly.
+    */
+  override val resultChecks: Map[String, DataFrame => Unit] = Map(
+    "g16_effective_diameter" -> { dia =>
+      val rows = dia.select(col("h"), col("est_pairs"), col("at_eff_horizon"))
+        .orderBy("h").collect()
+      require(rows.nonEmpty, "g16: empty census")
+      val hs = rows.map(_.getInt(0)).toSeq
+      require(hs == (0 until rows.length), s"g16: non-contiguous rounds $hs")
+      val est = rows.map(_.getLong(1)).toSeq
+      require(est.zip(est.tail).forall { case (a, b) => a <= b },
+        s"g16: census not monotone: $est")
+      val fin = est.last
+      rows.foreach { r =>
+        val want = if (r.getLong(1) * 10 >= fin * 9) 1 else 0
+        require(r.getInt(2) == want,
+          s"g16: horizon flag drifted from est*10 >= final*9 at h=${r.getInt(0)}")
+      }
+    }
+  )
+
   val oracle: Map[String, String] = Map(
     "g1_neighborhood" ->
       s"""WITH e AS ($edgesSql),
