@@ -44,4 +44,10 @@ object SparkEntry {
     */
   def resultChecks: Map[String, DataFrame => Unit] =
     packs.flatMap(_.resultChecks).toMap
+
+  /** Guards that recompute an exact reference from the sf dir (see
+    * [[graft.queries.QueryPack.resultChecksSf]]).
+    */
+  def resultChecksSf: Map[String, (SparkSession, String, DataFrame) => Unit] =
+    packs.flatMap(_.resultChecksSf).toMap
 }

@@ -62,9 +62,22 @@ object Verify {
             .parquet(s"$outDir/$name")
           // Oracle-margin guards (e.g. t13's 16-round unroll bound) run
           // against the written result — a violation must fail the dump
-          // loudly, not surface as a silent oracle mismatch.
-          SparkEntry.resultChecks.get(name)
-            .foreach(_(spark.read.parquet(s"$outDir/$name")))
+          // loudly, not surface as a silent oracle mismatch. The written
+          // parquet is DELETED on violation: for rows-only queries the
+          // driver's check is existence + rows > 0, so a dump that
+          // survives its failed guard would still read as a pass.
+          val guards: Seq[org.apache.spark.sql.DataFrame => Unit] =
+            SparkEntry.resultChecks.get(name).toSeq ++
+              SparkEntry.resultChecksSf.get(name).toSeq
+                .map(c => (r: org.apache.spark.sql.DataFrame) => c(spark, sfDir, r))
+          guards.foreach { check =>
+            try check(spark.read.parquet(s"$outDir/$name"))
+            catch {
+              case e: Throwable =>
+                graft.sources.ArtifactStore.deleteRecursively(s"$outDir/$name")
+                throw e
+            }
+          }
         } catch {
           case g: GateViolation =>
             gateViolations += name -> g.getMessage

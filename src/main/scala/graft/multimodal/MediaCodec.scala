@@ -105,22 +105,25 @@ object MediaCodec {
       if (h > y0) (h - y0 + dy - 1) / dy else 0)
   }
 
-  /** Filter one pw×ph sub-image into `raw` at `off` (one filter byte +
-    * pw filtered bytes per row, ISO/IEC 15948 §9). Returns the offset
+  /** Filter one sub-image of `ph` rows × `rowBytes` bytes into `raw` at
+    * `off` (one filter byte + rowBytes filtered bytes per row, ISO/IEC
+    * 15948 §9). `bpp` is the filter's pixel stride in BYTES (the spec's
+    * "bpp": filter neighbor `a` is the byte bpp positions earlier in the
+    * row — 1 for gray8, 3 for RGB8, 8 for RGBA16, …). Returns the offset
     * after the last written byte. Shared by the sequential encode (the
     * whole image is "one pass") and each Adam7 pass.
     */
-  private def filterInto(raw: Array[Byte], off: Int, pw: Int, ph: Int,
-      sub: Array[Byte], filterFor: Int => Int): Int = {
+  private def filterInto(raw: Array[Byte], off: Int, rowBytes: Int, ph: Int,
+      sub: Array[Byte], bpp: Int, filterFor: Int => Int): Int = {
     var o = off
     for (y <- 0 until ph) {
       val f = filterFor(y); require(f >= 0 && f <= 4)
       raw(o) = f.toByte; o += 1
-      for (x <- 0 until pw) {
-        val cur = sub(y * pw + x) & 0xff
-        val a = if (x > 0) sub(y * pw + x - 1) & 0xff else 0
-        val b = if (y > 0) sub((y - 1) * pw + x) & 0xff else 0
-        val c = if (x > 0 && y > 0) sub((y - 1) * pw + x - 1) & 0xff else 0
+      for (x <- 0 until rowBytes) {
+        val cur = sub(y * rowBytes + x) & 0xff
+        val a = if (x >= bpp) sub(y * rowBytes + x - bpp) & 0xff else 0
+        val b = if (y > 0) sub((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) sub((y - 1) * rowBytes + x - bpp) & 0xff else 0
         val filt = f match {
           case 0 => cur
           case 1 => cur - a
@@ -134,6 +137,30 @@ object MediaCodec {
     o
   }
 
+  /** Channel count per PNG color type (ISO/IEC 15948 §6.1); type 3's one
+    * channel is the palette INDEX.
+    */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+  }
+
+  /** (colorType, bitDepth) combinations this codec implements: every
+    * color type at depths 8 and 16 where the spec allows them (§11.2.2 —
+    * palette is 8 max). The remaining legal combos are the sub-byte
+    * depths (1/2/4 for gray and palette), which REJECT — bit-packed
+    * scanlines are the documented remaining extension, and rejecting
+    * beats mis-decoding.
+    */
+  private def pngComboOk(colorType: Int, depth: Int): Boolean =
+    (colorType, depth) match {
+      case (0, 8) | (0, 16) => true
+      case (2, 8) | (2, 16) => true
+      case (3, 8)           => true
+      case (4, 8) | (4, 16) => true
+      case (6, 8) | (6, 16) => true
+      case _                => false
+    }
+
   /** Encode an 8-bit grayscale image as a complete, spec-valid PNG.
     * `filterFor(row)` picks the scanline filter (0..4) — varying it
     * exercises every reconstruction branch a decoder must implement.
@@ -142,17 +169,54 @@ object MediaCodec {
     * sub-image — the old-web-crawl layout the decoder must also handle.
     */
   def pngEncode(w: Int, h: Int, pixels: Array[Byte],
+      filterFor: Int => Int = _ => 0, interlaced: Boolean = false): Array[Byte] =
+    pngEncodeImage(w, h, colorType = 0, bitDepth = 8,
+      samples = pixels.map(_ & 0xff), palette = Array.emptyIntArray,
+      filterFor = filterFor, interlaced = interlaced)
+
+  /** Encode a complete, spec-valid PNG of any implemented (colorType,
+    * bitDepth) combination — see [[pngComboOk]]. `samples` holds
+    * channel-interleaved values row-major (w·h·channels entries, each
+    * 0..2^depth−1; for palette type 3 one INDEX per pixel); `palette` is
+    * the PLTE as packed 0xRRGGBB ints (required non-empty for type 3,
+    * ignored otherwise). Fixture-side generalization of the gray-8
+    * encoder: same chunk framing, DEFLATE, per-scanline filters and
+    * Adam7 pass split, with the filter stride at `bpp` bytes.
+    */
+  def pngEncodeImage(w: Int, h: Int, colorType: Int, bitDepth: Int,
+      samples: Array[Int], palette: Array[Int],
       filterFor: Int => Int = _ => 0, interlaced: Boolean = false): Array[Byte] = {
-    require(w > 0 && h > 0 && pixels.length == w * h)
+    require(w > 0 && h > 0 && pngComboOk(colorType, bitDepth))
+    val ch = pngChannels(colorType)
+    require(samples.length == w * h * ch,
+      s"expected ${w * h * ch} samples, got ${samples.length}")
+    require(colorType != 3 || (palette.nonEmpty && palette.length <= 256))
+    val bps = bitDepth / 8
+    val bpp = ch * bps
+    // Channel-interleaved samples → the raw byte image (16-bit big-endian
+    // per §7.1), then filter — sequentially or per Adam7 pass.
+    def pixelBytes(px: Int): Array[Byte] = {
+      val out = new Array[Byte](bpp)
+      for (c <- 0 until ch) {
+        val v = samples(px * ch + c)
+        if (bps == 1) out(c) = (v & 0xff).toByte
+        else { out(2 * c) = ((v >> 8) & 0xff).toByte; out(2 * c + 1) = (v & 0xff).toByte }
+      }
+      out
+    }
     val raw: Array[Byte] =
       if (!interlaced) {
-        val r = new Array[Byte]((w + 1) * h)
-        filterInto(r, 0, w, h, pixels, filterFor)
+        val rowBytes = w * bpp
+        val img = new Array[Byte](rowBytes * h)
+        for (y <- 0 until h; x <- 0 until w)
+          System.arraycopy(pixelBytes(y * w + x), 0, img, y * rowBytes + x * bpp, bpp)
+        val r = new Array[Byte]((rowBytes + 1) * h)
+        filterInto(r, 0, rowBytes, h, img, bpp, filterFor)
         r
       } else {
         val sizes = (0 until 7).map { i =>
           val (pw, ph) = adam7Dims(w, h, i)
-          if (pw > 0 && ph > 0) (pw + 1) * ph else 0
+          if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
         }
         val r = new Array[Byte](sizes.sum)
         var off = 0
@@ -160,10 +224,12 @@ object MediaCodec {
           val (pw, ph) = adam7Dims(w, h, i)
           if (pw > 0 && ph > 0) {
             val (x0, y0, dx, dy) = Adam7(i)
-            val sub = new Array[Byte](pw * ph)
+            val rowBytes = pw * bpp
+            val sub = new Array[Byte](rowBytes * ph)
             for (yy <- 0 until ph; xx <- 0 until pw)
-              sub(yy * pw + xx) = pixels((y0 + yy * dy) * w + (x0 + xx * dx))
-            off = filterInto(r, off, pw, ph, sub, filterFor)
+              System.arraycopy(pixelBytes((y0 + yy * dy) * w + (x0 + xx * dx)), 0,
+                sub, yy * rowBytes + xx * bpp, bpp)
+            off = filterInto(r, off, rowBytes, ph, sub, bpp, filterFor)
           }
         }
         r
@@ -175,10 +241,15 @@ object MediaCodec {
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(bitDepth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
       .put((if (interlaced) 1 else 0).toByte)
       .array()
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+    val plte =
+      if (colorType == 3)
+        chunk("PLTE", palette.flatMap(p => Array(((p >> 16) & 0xff).toByte,
+          ((p >> 8) & 0xff).toByte, (p & 0xff).toByte)))
+      else Array.emptyByteArray
+    PngSig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", out.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
   }
 

@@ -168,9 +168,18 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * state is one fixed-width sketch per node (the exact census carries a
     * (source, node) PAIR frontier, quadratic in reach), each round is ONE
     * edge join + ONE sketch-union aggregate, and the error is the
-    * standard HLL bound (~6.5% per NODE at lgK = 8; the census reads the
-    * SUM over all nodes, where independent per-node errors cancel to
-    * ≈ 1/√(2·2^lgK·|V|) relative — per-mille at any real |V|).
+    * standard HLL bound (~6.5% per NODE at lgK = 8). The census reads the
+    * SUM over all nodes; per-node errors partially cancel there, but ONLY
+    * while balls are small and mostly disjoint (early h): every node's
+    * sketch derives its registers from the SAME xxhash64(id), so nodes
+    * with overlapping balls produce CORRELATED estimates — and at the
+    * fixpoint of a connected component every ball is identical, the
+    * errors are perfectly correlated, and the census error is the full
+    * per-node bound (~6.5% at lgK = 8, plus linear-counting's ≈ n/2m
+    * positive bias in the small regime — the 147-vs-144 the spec pins).
+    * The 1/√|V| independent-cancellation figure applies to the h=0/h=1
+    * rows, not the saturated tail; size lgK for the PER-NODE bound you
+    * need at the horizon, not for the cancelled early rounds.
     * Engine-specific sketch bytes — like a3_approx_distinct this cannot
     * cross the DuckDB oracle gate, so the accuracy contract is
     * spec-pinned against the exact census (LinkGraphSpec) and the query
@@ -191,9 +200,11 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * shifted lane), no custom eval on the init path at all.
     */
   def hyperBallCensus(rounds: Int, lgK: Int = 8): DataFrame = {
-    // Lane packing needs m a multiple of 8 (lgK >= 3); 14 caps the agg
-    // column count at 2048 (codegen method-size sanity, far past any use).
-    require(lgK >= 3 && lgK <= 14, s"lgK must be in [3, 14], got $lgK")
+    // Lower bound 4: m = 16 is the smallest register count with a
+    // published HLL alpha constant (PackedHll.estimate's per-m table);
+    // m = 8 would run the estimator outside its derived range. 14 caps
+    // the agg column count at 2048 (codegen method-size sanity).
+    require(lgK >= 4 && lgK <= 14, s"lgK must be in [4, 14], got $lgK")
     val m = 1 << lgK
     val nLanes = m / 8
     val laneCols = (0 until nLanes).map(j => s"l$j")
@@ -313,9 +324,22 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * reachable pairs and the integer 90%-of-horizon marker
     * (est·10 ≥ final·9; the smallest flagged h is the effective-
     * diameter estimate).
+    *
+    * CONVERGENCE CONTRACT: `maxRounds` is a safety valve, not a result
+    * parameter. A run that hits it while sketches are still changing has
+    * a TRUNCATED census, and the horizon marker computed against it is
+    * simply wrong — yet the output would look exactly like a converged
+    * run (monotone, contiguous, last row flagged). The repo's "no silent
+    * caps" rule forbids that, so by default (`strict = true`) a
+    * truncated run THROWS with the changed-node count and the maxRounds
+    * to raise. Every output row also carries a constant `converged`
+    * column (1 = fixpoint reached, 0 = truncated under `strict = false`)
+    * so dump-time guards can assert convergence independently of the
+    * flag a caller passed.
     */
-  def hyperBallDiameter(lgK: Int = 8, maxRounds: Int = 64): DataFrame = {
-    require(lgK >= 3 && lgK <= 14, s"lgK must be in [3, 14], got $lgK")
+  def hyperBallDiameter(lgK: Int = 8, maxRounds: Int = 64,
+      strict: Boolean = true): DataFrame = {
+    require(lgK >= 4 && lgK <= 14, s"lgK must be in [4, 14], got $lgK")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val m = 1 << lgK
     val laneCols = (0 until (m / 8)).map(j => s"l$j")
@@ -364,12 +388,20 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       if (gcPerRound) System.gc()
       h += 1
     }
+    val converged = nChanged == 0
+    if (strict && !converged) throw new IllegalStateException(
+      s"hyperBallDiameter: truncated at maxRounds=$maxRounds with " +
+        s"$nChanged sketches still changing — the graph's horizon exceeds " +
+        "the round budget, so the census and the effective-diameter marker " +
+        "would be wrong. Raise maxRounds (or pass strict = false to get " +
+        "the truncated census with converged = 0).")
     val s = edges.sparkSession
     import s.implicits._
     val finalPairs = rows.last._2
     rows.toSeq.toDF("h", "est_pairs")
       .withColumn("at_eff_horizon",
         (col("est_pairs") * 10 >= lit(finalPairs) * 9).cast("int"))
+      .withColumn("converged", lit(if (converged) 1 else 0))
   }
 
   /** Fixed-point PageRank: `iters` rounds of

@@ -78,7 +78,16 @@ object PackedHll {
       }
       j += 1
     }
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Per-m bias-correction constants from Flajolet et al. (AofA 2007,
+    // §4): the asymptotic 0.7213/(1+1.079/m) is derived for m >= 128;
+    // below that the paper tabulates alpha_16 = 0.673, alpha_32 = 0.697,
+    // alpha_64 = 0.709. m = 8 has no published constant, so the callers
+    // (LinkGraph) floor lgK at 4.
+    val alpha =
+      if (m <= 16) 0.673
+      else if (m == 32) 0.697
+      else if (m == 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
     val raw = alpha * m * m / hsum
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }

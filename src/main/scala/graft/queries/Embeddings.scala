@@ -798,6 +798,42 @@ object Embeddings extends QueryPack {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM sc
        |) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Dump-time guard for the rows-only Aggregator centroid (the g16
+    * pattern): v4_centroid_agg is rows-only because double partial-sum
+    * order is run-dependent in the LAST BITS — but that licenses ulp-level
+    * drift, not wrong centroids. Verify recomputes the decimal-exact
+    * per-(label, dim) mean (the oracle-gated v4_label_centroid path),
+    * parses the dumped 4-dp signature back, and requires every component
+    * within 1e-3 — a transposed dim, dropped row, or divisor bug moves
+    * components by far more; reordering noise is ~1e-12.
+    */
+  override val resultChecksSf: Map[String, (SparkSession, String, DataFrame) => Unit] = Map(
+    "v4_centroid_agg" -> { (s, d, res) =>
+      val exact = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.get(0).toString)
+        .view.mapValues(_.map(r => r.getInt(1) -> r.getDouble(2)).toMap).toMap
+      val rows = res.select(col("label"), col("centroid_sig")).collect()
+      require(rows.nonEmpty, "v4_centroid_agg: empty dump")
+      rows.foreach { r =>
+        val label = r.get(0).toString
+        val got = r.getString(1).split(",").map(_.toDouble)
+        val want = exact.getOrElse(label,
+          throw new IllegalStateException(s"v4_centroid_agg: unknown label $label"))
+        require(got.length == want.size,
+          s"v4_centroid_agg: $label has ${got.length} dims, exact has ${want.size}")
+        got.zipWithIndex.foreach { case (g, i) =>
+          require(math.abs(g - want(i)) <= 1e-3,
+            s"v4_centroid_agg: $label dim $i: aggregator $g vs exact ${want(i)}")
+        }
+      }
+    }
+  )
+
   val oracle: Map[String, String] = Map(
     "v1_knn_brute" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

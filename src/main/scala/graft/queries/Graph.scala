@@ -565,11 +565,17 @@ object Graph extends QueryPack {
     // h = 0..3 over ALL nodes — the global N(h) an effective-diameter
     // estimate reads, which the sampled-exact form can only approximate.
     // lgK = 8 (256 registers packed into 32 BIGINT lanes — see
-    // PackedHll.scala): per-NODE error is ~6.5%, but the census reads the
-    // SUM over all nodes, where independent errors cancel to
-    // ≈ 1/√(2·256·|V|) relative — already per-mille at sf0.01's |V| —
-    // and HyperBall itself ships b=4..8 registers on billion-node
-    // graphs. The packed-lane form unions as a true HashAggregate with
+    // PackedHll.scala): per-NODE error is ~6.5%. The census sums over
+    // all nodes; independent-error cancellation to ≈ 1/√(2·256·|V|)
+    // holds only while balls are small and mostly DISJOINT (h=0..1
+    // here) — all sketches share one xxhash64 register derivation, so
+    // overlapping balls estimate with CORRELATED errors and the
+    // saturated-census error is the full per-node ~6.5% bound (the
+    // regime LinkGraph.hyperBallCensus's scaladoc spells out). At the
+    // fixed h ≤ 3 of this query the balls are still growing and mostly
+    // distinct, which is why the spec pin holds at 2%; HyperBall itself
+    // ships b=4..8 registers on billion-node graphs at exactly this
+    // accuracy class. The packed-lane form unions as a true HashAggregate with
     // map-side combine (the round-12 ObjectHashAggregate sort-fallback,
     // which re-sorted |E| sketch rows per round, is gone), and the round
     // shuffle is a fixed 2^lgK bytes/node — this is the cost knob.
@@ -590,7 +596,11 @@ object Graph extends QueryPack {
     // that makes horizon runs affordable at scale. Rows-only for the
     // same reason as g13b (sketch estimates can't cross the DuckDB
     // gate); the exact sibling g13_neighborhood carries the oracle and
-    // the spec pins accuracy + termination on known graphs.
+    // the spec pins accuracy + termination on known graphs. maxRounds
+    // is a safety valve with a loud contract: strict mode (the default)
+    // THROWS if the horizon exceeds it, and the emitted `converged`
+    // column is re-asserted by the dump guard below — a truncated
+    // census can never masquerade as a measurement.
     "g16_effective_diameter" -> { (s, d) =>
       symGraph(s, d).hyperBallDiameter(lgK = 8, maxRounds = 32).orderBy("h")
     },
@@ -684,9 +694,17 @@ object Graph extends QueryPack {
     */
   override val resultChecks: Map[String, DataFrame => Unit] = Map(
     "g16_effective_diameter" -> { dia =>
-      val rows = dia.select(col("h"), col("est_pairs"), col("at_eff_horizon"))
+      val rows = dia.select(col("h"), col("est_pairs"), col("at_eff_horizon"),
+          col("converged"))
         .orderBy("h").collect()
       require(rows.nonEmpty, "g16: empty census")
+      // Convergence contract: hyperBallDiameter's strict mode already
+      // throws on truncation, but the dump guard asserts the emitted
+      // column too so a future strict=false caller can't dump a
+      // truncated census (whose marker is wrong) as if it converged.
+      require(rows.forall(_.getInt(3) == 1),
+        "g16: census truncated at maxRounds (converged = 0) — the " +
+          "effective-diameter marker is not trustworthy")
       val hs = rows.map(_.getInt(0)).toSeq
       require(hs == (0 until rows.length), s"g16: non-contiguous rounds $hs")
       val est = rows.map(_.getLong(1)).toSeq

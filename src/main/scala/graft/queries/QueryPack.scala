@@ -32,6 +32,18 @@ trait QueryPack {
     */
   def resultChecks: Map[String, DataFrame => Unit] = Map.empty
 
+  /** Like [[resultChecks]] but the guard also receives (session, sfDir) so
+    * it can recompute a CHEAP exact reference from the source tables —
+    * the pattern for rows-only SKETCH queries, whose engine-specific
+    * bytes can't cross the DuckDB gate: the guard re-derives the exact
+    * quantity the sketch estimates (distinct count, rank of the returned
+    * quantile, exact centroid) and requires the dump within the sketch's
+    * documented error. Verify applies these after [[resultChecks]] and
+    * retracts the dump on violation.
+    */
+  def resultChecksSf: Map[String, (SparkSession, String, DataFrame) => Unit] =
+    Map.empty
+
   /** Per-(application, sfDir, shuffle-conf) scratch directory under
     * java.io.tmpdir for round-trip queries that write real files (s7 CSV,
     * st7 sink): application-scoped so concurrent processes never race on

@@ -650,6 +650,57 @@ object Relational extends QueryPack {
     }
   )
 
+  /** Dump-time guards for the rows-only SKETCH queries (the g16 pattern,
+    * applied per the round-13 verdict): the DuckDB gate can't see
+    * engine-specific sketch bytes, so Verify re-derives the exact quantity
+    * each sketch estimates and requires the dump inside the sketch's
+    * DOCUMENTED error — a structurally wrong rows-only dump is retracted
+    * and fails the run instead of passing the driver's rows>0 check.
+    */
+  override val resultChecksSf: Map[String, (SparkSession, String, DataFrame) => Unit] = Map(
+    // a3: HLL++ distinct estimate vs the exact distinct count. Spark's
+    // approx_count_distinct default rsd is 5% (one standard deviation);
+    // gate at 3σ = 15% so the guard catches garbage (a broken sketch is
+    // off by orders of magnitude), not estimator tail luck.
+    "a3_approx_distinct" -> { (s, d, res) =>
+      val approx = res.select(col("n_orders_approx")).head().getLong(0)
+      val exact = Tables.lineitem(s, d)
+        .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+      require(math.abs(approx - exact) <= math.max(1L, exact * 15 / 100),
+        s"a3_approx_distinct: estimate $approx vs exact $exact — outside " +
+          "3x the documented 5% rsd")
+    },
+    // a12: the KLL-style sketch's contract is on RANK, not value — the
+    // returned quantile's exact rank must sit within n/accuracy of q·n
+    // (accuracy 10000 in the query). Verify re-ranks each returned value
+    // against the group: count(p < v) − err ≤ q·n ≤ count(p ≤ v) + err.
+    "a12_approx_percentile" -> { (s, d, res) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("p"))
+      res.collect().foreach { r =>
+        val (flag, p50, p90) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+        require(p50 <= p90, s"a12: p50 $p50 > p90 $p90 for flag $flag")
+        val st = li.filter(col("l_returnflag") === flag).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("p") < p50, 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("p") <= p50, 1L).otherwise(0L)).as("le50"),
+          sum(when(col("p") < p90, 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("p") <= p90, 1L).otherwise(0L)).as("le90")).head()
+        val n = st.getLong(0)
+        val err = n / 10000 + 1
+        def inRank(q: Double, lt: Long, le: Long): Boolean =
+          lt - err <= q * n && q * n <= le + err
+        require(inRank(0.5, st.getLong(1), st.getLong(2)),
+          s"a12: p50 $p50 rank [${st.getLong(1)}, ${st.getLong(2)}] outside " +
+            s"0.5*$n ± $err for flag $flag")
+        require(inRank(0.9, st.getLong(3), st.getLong(4)),
+          s"a12: p90 $p90 rank [${st.getLong(3)}, ${st.getLong(4)}] outside " +
+            s"0.9*$n ± $err for flag $flag")
+      }
+    }
+  )
+
   val oracle: Map[String, String] = Map(
     "a4_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -102,15 +102,22 @@ object ArtifactStore {
     */
   def registerExitCleanup(dir: String): Unit =
     if (cleanupRegistered.add(dir)) {
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }
+      sys.addShutdownHook { deleteRecursively(dir) }
       ()
     }
+
+  /** Immediate recursive delete (no symlink chase — listFiles does not
+    * follow links). Used by Verify to retract a dump whose result-check
+    * failed: for rows-only queries the driver's gate is existence +
+    * rows > 0, so a dump surviving its failed guard would read as a pass.
+    */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
 
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -290,6 +290,35 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(dia.last._3 === 1)
   }
 
+  test("hyperBallDiameter: maxRounds below the horizon fails loudly, never silently truncates") {
+    import spark.implicits._
+    // Same 12-node graph (diameter 9, sketch horizon ~6-9): maxRounds = 2
+    // is below the horizon, so sketches are still changing when the
+    // budget runs out. Strict mode (the default) must THROW — a truncated
+    // census is indistinguishable from a converged one by shape alone,
+    // and its at_eff_horizon marker would be wrong.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (1L, 7L), (7L, 8L), (8L, 9L), (4L, 10L), (10L, 11L), (11L, 12L))
+    val g = new LinkGraph((base ++ base.map(_.swap)).toDF("src", "dst"))
+    val ex = intercept[IllegalStateException] {
+      g.hyperBallDiameter(lgK = 8, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("truncated at maxRounds=2"))
+    // strict = false: the truncated census is returned but every row is
+    // branded converged = 0, which the g16 dump guard rejects.
+    val lax = g.hyperBallDiameter(lgK = 8, maxRounds = 2, strict = false)
+      .orderBy("h").collect()
+    assert(lax.forall(_.getAs[Int]("converged") === 0))
+    // A converged run is branded converged = 1 on every row.
+    val full = g.hyperBallDiameter(lgK = 8, maxRounds = 32)
+      .orderBy("h").collect()
+    assert(full.forall(_.getAs[Int]("converged") === 1))
+    // lgK below 4 is rejected: m = 8 sits outside the estimator's
+    // derived alpha range (PackedHll.estimate's per-m table).
+    intercept[IllegalArgumentException] { g.hyperBallDiameter(lgK = 3) }
+    intercept[IllegalArgumentException] { g.hyperBallCensus(2, lgK = 3) }
+  }
+
   test("hyperBallDiameter: empty and disconnected graphs") {
     import spark.implicits._
     // Empty edge frame: one h=0 row, census 0, flagged, no NPE.

@@ -61,6 +61,26 @@ class PackedHllSpec extends AnyFunSuite {
     assert(math.abs(estimateOf(10000) - 10000) <= 10000 * 0.195)
   }
 
+  test("estimate applies the tabulated small-m alpha constants (Flajolet §4), not the asymptotic formula") {
+    // The asymptotic alpha = 0.7213/(1+1.079/m) is derived for m >= 128;
+    // below that the paper tabulates 0.673 / 0.697 / 0.709 for m =
+    // 16/32/64. Pin the estimator's exact raw-regime output on handmade
+    // registers (all registers = 4 → hsum = m·2⁻⁴, zeros = 0 → raw path):
+    // a regression to the asymptotic formula at m = 16 would read 0.6767
+    // and shift the estimate by ~0.6%.
+    val lane = 0x0404040404040404L // 8 registers of 4, one per byte lane
+    def estAt(nLanes: Int): Double =
+      spark.range(1)
+        .selectExpr(s"graft_hll_estimate(array(${Seq.fill(nLanes)(s"CAST($lane AS BIGINT)").mkString(", ")})) AS est")
+        .as[Double].head()
+    def rawWith(m: Int, alpha: Double): Double = alpha * m * m / (m / 16.0)
+    assert(math.abs(estAt(2) - rawWith(16, 0.673)) < 1e-6)
+    assert(math.abs(estAt(4) - rawWith(32, 0.697)) < 1e-6)
+    assert(math.abs(estAt(8) - rawWith(64, 0.709)) < 1e-6)
+    // m >= 128 keeps the asymptotic constant.
+    assert(math.abs(estAt(16) - rawWith(128, 0.7213 / (1.0 + 1.079 / 128))) < 1e-6)
+  }
+
   test("ball-union aggregate plans as HashAggregate, never ObjectHashAggregate") {
     // The exact shape of hyperBallCensus's per-round union: long lanes
     // grouped by node id under graft_lanemax_agg. A fixed-width primitive
