@@ -36,9 +36,9 @@ case class AviVideo(width: Int, height: Int, microSecPerFrame: Int,
   * carries a consistent byte-rate/block-align); parsers do what a
   * production header sniffer does — verify magic, walk segments in the
   * format's endianness, extract stream parameters. Full payload decode
-  * lives alongside: grayscale PNG here (zlib inflate + scanline filters),
-  * baseline grayscale JPEG in [[JpegCodec]] (Huffman + IDCT), 16-bit PCM
-  * in [[pcmStats]].
+  * lives alongside: PNG here (zlib inflate + bpp-stride scanline filters
+  * across all five color types at depths 8/16), baseline grayscale JPEG
+  * in [[JpegCodec]] (Huffman + IDCT), 16-bit PCM in [[pcmStats]].
   */
 object MediaCodec {
 
@@ -62,18 +62,19 @@ object MediaCodec {
       .array()
   }
 
-  // ---- REAL PNG codec (grayscale-8, all five scanline filters) --------
+  // ---- REAL PNG codec (all five color types, depths 8/16) -------------
   // zlib lives in the JVM (java.util.zip), so PNG needs no external codec
   // library: a full encode/decode pair is signature + chunk framing +
   // DEFLATE + per-scanline filter arithmetic (ISO/IEC 15948 §9: None /
-  // Sub / Up / Average / Paeth). Only bit depth 8, color type 0 is
-  // implemented — the documented production extension adds the other
-  // color types with the same reconstruction loop.
+  // Sub / Up / Average / Paeth, at the color type's byte stride bpp).
+  // Implemented combinations per pngComboOk — gray / truecolor / palette
+  // (PLTE-expanded) / gray+alpha / RGBA at depths 8 and 16; the sub-byte
+  // depths (1/2/4) are the remaining documented extension and REJECT.
 
-  /** Decode-side allocation cap: (w+1)·h scanline bytes must stay under
-    * this before anything is allocated (64 Mpx ≈ 64 MB grayscale — far
-    * above any fixture, far below an executor-killing allocation).
-    * Production knob, same role as the hub cap.
+  /** Decode-side allocation cap: (w·bpp+1)·h scanline bytes must stay
+    * under this before anything is allocated (64 MB — far above any
+    * fixture, far below an executor-killing allocation). Production
+    * knob, same role as the hub cap.
     */
   private val MaxPngPixels: Long = 64L * 1024 * 1024
 
@@ -256,17 +257,77 @@ object MediaCodec {
   /** Decoded grayscale-8 image. */
   case class PngPixels(width: Int, height: Int, pixels: Array[Byte])
 
-  /** Full PNG pixel decode: verify signature and per-chunk CRCs, parse
-    * IHDR (8-bit grayscale only), concatenate IDAT streams, INFLATE, and
-    * reverse the per-scanline filter (all five types). Returns None on
-    * any structural, CRC, filter, or length violation — malformed bytes
-    * must never crash an executor task.
+  /** Decoded PNG of any implemented (colorType, bitDepth) — see
+    * [[pngComboOk]]: channel-interleaved samples row-major, each
+    * 0..2^bitDepth−1. Palette images (type 3) arrive EXPANDED through
+    * their PLTE to RGB (`channels` = 3, `bitDepth` = 8) — downstream
+    * consumers see pixels, not indices; `colorType` still records 3 so
+    * a gated query can prove WHICH path decoded the row.
     */
-  def pngDecodePixels(b: Array[Byte]): Option[PngPixels] = {
+  case class PngImage(width: Int, height: Int, colorType: Int, bitDepth: Int,
+      channels: Int, samples: Array[Int])
+
+  /** Gray-8 view of the historical decode surface: delegates to
+    * [[pngDecodeImage]] and keeps the original contract — Some only for
+    * 8-bit grayscale (either interlace layout), None for every other
+    * color type or depth.
+    */
+  def pngDecodePixels(b: Array[Byte]): Option[PngPixels] =
+    pngDecodeImage(b) match {
+      case Some(img) if img.colorType == 0 && img.bitDepth == 8 =>
+        Some(PngPixels(img.width, img.height,
+          img.samples.map(v => (v & 0xff).toByte)))
+      case _ => None
+    }
+
+  /** Integer luma view of any decoded PNG — the single-channel image the
+    * resize/quality pipeline consumes. Rec. 601 integer weights with
+    * floor division ((299·R + 587·G + 114·B) / 1000 — bit-exact
+    * replayable by a SQL oracle); 16-bit samples take their HIGH byte
+    * first (the spec's sample-depth scaling to 8 bits); gray and
+    * gray+alpha images pass the gray channel through; alpha never
+    * contributes (luma is a color measure, not a coverage one).
+    */
+  def pngToGray8(img: PngImage): PngPixels = {
+    val n = img.width * img.height
+    val out = new Array[Byte](n)
+    val shift = if (img.bitDepth == 16) 8 else 0
+    var i = 0
+    while (i < n) {
+      val base = i * img.channels
+      val l = img.channels match {
+        case 1 | 2 => img.samples(base) >> shift
+        case _ =>
+          val r = img.samples(base) >> shift
+          val g = img.samples(base + 1) >> shift
+          val bl = img.samples(base + 2) >> shift
+          (299 * r + 587 * g + 114 * bl) / 1000
+      }
+      out(i) = (l & 0xff).toByte
+      i += 1
+    }
+    PngPixels(img.width, img.height, out)
+  }
+
+  /** Full PNG pixel decode: verify signature and per-chunk CRCs, parse
+    * IHDR, enforce the chunk grammar (one leading IHDR, PLTE placement,
+    * terminal IEND), concatenate IDAT streams, INFLATE, reverse the
+    * per-scanline filter (all five types, at the color type's byte
+    * stride `bpp`), and de-interlace Adam7 passes. Implemented
+    * (colorType, bitDepth) combinations per [[pngComboOk]] — gray /
+    * truecolor / palette / gray+alpha / RGBA at depths 8 and 16 (where
+    * the spec allows); sub-byte depths REJECT. Returns None on any
+    * structural, CRC, filter, palette, or length violation — malformed
+    * bytes must never crash an executor task.
+    */
+  def pngDecodeImage(b: Array[Byte]): Option[PngImage] = {
     if (b.length < 8 + 25 || !b.take(8).sameElements(PngSig)) return None
     var p = 8
     var w = -1; var h = -1
+    var depth = 0; var colorType = 0
     var interlace = 0
+    var plte: Array[Int] = null
+    var sawIdat = false
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended && p + 12 <= b.length) {
@@ -282,24 +343,36 @@ object MediaCodec {
           // dimensions already used for sizing decisions.
           if (len != 13 || w != -1) return None
           w = be32(b, p + 8); h = be32(b, p + 12)
-          // 8-bit grayscale, zlib compression 0, filter method 0,
-          // interlace 0 (sequential) or 1 (Adam7 — the old-web-crawl
-          // layout) — the implemented subset; any other declared method
-          // must REJECT, never mis-decode. Dimension bound in LONG
-          // arithmetic: a crafted CRC-valid IHDR like 46341×46341 would
-          // overflow (w+1)*h negative (NegativeArraySizeException out of
-          // the task) or pre-allocate GBs before any IDAT sanity check —
-          // same corrupt-header class parseWav guards against. The raw
-          // scanline buffer is also trivially bounded by the container
-          // itself: it can never legitimately exceed what the (already
-          // length-checked) compressed stream could encode.
-          if (w <= 0 || h <= 0 || b(p + 16) != 8 || b(p + 17) != 0 ||
+          depth = b(p + 16) & 0xff; colorType = b(p + 17) & 0xff
+          // zlib compression 0, filter method 0, interlace 0 (sequential)
+          // or 1 (Adam7) — anything else must REJECT, never mis-decode.
+          // Dimension bound in LONG arithmetic: a crafted CRC-valid IHDR
+          // like 46341×46341 would overflow (w·bpp+1)·h negative
+          // (NegativeArraySizeException out of the task) or pre-allocate
+          // GBs before any IDAT sanity check — same corrupt-header class
+          // parseWav guards against.
+          if (w <= 0 || h <= 0 || !pngComboOk(colorType, depth) ||
             b(p + 18) != 0 || b(p + 19) != 0 ||
             (b(p + 20) != 0 && b(p + 20) != 1)) return None
           interlace = b(p + 20)
-          if ((w.toLong + 1L) * h.toLong > MaxPngPixels) return None
+          val bpp = pngChannels(colorType) * (depth / 8)
+          if ((w.toLong * bpp + 1L) * h.toLong > MaxPngPixels) return None
+        case "PLTE" =>
+          // §5.6: after IHDR, before IDAT, at most one; §11.2.3: length a
+          // multiple of 3 with 1..256 entries, and FORBIDDEN for the
+          // grayscale color types.
+          if (w == -1 || sawIdat || plte != null) return None
+          if (colorType == 0 || colorType == 4) return None
+          if (len == 0 || len % 3 != 0 || len / 3 > 256) return None
+          plte = Array.tabulate(len / 3)(i =>
+            ((b(p + 8 + 3 * i) & 0xff) << 16) |
+              ((b(p + 8 + 3 * i + 1) & 0xff) << 8) |
+              (b(p + 8 + 3 * i + 2) & 0xff))
         case "IDAT" =>
           if (w == -1) return None // IDAT before IHDR: malformed ordering
+          // For palette images the PLTE must already have appeared (§5.6).
+          if (colorType == 3 && plte == null) return None
+          sawIdat = true
           idat.write(b, p + 8, len)
         case "IEND" =>
           if (len != 0) return None
@@ -311,15 +384,19 @@ object MediaCodec {
     // IEND must be present AND terminal: trailing bytes (or whole chunks)
     // after it are a structural violation, not ignorable slack.
     if (!ended || w < 0 || p != b.length) return None
+    if (colorType == 3 && plte == null) return None
+    val ch = pngChannels(colorType)
+    val bps = depth / 8
+    val bpp = ch * bps
     // Interlace 1 (Adam7) stores each pass as an independent sub-image
     // with its own filter bytes; the zlib stream length is the exact sum
-    // of per-pass (pw+1)·ph (≤ (w+1)·h + 6·h extra filter bytes, still
-    // inside the MaxPngPixels bound checked above with slack to spare).
+    // of per-pass (pw·bpp+1)·ph (≤ (w·bpp+1)·h + 6·h extra filter bytes,
+    // still inside the MaxPngPixels bound checked above with slack).
     val passSizes: Seq[Int] =
-      if (interlace == 0) Seq((w + 1) * h)
+      if (interlace == 0) Seq((w * bpp + 1) * h)
       else (0 until 7).map { i =>
         val (pw, ph) = adam7Dims(w, h, i)
-        if (pw > 0 && ph > 0) (pw + 1) * ph else 0
+        if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
       }
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -338,7 +415,7 @@ object MediaCodec {
       }
       if (off != raw.length) return None
       // The stream must END exactly here: a well-formed PNG's zlib stream
-      // encodes precisely (w+1)*h scanline bytes, so surplus compressed
+      // encodes precisely the scanline bytes, so surplus compressed
       // output (extra pixels) or unconsumed input after the zlib trailer
       // (junk appended inside IDAT) means the declared dimensions and the
       // payload disagree — reject rather than silently truncate. One
@@ -352,19 +429,20 @@ object MediaCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    // Reconstruct one filtered pw×ph sub-image starting at raw(off) —
-    // the whole image for interlace 0, one Adam7 pass for interlace 1
-    // (each pass filters against ITS OWN previous scanline, per spec).
-    def reconstructSub(off: Int, pw: Int, ph: Int): Option[Array[Byte]] = {
-      val sub = new Array[Byte](pw * ph)
+    // Reconstruct one filtered sub-image of ph rows × rowBytes bytes
+    // starting at raw(off) — the whole image for interlace 0, one Adam7
+    // pass for interlace 1 (each pass filters against ITS OWN previous
+    // scanline, per spec). Filter neighbors stride at bpp BYTES (§9).
+    def reconstructSub(off: Int, rowBytes: Int, ph: Int): Option[Array[Byte]] = {
+      val sub = new Array[Byte](rowBytes * ph)
       for (y <- 0 until ph) {
-        val f = raw(off + y * (pw + 1)) & 0xff
+        val f = raw(off + y * (rowBytes + 1)) & 0xff
         if (f > 4) return None
-        for (x <- 0 until pw) {
-          val filt = raw(off + y * (pw + 1) + 1 + x) & 0xff
-          val a = if (x > 0) sub(y * pw + x - 1) & 0xff else 0
-          val bb = if (y > 0) sub((y - 1) * pw + x) & 0xff else 0
-          val c = if (x > 0 && y > 0) sub((y - 1) * pw + x - 1) & 0xff else 0
+        for (x <- 0 until rowBytes) {
+          val filt = raw(off + y * (rowBytes + 1) + 1 + x) & 0xff
+          val a = if (x >= bpp) sub(y * rowBytes + x - bpp) & 0xff else 0
+          val bb = if (y > 0) sub((y - 1) * rowBytes + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) sub((y - 1) * rowBytes + x - bpp) & 0xff else 0
           val cur = f match {
             case 0 => filt
             case 1 => filt + a
@@ -372,29 +450,65 @@ object MediaCodec {
             case 3 => filt + (a + bb) / 2
             case 4 => filt + paeth(a, bb, c)
           }
-          sub(y * pw + x) = (cur & 0xff).toByte
+          sub(y * rowBytes + x) = (cur & 0xff).toByte
         }
       }
       Some(sub)
     }
-    if (interlace == 0) reconstructSub(0, w, h).map(PngPixels(w, h, _))
-    else {
-      val px = new Array[Byte](w * h)
+    val outCh = if (colorType == 3) 3 else ch
+    val samples = new Array[Int](w * h * outCh)
+    // Emit one pixel from reconstructed sub-image bytes at `so` into the
+    // samples array at pixel index `px`: 16-bit samples are big-endian
+    // (§7.1); palette indices expand through the PLTE, and an index past
+    // the palette is a structural violation (§11.2.3), not a clamp.
+    def emit(sub: Array[Byte], so: Int, px: Int): Boolean = {
+      if (colorType == 3) {
+        val idx = sub(so) & 0xff
+        if (idx >= plte.length) return false
+        val e = plte(idx)
+        samples(px * 3) = (e >> 16) & 0xff
+        samples(px * 3 + 1) = (e >> 8) & 0xff
+        samples(px * 3 + 2) = e & 0xff
+      } else {
+        var c = 0
+        while (c < ch) {
+          samples(px * ch + c) =
+            if (bps == 1) sub(so + c) & 0xff
+            else ((sub(so + 2 * c) & 0xff) << 8) | (sub(so + 2 * c + 1) & 0xff)
+          c += 1
+        }
+      }
+      true
+    }
+    val outDepth = if (colorType == 3) 8 else depth
+    if (interlace == 0) {
+      reconstructSub(0, w * bpp, h) match {
+        case None => None
+        case Some(sub) =>
+          var i = 0
+          while (i < w * h) {
+            if (!emit(sub, (i / w) * w * bpp + (i % w) * bpp, i)) return None
+            i += 1
+          }
+          Some(PngImage(w, h, colorType, outDepth, outCh, samples))
+      }
+    } else {
       var off = 0
       for (i <- 0 until 7) {
         val (pw, ph) = adam7Dims(w, h, i)
         if (pw > 0 && ph > 0) {
           val (x0, y0, dx, dy) = Adam7(i)
-          reconstructSub(off, pw, ph) match {
+          reconstructSub(off, pw * bpp, ph) match {
             case None => return None
             case Some(sub) =>
               for (yy <- 0 until ph; xx <- 0 until pw)
-                px((y0 + yy * dy) * w + (x0 + xx * dx)) = sub(yy * pw + xx)
+                if (!emit(sub, yy * pw * bpp + xx * bpp,
+                  (y0 + yy * dy) * w + (x0 + xx * dx))) return None
           }
-          off += (pw + 1) * ph
+          off += (pw * bpp + 1) * ph
         }
       }
-      Some(PngPixels(w, h, px))
+      Some(PngImage(w, h, colorType, outDepth, outCh, samples))
     }
   }
 

@@ -341,6 +341,24 @@ object Media extends QueryPack {
         Multimodal.realMultiWavTable(s, Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // MM23: FULL-COLOR PNG decode — truecolor/palette/RGBA/gray16/
+    // truecolor16/gray+alpha (the color types real-web PNGs actually
+    // use; mm7/mm21 cover gray-8 only), half the rows Adam7-interlaced,
+    // filters cycling all five types. Gated: decoded color_type/
+    // bit_depth (proves the parse dispatched right), full-resolution
+    // Rec. 601 integer-luma stats (single-sample sensitivity), and the
+    // 2× box-resize sum over the color-decoded luma (the resize-over-
+    // color path). The oracle replays every pixel from the channel
+    // formulas — the engine must arrive at the same numbers THROUGH
+    // inflate, the bpp-stride filters, PLTE expansion, big-endian
+    // 16-bit samples, and de-interlacing.
+    "mm23_color_png_stats" -> { (s, d) =>
+      Multimodal.colorPngStats(
+        Multimodal.realColorPngTable(s, Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 
@@ -1006,6 +1024,69 @@ object Media extends QueryPack {
         |  CAST(MAX(ABS(m)) AS INT) AS peak_abs,
         |  CAST(SUM(CASE WHEN pm IS NOT NULL AND ((m < 0) != (pm < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Color-PNG truth from the channel formulas alone: per-variant RGB
+    // (or gray) → Rec. 601 integer luma L, full-res stats over L, and
+    // the 2× resize sum as SUM over 2×2 blocks of floor(SUM(L)/4). The
+    // engine must arrive THROUGH the real container (deflate, bpp-stride
+    // filters, PLTE, 16-bit BE samples, Adam7 on odd k).
+    "mm23_color_png_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 6 AS k,
+        |    CAST(16 + doc_id % 16 AS INT) AS w,
+        |    CAST(16 + (doc_id * 3) % 16 AS INT) AS h
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), meta AS (
+        |  SELECT doc_id, w, h, CAST(k % 6 AS INT) AS v FROM img
+        |), px AS (
+        |  SELECT m.doc_id, m.v, m.w, m.h, xx.x, yy.y,
+        |    CASE
+        |      WHEN m.v = 0 OR m.v = 2 THEN
+        |        (299 * ((m.doc_id + 7*xx.x + 13*yy.y) % 256)
+        |       + 587 * ((m.doc_id + 7*xx.x + 13*yy.y + 31) % 256)
+        |       + 114 * ((m.doc_id + 7*xx.x + 13*yy.y + 62) % 256)) // 1000
+        |      WHEN m.v = 1 THEN
+        |        (299 * ((m.doc_id + (m.doc_id + 7*xx.x + 13*yy.y) % 256) % 256)
+        |       + 587 * ((m.doc_id + 2*((m.doc_id + 7*xx.x + 13*yy.y) % 256) + 5) % 256)
+        |       + 114 * ((m.doc_id + 3*((m.doc_id + 7*xx.x + 13*yy.y) % 256) + 11) % 256)) // 1000
+        |      WHEN m.v = 3 THEN ((257*m.doc_id + 101*xx.x + 59*yy.y) % 65536) // 256
+        |      WHEN m.v = 4 THEN
+        |        (299 * (((257*m.doc_id + 101*xx.x + 59*yy.y) % 65536) // 256)
+        |       + 587 * (((257*m.doc_id + 101*xx.x + 59*yy.y + 31) % 65536) // 256)
+        |       + 114 * (((257*m.doc_id + 101*xx.x + 59*yy.y + 62) % 65536) // 256)) // 1000
+        |      ELSE (m.doc_id + 7*xx.x + 13*yy.y) % 256
+        |    END AS L
+        |  FROM meta m,
+        |    LATERAL (SELECT UNNEST(range(m.w)) AS x) xx,
+        |    LATERAL (SELECT UNNEST(range(m.h)) AS y) yy
+        |), blk AS (
+        |  SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(L) // 4 AS g
+        |  FROM px WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+        |  GROUP BY doc_id, x // 2, y // 2
+        |), rs AS (
+        |  SELECT doc_id, SUM(g) AS rs_sum FROM blk GROUP BY doc_id
+        |), fullres AS (
+        |  SELECT doc_id, COUNT(*) AS np, SUM(L) AS sl, SUM(L*L) AS sq,
+        |    MIN(L) AS mn, MAX(L) AS mx
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT m.doc_id,
+        |  CAST(CASE m.v WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 6
+        |    WHEN 3 THEN 0 WHEN 4 THEN 2 ELSE 4 END AS INT) AS color_type,
+        |  CAST(CASE WHEN m.v IN (3, 4) THEN 16 ELSE 8 END AS INT) AS bit_depth,
+        |  m.w, m.h,
+        |  CAST(f.np AS BIGINT) AS n_pixels,
+        |  CAST(f.sl AS BIGINT) AS sum_lum,
+        |  CAST(f.sq AS BIGINT) AS sum_sq,
+        |  CAST(f.mn AS INT) AS min_lum,
+        |  CAST(f.mx AS INT) AS max_lum,
+        |  CAST(m.w // 2 AS INT) AS rs_w,
+        |  CAST(m.h // 2 AS INT) AS rs_h,
+        |  CAST(r.rs_sum AS BIGINT) AS rs_sum_lum
+        |FROM meta m
+        |JOIN fullres f ON f.doc_id = m.doc_id
+        |JOIN rs r ON r.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin
   )
 }

@@ -2037,6 +2037,116 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG color codec: encode/decode is sample-exact across all color types, depths, interlace") {
+    // Every implemented (colorType, bitDepth) combo, sequential AND Adam7,
+    // filters cycling all five types — the decode must recover every
+    // channel sample exactly (palette rows after PLTE expansion).
+    val combos = Seq((0, 8, 1), (0, 16, 1), (2, 8, 3), (2, 16, 3),
+      (3, 8, 1), (4, 8, 2), (4, 16, 2), (6, 8, 4), (6, 16, 4))
+    val palette = Array.tabulate(256)(i => (i << 16) | (((i * 3 + 7) % 256) << 8) | ((i * 5 + 11) % 256))
+    for ((ct, depth, ch) <- combos; interlaced <- Seq(false, true)) {
+      val (w, h) = (21, 13) // odd dims exercise ragged Adam7 passes
+      val mx = (1 << depth) - 1
+      val samples = Array.tabulate(w * h * ch)(i => (i * 2654435761L % (mx + 1)).toInt)
+      val bytes = MediaCodec.pngEncodeImage(w, h, ct, depth, samples,
+        if (ct == 3) palette else Array.emptyIntArray,
+        filterFor = r => r % 5, interlaced = interlaced)
+      val img = MediaCodec.pngDecodeImage(bytes)
+        .getOrElse(fail(s"decode failed for ct=$ct depth=$depth interlaced=$interlaced"))
+      assert(img.width === w && img.height === h)
+      assert(img.colorType === ct && img.bitDepth === (if (ct == 3) 8 else depth))
+      val want: Array[Int] =
+        if (ct == 3) samples.flatMap { idx =>
+          val e = palette(idx); Array((e >> 16) & 0xff, (e >> 8) & 0xff, e & 0xff)
+        } else samples
+      assert(img.samples.toSeq === want.toSeq,
+        s"samples diverged for ct=$ct depth=$depth interlaced=$interlaced")
+      // The gray8 view stays consistent with the old decode surface.
+      if (ct == 0 && depth == 8)
+        assert(MediaCodec.pngDecodePixels(bytes).get.pixels.toSeq ===
+          samples.map(_.toByte).toSeq)
+      else if (ct != 0)
+        assert(MediaCodec.pngDecodePixels(bytes).isEmpty,
+          "pngDecodePixels must stay gray8-only")
+    }
+  }
+
+  test("PNG color decode rejects palette violations and sub-byte depths") {
+    val px = Array.tabulate(16 * 16)(i => i % 256)
+    val pal = Array.tabulate(256)(i => i * 0x010101)
+    val good = MediaCodec.pngEncodeImage(16, 16, 3, 8, px, pal, r => r % 5)
+    assert(MediaCodec.pngDecodeImage(good).isDefined)
+    // Palette index past the PLTE: shrink the palette to 16 entries so
+    // fixture indices >= 16 dangle — must reject, never clamp.
+    val shortPal = MediaCodec.pngEncodeImage(16, 16, 3, 8, px, pal.take(16), r => r % 5)
+    assert(MediaCodec.pngDecodeImage(shortPal).isEmpty)
+    // Sub-byte bit depths (legal PNG, unimplemented): reject, not garble.
+    def withIhdr(depth: Int, ctype: Int): Array[Byte] = {
+      val b = good.clone()
+      b(24) = depth.toByte; b(25) = ctype.toByte
+      // recompute IHDR CRC (type+data = bytes 12..28, CRC at 29..32)
+      val crc = new java.util.zip.CRC32(); crc.update(b, 12, 17)
+      val v = crc.getValue.toInt
+      b(29) = (v >> 24).toByte; b(30) = (v >> 16).toByte
+      b(31) = (v >> 8).toByte; b(32) = v.toByte
+      b
+    }
+    assert(MediaCodec.pngDecodeImage(withIhdr(4, 3)).isEmpty)
+    assert(MediaCodec.pngDecodeImage(withIhdr(1, 0)).isEmpty)
+    assert(MediaCodec.pngDecodeImage(withIhdr(16, 3)).isEmpty) // palette-16 is spec-invalid
+    // PLTE on a grayscale image is forbidden (§11.2.3).
+    val gray = MediaCodec.pngEncode(16, 16, px.map(_.toByte), r => r % 5)
+    val plteChunk = {
+      val data = "PLTE".getBytes("US-ASCII") ++ Array.fill[Byte](9)(1)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      java.nio.ByteBuffer.allocate(21).putInt(9).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val grayWithPlte = gray.take(33) ++ plteChunk ++ gray.drop(33)
+    assert(MediaCodec.pngDecodeImage(grayWithPlte).isEmpty)
+  }
+
+  test("mm23 end-to-end: colorPngStats over realColorPngTable matches the luma formulas") {
+    import spark.implicits._
+    val stats = Multimodal.colorPngStats(
+      Multimodal.realColorPngTable(spark, docs)).collect()
+    assert(stats.nonEmpty)
+    val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 0).toSet
+    assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
+    // All six variants must actually appear in the fixture population.
+    assert(stats.map(s => (s.color_type, s.bit_depth)).toSet ===
+      Set((2, 8), (3, 8), (6, 8), (0, 16), (2, 16), (4, 8)))
+    stats.foreach { st =>
+      val id = st.doc_id; val v = (id / 6 % 6).toInt
+      val w = (16 + id % 16).toInt; val h = (16 + (id * 3) % 16).toInt
+      def lum(x: Int, y: Int): Int = v match {
+        case 0 | 2 =>
+          def c8(c: Int) = ((id + 7L * x + 13L * y + 31L * c) % 256).toInt
+          (299 * c8(0) + 587 * c8(1) + 114 * c8(2)) / 1000
+        case 1 =>
+          val i = ((id + 7L * x + 13L * y) % 256).toInt
+          val (r, g, b) = (((id + i) % 256).toInt,
+            ((id + 2L * i + 5) % 256).toInt, ((id + 3L * i + 11) % 256).toInt)
+          (299 * r + 587 * g + 114 * b) / 1000
+        case 3 => (((257L * id + 101L * x + 59L * y) % 65536) >> 8).toInt
+        case 4 =>
+          def c16(c: Int) = (((257L * id + 101L * x + 59L * y + 31L * c) % 65536) >> 8).toInt
+          (299 * c16(0) + 587 * c16(1) + 114 * c16(2)) / 1000
+        case _ => ((id + 7L * x + 13L * y) % 256).toInt
+      }
+      val ls = for (y <- 0 until h; x <- 0 until w) yield lum(x, y)
+      assert(st.w === w && st.h === h, s"id=$id")
+      assert(st.n_pixels === w.toLong * h, s"id=$id")
+      assert(st.sum_lum === ls.map(_.toLong).sum, s"id=$id v=$v")
+      assert(st.sum_sq === ls.map(l => l.toLong * l).sum, s"id=$id v=$v")
+      assert(st.min_lum === ls.min && st.max_lum === ls.max, s"id=$id")
+      val rsSum = (for (by <- 0 until h / 2; bx <- 0 until w / 2) yield
+        (lum(2 * bx, 2 * by) + lum(2 * bx + 1, 2 * by) +
+          lum(2 * bx, 2 * by + 1) + lum(2 * bx + 1, 2 * by + 1)) / 4).map(_.toLong).sum
+      assert(st.rs_w === w / 2 && st.rs_h === h / 2 && st.rs_sum_lum === rsSum,
+        s"id=$id v=$v resize")
+    }
+  }
+
   test("mm16 end-to-end: jpegPixelStats over realLosslessJpegTable matches the formula + point transform") {
     import spark.implicits._
     val stats = Multimodal.jpegPixelStats(
