@@ -847,16 +847,31 @@ object Multimodal {
 
   /** REAL Adobe CMYK JPEG table (mm20): every doc_id ≡ 2 (mod 7) document
     * becomes a complete 4-component baseline JPEG (Nf = 4, all 1×1, APP14
-    * "Adobe" ColorTransform 0) — the print/scan variant. Per the Adobe
-    * convention the file stores INVERTED ink; the fixture formulas below
-    * are the STORED values (ink = 255 − stored), built with mm8's
-    * exactly-invertible coefficient construction: C carries the flat DC
-    * base v(b) = 28 + (id + 11b) mod 200 ± the AC(4,4) checkerboard of
-    * amplitude m(b) = (id + b) mod 8 (so the AC path is exercised inside
-    * a FOUR-component interleave); M/Y/K are DC-only constants
-    * 40 + (id + 7b) mod 180, 60 + (id + 13b) mod 160, 20 + (id + 3b) mod
-    * 100. Every 4th image (k ≡ 1 mod 4) carries restart markers, which
-    * must reset all FOUR predictors. w = 16 + 8·(k mod 3),
+    * "Adobe") — the print/scan variant. EVEN k rows are ColorTransform 0
+    * (channels coded directly); ODD k rows are ColorTransform 2 (YCCK —
+    * the more common Adobe print-scan encoding, where the inverted CMY
+    * channels additionally pass through the forward YCbCr transform and
+    * the decoder must invert it). Per the Adobe convention the file
+    * stores INVERTED ink; the fixture formulas below are the STORED
+    * values (ink = 255 − stored), built with mm8's exactly-invertible
+    * coefficient construction.
+    *
+    * Transform 0 (even k): C carries the flat DC base v(b) = 28 +
+    * (id + 11b) mod 200 ± the AC(4,4) checkerboard of amplitude
+    * m(b) = (id + b) mod 8 (the AC path inside a FOUR-component
+    * interleave); M/Y/K are DC-only 40 + (id + 7b) mod 180,
+    * 60 + (id + 13b) mod 160, 20 + (id + 3b) mod 100.
+    *
+    * Transform 2 (odd k): the mm9 construction moved into the YCCK
+    * domain — the Y channel carries v(b) ± m(b), Cb/Cr are flat
+    * 128 + (id + 3b) mod 8 / 128 + (id + 5b) mod 8 (offsets small enough
+    * that the inverse transform never clamps, pinned in MultimodalSpec),
+    * K is the same 20 + (id + 3b) mod 100 — so the decoded ink values
+    * are floor-exact two-level functions of (id, b) the oracle replays
+    * with the same IEEE literals as mm9.
+    *
+    * Every 4th image (k ≡ 1 mod 4, always a YCCK row) carries restart
+    * markers, which must reset all FOUR predictors. w = 16 + 8·(k mod 3),
     * h = 16 + 8·(5k mod 3), k = id/7.
     */
   def realCmykJpegTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
@@ -876,15 +891,20 @@ object Multimodal {
               c(0) = (base + (id + mult * b) % mod).toInt - 128
               c
             }
-          val cBlocks = Array.tabulate(nb) { b =>
+          val vmBlocks = Array.tabulate(nb) { b =>
             val c = new Array[Int](64)
             c(0) = (28 + (id + 11L * b) % 200).toInt - 128
             c(36) = ((id + b) % 8).toInt
             c
           }
-          MediaRow(id, "image", JpegCodec.jpegEncodeCmyk(w, h, q,
-            Array(cBlocks, flat(40, 7, 180), flat(60, 13, 160), flat(20, 3, 100)),
-            restartInterval = if (k % 4 == 1) 2 else 0))
+          val planes =
+            if (k % 2 == 0)
+              Array(vmBlocks, flat(40, 7, 180), flat(60, 13, 160), flat(20, 3, 100))
+            else
+              Array(vmBlocks, flat(128, 3, 8), flat(128, 5, 8), flat(20, 3, 100))
+          MediaRow(id, "image", JpegCodec.jpegEncodeCmyk(w, h, q, planes,
+            restartInterval = if (k % 4 == 1) 2 else 0,
+            colorTransform = if (k % 2 == 0) 0 else 2))
         }
       }
   }

@@ -285,14 +285,19 @@ object Media extends QueryPack {
         .orderBy("doc_id")
     },
 
-    // MM20: Adobe CMYK JPEG decode — the 4-component print/scan variant
-    // (APP14 ColorTransform 0, stored samples INVERTED per the Adobe
-    // convention). The fixture interleaves FOUR components per MCU with
-    // the AC checkerboard riding the C channel and restart markers
-    // resetting all four DC predictors; the oracle replays the ink
-    // formulas (255 − stored) in closed form per block, so a decoder
-    // that missed the inversion, dropped the 4th predictor, or bound the
-    // APP14 wrongly goes red.
+    // MM20: Adobe CMYK JPEG decode — the 4-component print/scan variant,
+    // BOTH APP14 transforms side by side: even-k rows ColorTransform 0
+    // (channels direct), odd-k rows ColorTransform 2 (YCCK — the common
+    // Adobe print-scan encoding, whose inverted-CMY channels the decoder
+    // must additionally pass through the mm9 inverse-YCbCr with the same
+    // floor(x+0.5) literals); stored samples INVERTED per the Adobe
+    // convention on both paths, K never transformed. The fixture
+    // interleaves FOUR components per MCU with the AC checkerboard riding
+    // the C (or Y) channel and restart markers resetting all four DC
+    // predictors; the oracle replays the ink formulas in closed form per
+    // block, so a decoder that missed the inversion, skipped the YCCK
+    // step, dropped the 4th predictor, or bound the APP14 wrongly goes
+    // red.
     "mm20_cmyk_pixel_stats" -> { (s, d) =>
       Multimodal.cmykPixelStats(
         Multimodal.realCmykJpegTable(s, Tables.documents(s, d)))
@@ -846,34 +851,55 @@ object Media extends QueryPack {
     // (32 pixels each; ink 255−v∓m — the ± cancels in sums and adds 64m²
     // in sum_sq), M/Y/K store per-block DC constants. A decoder that
     // skipped the Adobe inversion would emit sums of v instead of 255−v.
+    // Even k: transform-0 ink directly from the block formulas. Odd k:
+    // YCCK — the Y plane's two exact levels v ± m pass through the SAME
+    // floor(x+0.5) inverse-YCbCr literals as mm9 (bit-identical IEEE
+    // doubles on both engines), then invert to ink; K bypasses the
+    // transform on both paths.
     "mm20_cmyk_pixel_stats" ->
       """WITH img AS (
         |  SELECT doc_id, doc_id // 7 AS k FROM documents WHERE doc_id % 7 = 2
         |), dim AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, k,
         |    CAST(16 + 8 * (k % 3) AS BIGINT) AS w,
         |    CAST(16 + 8 * ((k * 5) % 3) AS BIGINT) AS h
         |  FROM img
         |), blk AS (
-        |  SELECT d.doc_id,
-        |    255 - (28 + (d.doc_id + 11 * bb.b) % 200) AS c,
+        |  SELECT d.doc_id, d.k % 2 AS t2,
+        |    28 + (d.doc_id + 11 * bb.b) % 200 AS v,
         |    (d.doc_id + bb.b) % 8 AS m_amp,
-        |    255 - (40 + (d.doc_id + 7 * bb.b) % 180) AS m,
-        |    255 - (60 + (d.doc_id + 13 * bb.b) % 160) AS y,
+        |    (d.doc_id + 3 * bb.b) % 8 AS cbp,
+        |    (d.doc_id + 5 * bb.b) % 8 AS crp,
+        |    255 - (40 + (d.doc_id + 7 * bb.b) % 180) AS m0,
+        |    255 - (60 + (d.doc_id + 13 * bb.b) % 160) AS y0,
         |    255 - (20 + (d.doc_id + 3 * bb.b) % 100) AS kk
         |  FROM dim d,
         |    LATERAL (SELECT UNNEST(range((d.w // 8) * (d.h // 8))) AS b) bb
+        |), ink AS (
+        |  SELECT doc_id, t2, m_amp, kk, m0, y0,
+        |    255 - v AS c0,
+        |    255 - CAST(floor((v + m_amp) + 1.402 * crp + 0.5) AS BIGINT) AS c1,
+        |    255 - CAST(floor((v - m_amp) + 1.402 * crp + 0.5) AS BIGINT) AS c2,
+        |    255 - CAST(floor((v + m_amp) - 0.344136 * cbp - 0.714136 * crp + 0.5) AS BIGINT) AS mm1,
+        |    255 - CAST(floor((v - m_amp) - 0.344136 * cbp - 0.714136 * crp + 0.5) AS BIGINT) AS mm2,
+        |    255 - CAST(floor((v + m_amp) + 1.772 * cbp + 0.5) AS BIGINT) AS yy1,
+        |    255 - CAST(floor((v - m_amp) + 1.772 * cbp + 0.5) AS BIGINT) AS yy2
+        |  FROM blk
         |)
         |SELECT doc_id,
         |  CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
-        |  CAST(SUM(64 * c) AS BIGINT) AS sum_c,
-        |  CAST(SUM(64 * c * c + 64 * m_amp * m_amp) AS BIGINT) AS sum_sq_c,
-        |  CAST(SUM(64 * m) AS BIGINT) AS sum_m,
-        |  CAST(SUM(64 * y) AS BIGINT) AS sum_y,
+        |  CAST(SUM(CASE WHEN t2 = 0 THEN 64 * c0
+        |    ELSE 32 * (c1 + c2) END) AS BIGINT) AS sum_c,
+        |  CAST(SUM(CASE WHEN t2 = 0 THEN 64 * c0 * c0 + 64 * m_amp * m_amp
+        |    ELSE 32 * (c1 * c1 + c2 * c2) END) AS BIGINT) AS sum_sq_c,
+        |  CAST(SUM(CASE WHEN t2 = 0 THEN 64 * m0
+        |    ELSE 32 * (mm1 + mm2) END) AS BIGINT) AS sum_m,
+        |  CAST(SUM(CASE WHEN t2 = 0 THEN 64 * y0
+        |    ELSE 32 * (yy1 + yy2) END) AS BIGINT) AS sum_y,
         |  CAST(SUM(64 * kk) AS BIGINT) AS sum_k,
         |  CAST(MIN(kk) AS INT) AS min_k,
         |  CAST(MAX(kk) AS INT) AS max_k
-        |FROM blk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM ink GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mm19 truth: mm6's hex-nibble sample reassembly, then the same
     // 64-sample framing (partial tail dropped via HAVING), the same

@@ -1826,12 +1826,56 @@ class MultimodalSpec extends AnyFunSuite {
     // segment after SOI: APP14 is emitted first, len 14).
     val noAdobe = bytes.take(2) ++ bytes.drop(2 + 2 + 2 + 12)
     assert(JpegCodec.jpegDecodeCmykPixels(noAdobe).isEmpty, "no APP14")
-    // YCCK transform (APP14 transform byte = 2) rejects.
-    val ycck = bytes.clone()
-    ycck(2 + 4 + 11) = 2 // SOI(2) + marker+len(4) + 11 bytes into payload
-    assert(JpegCodec.jpegDecodeCmykPixels(ycck).isEmpty, "YCCK transform")
+    // Transform 1 (YCbCr — meaningless at Nf=4) rejects; 2 (YCCK) is now
+    // a supported path, tested in its own case below.
+    val t1 = bytes.clone()
+    t1(2 + 4 + 11) = 1 // SOI(2) + marker+len(4) + 11 bytes into payload
+    assert(JpegCodec.jpegDecodeCmykPixels(t1).isEmpty, "transform 1")
     // Truncations never throw.
     for (len <- 0 until bytes.length by 3) JpegCodec.jpegDecodeCmykPixels(bytes.take(len))
+  }
+
+  test("mm20 YCCK JPEG (ColorTransform 2): inverse YCbCr on CMY, K untouched, floor-exact") {
+    // Y carries the checkerboard; Cb/Cr flat near 128 (offsets small
+    // enough that the inverse never clamps); K flat. The decoded ink must
+    // equal 255 − floor(inverse-YCbCr + 0.5) computed with the exact
+    // same IEEE literals.
+    val w = 24; val h = 16
+    val nb = (w / 8) * (h / 8)
+    val q = Array.fill(64)(16); q(0) = 8; q(36) = 8
+    def flat(f: Int => Int): Array[Array[Int]] =
+      Array.tabulate(nb) { b => val c = new Array[Int](64); c(0) = f(b) - 128; c }
+    val yBlocks = Array.tabulate(nb) { b =>
+      val c = new Array[Int](64); c(0) = (60 + 9 * b) - 128; c(36) = b % 8; c
+    }
+    val stored = Array(yBlocks, flat(b => 128 + (3 * b) % 8),
+      flat(b => 128 + (5 * b) % 8), flat(b => 30 + 17 * b))
+    val bytes = JpegCodec.jpegEncodeCmyk(w, h, q, stored,
+      restartInterval = 2, colorTransform = 2)
+    val img = JpegCodec.jpegDecodeCmykPixels(bytes).get
+    assert(img.width === w && img.height === h)
+    val s44 = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8) * (w / 8) + (x / 8)
+      val sign = s44(x % 8) * s44(y % 8)
+      val yy = (60 + 9 * b) + sign * (b % 8)
+      val cbp = (3 * b) % 8; val crp = (5 * b) % 8
+      val expC = 255 - math.floor(yy + 1.402 * crp + 0.5).toInt
+      val expM = 255 - math.floor(yy - 0.344136 * cbp - 0.714136 * crp + 0.5).toInt
+      val expY = 255 - math.floor(yy + 1.772 * cbp + 0.5).toInt
+      val i = 4 * (y * w + x)
+      assert((img.cmyk(i) & 0xff) === expC, s"C at ($x,$y)")
+      assert((img.cmyk(i + 1) & 0xff) === expM, s"M at ($x,$y)")
+      assert((img.cmyk(i + 2) & 0xff) === expY, s"Y at ($x,$y)")
+      assert((img.cmyk(i + 3) & 0xff) === 255 - (30 + 17 * b), s"K at ($x,$y)")
+    }
+    // The SAME entropy data under transform 0 decodes to DIFFERENT ink —
+    // a decoder that records but ignores the APP14 byte goes red above,
+    // and this pins that the two interpretations genuinely differ.
+    val t0 = bytes.clone()
+    t0(2 + 4 + 11) = 0
+    val img0 = JpegCodec.jpegDecodeCmykPixels(t0).get
+    assert(img0.cmyk.toSeq !== img.cmyk.toSeq)
   }
 
   test("mm20 end-to-end: cmykPixelStats over realCmykJpegTable matches the ink formulas") {
@@ -1841,23 +1885,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.nonEmpty)
     val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 7 == 2).toSet
     assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
+    // Both transform variants must be present in the fixture population.
+    assert(stats.exists(_.doc_id / 7 % 2 == 0) && stats.exists(_.doc_id / 7 % 2 == 1))
     stats.foreach { st =>
       val id = st.doc_id; val k = id / 7
       val w = 16 + 8 * (k % 3); val h = 16 + 8 * ((k * 5) % 3)
       val nb = ((w / 8) * (h / 8)).toInt
-      def inks(base: Long, mult: Long, mod: Long) =
-        (0 until nb).map(b => 255 - (base + (id + mult * b) % mod))
-      val cs = inks(28, 11, 200); val ms2 = inks(40, 7, 180)
-      val ys = inks(60, 13, 160); val ks = inks(20, 3, 100)
-      val amps = (0 until nb).map(b => (id + b) % 8)
+      val ks = (0 until nb).map(b => 255 - (20 + (id + 3L * b) % 100))
       assert(st.n_pixels === w * h)
-      assert(st.sum_c === cs.map(64L * _).sum, s"id=$id")
-      assert(st.sum_sq_c === cs.lazyZip(amps).map((c, a) => 64L * c * c + 64L * a * a).sum, s"id=$id")
-      assert(st.sum_m === ms2.map(64L * _).sum, s"id=$id")
-      assert(st.sum_y === ys.map(64L * _).sum, s"id=$id")
       assert(st.sum_k === ks.map(64L * _).sum, s"id=$id")
       assert(st.min_k === ks.min, s"id=$id")
       assert(st.max_k === ks.max, s"id=$id")
+      if (k % 2 == 0) { // transform 0: ink directly from the block formulas
+        def inks(base: Long, mult: Long, mod: Long) =
+          (0 until nb).map(b => 255 - (base + (id + mult * b) % mod))
+        val cs = inks(28, 11, 200); val ms2 = inks(40, 7, 180)
+        val ys = inks(60, 13, 160)
+        val amps = (0 until nb).map(b => (id + b) % 8)
+        assert(st.sum_c === cs.map(64L * _).sum, s"id=$id")
+        assert(st.sum_sq_c === cs.lazyZip(amps).map((c, a) => 64L * c * c + 64L * a * a).sum, s"id=$id")
+        assert(st.sum_m === ms2.map(64L * _).sum, s"id=$id")
+        assert(st.sum_y === ys.map(64L * _).sum, s"id=$id")
+      } else { // transform 2: YCCK — inverse YCbCr with the mm9 literals
+        def lvl(b: Int, up: Boolean): (Long, Long, Long) = {
+          val v = (28 + (id + 11L * b) % 200) + (if (up) 1 else -1) * ((id + b) % 8)
+          val cbp = (id + 3L * b) % 8; val crp = (id + 5L * b) % 8
+          (255L - math.floor(v + 1.402 * crp + 0.5).toLong,
+            255L - math.floor(v - 0.344136 * cbp - 0.714136 * crp + 0.5).toLong,
+            255L - math.floor(v + 1.772 * cbp + 0.5).toLong)
+        }
+        val two = (0 until nb).map(b => (lvl(b, up = true), lvl(b, up = false)))
+        assert(st.sum_c === two.map { case (a, b) => 32L * (a._1 + b._1) }.sum, s"id=$id")
+        assert(st.sum_sq_c === two.map { case (a, b) =>
+          32L * (a._1 * a._1 + b._1 * b._1) }.sum, s"id=$id")
+        assert(st.sum_m === two.map { case (a, b) => 32L * (a._2 + b._2) }.sum, s"id=$id")
+        assert(st.sum_y === two.map { case (a, b) => 32L * (a._3 + b._3) }.sum, s"id=$id")
+      }
     }
   }
 
