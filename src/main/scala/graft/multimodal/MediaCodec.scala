@@ -12,7 +12,7 @@ case class ImageHeader(width: Int, height: Int, headerLen: Int)
   * leading bytes the container occupies (payload = sample data starts there).
   */
 case class WavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
-    dataBytes: Int, headerLen: Int)
+    dataBytes: Int, headerLen: Int, formatTag: Int = 1)
 
 /** Integer statistics over a decoded 16-bit PCM sample stream — the
   * sample-domain quantities a quality/silence filter reads. All-integer so
@@ -604,14 +604,17 @@ object MediaCodec {
   private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
-  /** Canonical PCM WAV prefix (44 bytes; 56 with `padChunk` — an extra
+  /** Canonical WAV prefix (44 bytes; 56 with `padChunk` — an extra
     * LIST/INFO chunk between `fmt ` and `data` so parsers must genuinely
-    * WALK chunks rather than assume fixed offsets). The sample data of
-    * `dataBytes` bytes is expected to follow immediately after.
+    * WALK chunks rather than assume fixed offsets). `formatTag` 1 = PCM,
+    * 3 = IEEE float (bits must be 32). The sample data of `dataBytes`
+    * bytes is expected to follow immediately after.
     */
   def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      dataBytes: Int, padChunk: Boolean = false): Array[Byte] = {
+      dataBytes: Int, padChunk: Boolean = false,
+      formatTag: Int = 1): Array[Byte] = {
     require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0 && dataBytes >= 0)
+    require(formatTag == 1 || (formatTag == 3 && bitsPerSample == 32))
     val blockAlign = channels * bitsPerSample / 8
     val padLen = if (padChunk) 12 else 0
     val riffSize = 4 + 24 + padLen + 8 + dataBytes
@@ -619,7 +622,7 @@ object MediaCodec {
     b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
     b.put("WAVE".getBytes("US-ASCII"))
     b.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    b.putShort(1)                                  // PCM
+    b.putShort(formatTag.toShort)                  // 1 = PCM, 3 = IEEE float
     b.putShort(channels.toShort)
     b.putInt(sampleRate)
     b.putInt(sampleRate * blockAlign)              // byte rate
@@ -646,6 +649,7 @@ object MediaCodec {
     if (le32(b, 4) != b.length - 8) return None
     var p = 12
     var rate, ch, bits = -1
+    var tag = 1
     while (p + 8 <= b.length) {
       val size = le32(b, p + 4)
       // Long arithmetic: a crafted size near Int.MaxValue would wrap
@@ -655,15 +659,22 @@ object MediaCodec {
       if (size < 0 || p.toLong + 8L + size > b.length) return None
       val id = new String(b, p, 4, "US-ASCII")
       if (id == "fmt ") {
-        if (size < 16 || le16(b, p + 8) != 1) return None // PCM only
+        if (size < 16) return None
+        // Format tag 1 = integer PCM (any byte-aligned width); 3 = IEEE
+        // float, which the spec defines at 32/64 bits — 32 is the lake
+        // reality and the implemented one; float64 and every other tag
+        // (ADPCM, a-law, extensible…) REJECT, never mis-decode.
+        tag = le16(b, p + 8)
+        if (tag != 1 && tag != 3) return None
         ch = le16(b, p + 10); rate = le32(b, p + 12); bits = le16(b, p + 22)
         val blockAlign = le16(b, p + 20)
         if (ch <= 0 || rate <= 0 || bits <= 0 || bits % 8 != 0) return None
+        if (tag == 3 && bits != 32) return None
         if (blockAlign != ch * bits / 8) return None
         if (le32(b, p + 16) != rate * blockAlign) return None
       } else if (id == "data") {
         if (rate <= 0) return None // fmt must precede data
-        return Some(WavHeader(rate, ch, bits, size, p + 8))
+        return Some(WavHeader(rate, ch, bits, size, p + 8, tag))
       }
       p += 8 + size + (size & 1) // chunks are word-aligned
     }
@@ -700,19 +711,32 @@ object MediaCodec {
     Some(PcmStats(n.toLong, sumAbs, sumSq, peak, zc))
   }
 
-  /** Multi-width PCM decode with channel-mean mono downmix (mm22): 8-bit
-    * (stored UNSIGNED per the WAV convention, centered as v−128), 16-bit
-    * and 24-bit (signed little-endian) frames, any channel count. Each
-    * frame downmixes to `floorDiv(Σ_c v_c, channels)` — floor (not
-    * truncate-toward-zero) so the rounding is a single exact integer rule
-    * a SQL oracle replays with floor(sum/ch). A trailing PARTIAL frame
-    * (data bytes not a multiple of block align — the truncated-chunk
-    * shape real lakes contain) is ignored, never mis-read. Other widths
-    * (32-bit, float) return None: reject, never mis-decode.
+  /** Multi-format sample decode with channel-mean mono downmix (mm22):
+    * integer PCM at 8-bit (stored UNSIGNED per the WAV convention,
+    * centered as v−128), 16-bit and 24-bit (signed little-endian), plus
+    * IEEE float32 (format tag 3), any channel count.
+    *
+    * FLOAT QUANTIZATION CONVENTION (documented like the floor-mean): a
+    * float sample f maps to the 16-bit PCM domain as
+    * `floor(f · 32768)` clamped to [−32768, 32767] — floor (not
+    * round-half-up) so every engine replays one exact rule, and any
+    * fixture value m/32768 with |m| < 2^24 survives the float32
+    * round-trip EXACTLY (the mantissa holds it), making the quantized
+    * stream integer-closed-form for the oracle.
+    *
+    * Each frame downmixes to `floorDiv(Σ_c v_c, channels)` over the
+    * quantized values — floor (not truncate-toward-zero) so the rounding
+    * is a single exact integer rule a SQL oracle replays with
+    * floor(sum/ch). A trailing PARTIAL frame (data bytes not a multiple
+    * of block align — the truncated-chunk shape real lakes contain) is
+    * ignored, never mis-read. Every other (tag, width) — PCM-32,
+    * float64, ADPCM… — returns None: reject, never mis-decode.
     */
   def pcmMonoMix(b: Array[Byte], h: WavHeader): Option[Array[Int]] = {
-    if (h.bitsPerSample != 8 && h.bitsPerSample != 16 && h.bitsPerSample != 24)
-      return None
+    val intPcm = h.formatTag == 1 &&
+      (h.bitsPerSample == 8 || h.bitsPerSample == 16 || h.bitsPerSample == 24)
+    val floatPcm = h.formatTag == 3 && h.bitsPerSample == 32
+    if (!intPcm && !floatPcm) return None
     val bps = h.bitsPerSample / 8
     val block = bps * h.channels
     val avail = math.min(h.dataBytes, b.length - h.headerLen)
@@ -724,13 +748,23 @@ object MediaCodec {
       var c = 0
       while (c < h.channels) {
         val off = h.headerLen + i * block + c * bps
-        val v = h.bitsPerSample match {
-          case 8 => (b(off) & 0xff) - 128
-          case 16 => ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
-          case _ => // 24-bit signed LE: assemble then sign-extend via << 8 >> 8
-            (((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-              ((b(off + 2) & 0xff) << 16)) << 8) >> 8
-        }
+        val v =
+          if (floatPcm) {
+            val f = java.lang.Float.intBitsToFloat(le32(b, off))
+            // NaN/Inf are corrupt-sample values, not structure: clamp the
+            // quantization (NaN → 0) rather than reject the whole row.
+            val q = math.floor(f.toDouble * 32768.0)
+            if (q.isNaN) 0
+            else if (q < -32768.0) -32768
+            else if (q > 32767.0) 32767
+            else q.toInt
+          } else h.bitsPerSample match {
+            case 8 => (b(off) & 0xff) - 128
+            case 16 => ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+            case _ => // 24-bit signed LE: assemble then sign-extend via << 8 >> 8
+              (((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+                ((b(off + 2) & 0xff) << 16)) << 8) >> 8
+          }
         sum += v
         c += 1
       }

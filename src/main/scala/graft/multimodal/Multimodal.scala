@@ -1196,13 +1196,18 @@ object Multimodal {
     zero_crossings: Long)
 
   /** REAL multi-format WAV table (mm22): every audio document (doc_id ≡ 1
-    * mod 3) becomes a complete RIFF/WAVE whose sample width AND channel
-    * count cycle with k = id/3 — bits = 8·(1 + k%3) ∈ {8, 16, 24},
-    * channels = 1 + k%2 — covering the six layout combinations real audio
-    * lakes mix (mm5/mm6 decode 16-bit mono only). Samples follow
-    * closed-form formulas of (id, frame, channel) sized to each width
-    * (8-bit stored UNSIGNED per the WAV convention); every 4th row (k ≡ 0
-    * mod 4) carries the extra LIST chunk so fixed-offset parsing fails.
+    * mod 3) becomes a complete RIFF/WAVE whose sample FORMAT and channel
+    * count cycle with k = id/3 — format by k%4 ∈ {8-bit PCM, 16-bit PCM,
+    * 24-bit PCM, 32-bit IEEE FLOAT (fmt tag 3)}, channels = 1 + k%3
+    * ∈ {1, 2, 3} — covering the twelve layout combinations real audio
+    * lakes mix, including the float speech-lake shape and a true
+    * MULTI-channel (3ch) downmix (mm5/mm6 decode 16-bit mono only).
+    * Samples follow closed-form formulas of (id, frame, channel) sized
+    * to each width (8-bit stored UNSIGNED per the WAV convention; float
+    * samples are m/32768 with |m| ≤ 20000 — exactly representable in
+    * float32 and exactly recovered by the documented floor quantization,
+    * see [[MediaCodec.pcmMonoMix]]); every 4th row (k ≡ 0 mod 4) carries
+    * the extra LIST chunk so fixed-offset parsing fails.
     */
   def realMultiWavTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import s.implicits._
@@ -1211,31 +1216,45 @@ object Multimodal {
       .mapPartitions { ids =>
         ids.map { id =>
           val k = id / 3
-          val bits = (8 * (1 + k % 3)).toInt
-          val ch = (1 + k % 2).toInt
+          val v = (k % 4).toInt
+          val (tag, bits) = v match {
+            case 0 => (1, 8)
+            case 1 => (1, 16)
+            case 2 => (1, 24)
+            case _ => (3, 32)
+          }
+          val ch = (1 + k % 3).toInt
           val nf = (40 + id % 50).toInt
           val bps = bits / 8
           val data = new Array[Byte](nf * ch * bps)
           var o = 0
-          for (i <- 0 until nf; c <- 0 until ch) bits match {
-            case 8 =>
+          for (i <- 0 until nf; c <- 0 until ch) v match {
+            case 0 =>
               data(o) = ((id + 5L * i + 3L * c) % 256).toInt.toByte // unsigned
               o += 1
-            case 16 =>
-              val v = ((7L * id + 11L * i + 17L * c) % 4001 - 2000).toInt
-              data(o) = (v & 0xff).toByte
-              data(o + 1) = ((v >> 8) & 0xff).toByte
+            case 1 =>
+              val s16 = ((7L * id + 11L * i + 17L * c) % 4001 - 2000).toInt
+              data(o) = (s16 & 0xff).toByte
+              data(o + 1) = ((s16 >> 8) & 0xff).toByte
               o += 2
-            case _ =>
-              val v = ((13L * id + 23L * i + 29L * c) % 100001 - 50000).toInt
-              data(o) = (v & 0xff).toByte
-              data(o + 1) = ((v >> 8) & 0xff).toByte
-              data(o + 2) = ((v >> 16) & 0xff).toByte
+            case 2 =>
+              val s24 = ((13L * id + 23L * i + 29L * c) % 100001 - 50000).toInt
+              data(o) = (s24 & 0xff).toByte
+              data(o + 1) = ((s24 >> 8) & 0xff).toByte
+              data(o + 2) = ((s24 >> 16) & 0xff).toByte
               o += 3
+            case _ =>
+              val m = ((31L * id + 41L * i + 53L * c) % 40001 - 20000).toInt
+              val f = java.lang.Float.floatToIntBits(m / 32768.0f)
+              data(o) = (f & 0xff).toByte
+              data(o + 1) = ((f >> 8) & 0xff).toByte
+              data(o + 2) = ((f >> 16) & 0xff).toByte
+              data(o + 3) = ((f >> 24) & 0xff).toByte
+              o += 4
           }
           MediaRow(id, "audio",
             MediaCodec.wavHeader(16000, ch, bits, data.length,
-              padChunk = k % 4 == 0) ++ data)
+              padChunk = k % 4 == 0, formatTag = tag) ++ data)
         }
       }
   }

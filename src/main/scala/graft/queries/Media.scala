@@ -335,12 +335,16 @@ object Media extends QueryPack {
         .orderBy("doc_id")
     },
 
-    // MM22: multi-width WAV decode + stereo downmix — real audio lakes
-    // are not 16-bit mono (the only layout mm5/mm6 decode): the fixture
-    // cycles 8/16/24-bit × mono/stereo, and the gated stats run over the
-    // channel-mean MONO mix (exact floor-division semantics). A decoder
-    // that missed the 8-bit unsigned convention, botched 24-bit sign
-    // extension, or averaged with truncate-toward-zero goes red.
+    // MM22: multi-format WAV decode + multi-channel downmix — real audio
+    // lakes are not 16-bit mono (the only layout mm5/mm6 decode): the
+    // fixture cycles 8/16/24-bit integer PCM AND 32-bit IEEE-float (fmt
+    // tag 3, the speech-lake shape) × 1/2/3 channels, and the gated
+    // stats run over the channel-mean MONO mix (exact floor-division
+    // semantics; floats quantize by the documented floor(f·32768) rule —
+    // MediaCodec.pcmMonoMix — which recovers the fixture's m/32768
+    // samples exactly). A decoder that missed the 8-bit unsigned
+    // convention, botched 24-bit sign extension, misread the float tag,
+    // or averaged with truncate-toward-zero goes red.
     "mm22_audio_mix_stats" -> { (s, d) =>
       Multimodal.audioMixStats(
         Multimodal.realMultiWavTable(s, Tables.documents(s, d)))
@@ -1013,22 +1017,26 @@ object Media extends QueryPack {
 
     // Downmix truth from the per-channel sample formulas alone — the
     // engine must arrive at the same numbers THROUGH the RIFF walk, the
-    // per-width byte decode (8-bit unsigned centering, 16/24-bit signed
-    // LE) and the floor-mean downmix. floor(SUM/ch) in DOUBLE is exact
-    // here (|sum| < 2^25 ≪ 2^53).
+    // per-format byte decode (8-bit unsigned centering, 16/24-bit signed
+    // LE, float32 with the documented floor(f·32768) quantization that
+    // recovers m exactly) and the floor-mean downmix. floor(SUM/ch) in
+    // DOUBLE is exact here (|sum| < 2^25 ≪ 2^53).
     "mm22_audio_mix_stats" ->
       """WITH audio AS (
         |  SELECT doc_id, doc_id // 3 AS k FROM documents WHERE doc_id % 3 = 1
         |), fmtc AS (
-        |  SELECT doc_id, CAST(8 * (1 + k % 3) AS INT) AS bits,
-        |    CAST(1 + k % 2 AS INT) AS ch,
+        |  SELECT doc_id,
+        |    CAST(CASE k % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+        |      ELSE 32 END AS INT) AS bits,
+        |    CAST(1 + k % 3 AS INT) AS ch,
         |    CAST(40 + doc_id % 50 AS INT) AS nf
         |  FROM audio
         |), samp AS (
         |  SELECT f.doc_id, f.ch, f.bits, u.i, cc.c,
         |    CASE WHEN f.bits = 8 THEN (f.doc_id + 5 * u.i + 3 * cc.c) % 256 - 128
         |         WHEN f.bits = 16 THEN (7 * f.doc_id + 11 * u.i + 17 * cc.c) % 4001 - 2000
-        |         ELSE (13 * f.doc_id + 23 * u.i + 29 * cc.c) % 100001 - 50000 END AS v
+        |         WHEN f.bits = 24 THEN (13 * f.doc_id + 23 * u.i + 29 * cc.c) % 100001 - 50000
+        |         ELSE (31 * f.doc_id + 41 * u.i + 53 * cc.c) % 40001 - 20000 END AS v
         |  FROM fmtc f,
         |    LATERAL (SELECT UNNEST(range(f.nf)) AS i) u,
         |    LATERAL (SELECT UNNEST(range(f.ch)) AS c) cc

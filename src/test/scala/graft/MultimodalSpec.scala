@@ -287,9 +287,52 @@ class MultimodalSpec extends AnyFunSuite {
     val wav16 = MediaCodec.wavHeader(8000, 2, 16, 7) ++ s16
     assert(MediaCodec.pcmMonoMix(wav16, MediaCodec.parseWav(wav16).get).get.toSeq
       === Seq(1)) // floor((1+2)/2)
-    // Unimplemented widths reject.
+    // Unimplemented (tag, width) combos reject: PCM-32 (tag 1)…
     assert(MediaCodec.pcmMonoMix(wav16,
       WavHeader(8000, 1, 32, 4, wav16.length - 7)).isEmpty)
+    // …and float at a non-32 width (never produced by parseWav, but the
+    // mixer must not trust its caller).
+    assert(MediaCodec.pcmMonoMix(wav16,
+      WavHeader(8000, 1, 16, 4, wav16.length - 7, formatTag = 3)).isEmpty)
+  }
+
+  test("pcmMonoMix float32 (fmt tag 3): floor quantization, exact m/32768 recovery, 3ch downmix, NaN clamp") {
+    import graft.multimodal.WavHeader
+    def floatLe(f: Float): Array[Byte] = {
+      val i = java.lang.Float.floatToIntBits(f)
+      Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+        ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    }
+    // m/32768 recovers m exactly; floor (not round): -0.4 quantizes to
+    // floor(-0.4·32768) = -13108 (truncation would give -13107).
+    val s = Array(100 / 32768.0f, -5 / 32768.0f, -0.4f, 1.5f, -2.0f,
+      Float.NaN).flatMap(floatLe)
+    val wav = MediaCodec.wavHeader(8000, 1, 32, s.length, formatTag = 3) ++ s
+    val h = MediaCodec.parseWav(wav).get
+    assert(h.formatTag === 3 && h.bitsPerSample === 32)
+    assert(MediaCodec.pcmMonoMix(wav, h).get.toSeq ===
+      Seq(100, -5, -13108, 32767, -32768, 0))
+    // 3-channel float frame: floor-mean of the quantized values.
+    //   frame: (1/32768, 2/32768, -5/32768) → floor((1+2-5)/3) = -1
+    val s3 = Array(1 / 32768.0f, 2 / 32768.0f, -5 / 32768.0f).flatMap(floatLe)
+    val wav3 = MediaCodec.wavHeader(8000, 3, 32, s3.length, formatTag = 3) ++ s3
+    assert(MediaCodec.pcmMonoMix(wav3, MediaCodec.parseWav(wav3).get).get.toSeq
+      === Seq(-1))
+    // Truncated-chunk fuzz: every prefix of the file either parses to a
+    // consistent (possibly shorter) stream or rejects — never throws.
+    for (len <- 0 until wav3.length) {
+      val cut = wav3.take(len)
+      MediaCodec.parseWav(cut).foreach { hh =>
+        MediaCodec.pcmMonoMix(cut, hh) // must not throw
+      }
+    }
+    // Float64 (tag 3, bits 64) and unknown tags reject at parse.
+    val w64 = MediaCodec.wavHeader(8000, 1, 32, 8, formatTag = 3) ++ s.take(8)
+    w64(34) = 64 // widen bits in place: fmt bits field at offset 34
+    assert(MediaCodec.parseWav(w64).isEmpty)
+    val adpcm = MediaCodec.wavHeader(8000, 1, 16, 4) ++ s.take(4)
+    adpcm(20) = 2 // fmt tag field at offset 20
+    assert(MediaCodec.parseWav(adpcm).isEmpty)
   }
 
   test("PCM sample decode: hand-computed stats on a crafted stream; odd trailing byte ignored") {
