@@ -137,6 +137,12 @@ object TextDedup extends QueryPack {
     */
   private val BpeMerges = Seq("th", "he", "in", "er", "an", "re", "on", "at")
 
+  /** t39's merge-table size: small fixed k (each round is a full pair
+    * census + vocab rewrite; the oracle replays every round CTE-by-CTE,
+    * so k also bounds the oracle's CTE chain).
+    */
+  private val BpeTrainRounds = 8
+
   /** Per-doc BPE token accounting shared by t37 (apply + compression) and
     * t38 (token-budget shard packing): greedy left-to-right application of
     * [[BpeMerges]] in rank order, folded over the DISTINCT vocab only
@@ -1502,6 +1508,65 @@ object TextDedup extends QueryPack {
         .orderBy("lang", "shard")
     },
 
+    // T39: BPE TRAIN — the missing half of the BPE story (t30 counts
+    // pairs ONCE; t37 applies a FIXED table): learn the merge table
+    // itself with k rounds of count-top-pair → merge → recount over the
+    // corpus vocabulary. Output: the learned table (merge_rank, sym1,
+    // sym2, n_pairs-at-selection), ties broken (count DESC, sym1, sym2).
+    //
+    // REPRESENTATION: each symbol is independently delimiter-wrapped
+    // ("the" → '|t||h||e|'), so one round's greedy left-to-right
+    // non-overlapping merge — classic BPE tiling — is EXACTLY a plain
+    // non-rescanning string replace('|p1||p2|', '|p1p2|'): adjacent
+    // occurrences never share delimiter chars (the t37 single-bar form
+    // would drop every second adjacent match), and a replacement can
+    // never create a same-round match because symbols are bar-free.
+    // Both engines' replace() scan the SOURCE left-to-right without
+    // rescanning replacements, which IS the no-re-merge rule.
+    //
+    // SCALE: each round is ONE hash-agg over the Zipf-collapsed DISTINCT
+    // vocab's adjacent-pair explosion (Σ|word| over vocab, sub-linear in
+    // corpus — t30's trick), one TakeOrdered(1), one driver-side 1-row
+    // collect (the control-plane idiom of the iterative graph loops),
+    // and a narrow map rewriting `seg`. localCheckpoint per round keeps
+    // the lineage flat at any k. The oracle replays all k rounds
+    // CTE-by-CTE — census, top-1, rewrite — with the same replace().
+    "t39_bpe_train" -> { (s, d) =>
+      var vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("seg", regexp_replace(col("word"), "(.)", "|$1|"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to BpeTrainRounds) {
+        val top = vocab
+          .select(col("n"),
+            expr("filter(split(seg, '[|]+'), x -> x != '')").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"))
+            .as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("n")).as("np"))
+          .orderBy(col("np").desc, col("s1").asc, col("s2").asc)
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"t39: vocabulary ran out of pairs at round $r — corpus too small for k=$BpeTrainRounds")
+        val (s1, s2, np) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        // Learned symbols are [a-z]+ by construction (the word filter);
+        // required before embedding them as expression literals.
+        require(s1.matches("[a-z]+") && s2.matches("[a-z]+"), s"t39: bad symbol '$s1'/'$s2'")
+        merges += ((r, s1, s2, np))
+        vocab = vocab.withColumn("seg",
+          expr(s"replace(seg, '|$s1||$s2|', '|$s1$s2|')")).localCheckpoint()
+      }
+      import s.implicits._
+      merges.result().toDF("merge_rank", "sym1", "sym2", "n_pairs")
+        .orderBy("merge_rank")
+    },
+
     // T31: t11's contamination check with the BLOOM PRE-PASS t11's own
     // comment promises (the 100 TB fallback plan made concrete): sketch
     // the held-out n-gram hashes once (graft_bloom_agg scalar subquery —
@@ -2566,6 +2631,42 @@ object TextDedup extends QueryPack {
          |SELECT lang, shard, COUNT(*) AS n_docs,
          |  CAST(SUM(n_symbols) AS BIGINT) AS shard_tokens, MIN(doc_id) AS first_doc
          |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+
+    // t39: replay ALL k training rounds CTE-by-CTE — pair census over the
+    // doubled-delimiter segmentation, deterministic top-1, replace()
+    // rewrite (same non-rescanning semantics as Spark's) — then emit the
+    // learned table. The 1-row top{i} CTEs cross-join into the rewrite,
+    // which is DuckDB's way of threading the learned literal through.
+    "t39_bpe_train" -> {
+      val rounds = (1 to BpeTrainRounds).map { i =>
+        s"""pc$i AS (
+           |  SELECT s.syms[u.i] AS s1, s.syms[u.i + 1] AS s2, SUM(v.n) AS np
+           |  FROM v${i - 1} v,
+           |    LATERAL (SELECT list_filter(string_split(v.seg, '|'), x -> x <> '') AS syms) s,
+           |    LATERAL (SELECT UNNEST(range(1, len(s.syms))) AS i) u
+           |  GROUP BY 1, 2
+           |), top$i AS (
+           |  SELECT s1, s2, np FROM pc$i ORDER BY np DESC, s1 ASC, s2 ASC LIMIT 1
+           |), v$i AS (
+           |  SELECT v.word, v.n,
+           |    replace(v.seg, '|' || t.s1 || '||' || t.s2 || '|',
+           |            '|' || t.s1 || t.s2 || '|') AS seg
+           |  FROM v${i - 1} v, top$i t
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeTrainRounds).map(i =>
+        s"SELECT CAST($i AS INT) AS merge_rank, s1 AS sym1, s2 AS sym2, " +
+          s"CAST(np AS BIGINT) AS n_pairs FROM top$i").mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |), v0 AS (
+         |  SELECT word, COUNT(*) AS n,
+         |    regexp_replace(word, '(.)', '|\\1|', 'g') AS seg
+         |  FROM words WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word
+         |),
+         |$rounds
+         |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
+    },
 
     // Identical to t11's oracle BY DESIGN: the bloom pre-pass is a pure
     // pruning optimization (false positives re-checked by the exact semi

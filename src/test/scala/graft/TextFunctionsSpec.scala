@@ -47,6 +47,47 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got("x") === "|x|")               // single symbol untouched
   }
 
+  test("t39's doubled-delimiter replace IS the greedy BPE tiling, and training learns real merges") {
+    // One training round's rewrite is a plain non-rescanning
+    // replace('|p1||p2|', '|p1p2|') over the doubled-delimiter form —
+    // adjacent occurrences never share delimiter chars, so the replace
+    // tiles exactly like t37's fold (its single-bar form would drop
+    // every second adjacent match: '|a|a|a|a|' only merges once).
+    def seg(w: String): String = w.map(c => s"|$c|").mkString
+    def merge(s: String, p1: String, p2: String): String =
+      s.replace(s"|$p1||$p2|", s"|$p1$p2|")
+    assert(merge(seg("aaaa"), "a", "a") === "|aa||aa|")
+    assert(merge(seg("aaa"), "a", "a") === "|aa||a|")
+    assert(merge(seg("nanana"), "a", "n") === "|n||an||an||a|")
+    assert(merge(merge(seg("that"), "t", "h"), "a", "t") === "|th||at|")
+    // Multi-char later ranks stay atomic: (m, er) after (e, r).
+    assert(merge(merge(seg("mer"), "e", "r"), "m", "er") === "|mer|")
+    // Training on the real sf0.001 corpus: contiguous ranks, counts
+    // non-increasing (a merge can only create pairs no more frequent
+    // than the pair it consumed, and never raises an existing count),
+    // and round 1 equals a brute-force census over the raw vocab.
+    val got = graft.queries.TextDedup.queries("t39_bpe_train")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === (1 to 8))
+    assert(got.map(_._4).toSeq.sliding(2).forall { case Seq(a, b) => a >= b })
+    assert(got.forall(m => m._2.matches("[a-z]+") && m._3.matches("[a-z]+")))
+    val vocab = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").count().as[(String, Long)].collect()
+    val census = scala.collection.mutable.Map[(String, String), Long]()
+    vocab.foreach { case (w, n) =>
+      w.sliding(2).foreach { p =>
+        if (p.length == 2) {
+          val k = (p.substring(0, 1), p.substring(1, 2))
+          census(k) = census.getOrElse(k, 0L) + n
+        }
+      }
+    }
+    val best = census.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+    assert((got.head._2, got.head._3) === best._1 && got.head._4 === best._2)
+  }
+
   test("normalize is idempotent") {
     val df = samples(messy).toDF("s")
       .select(normalize(col("s")).as("once"))
