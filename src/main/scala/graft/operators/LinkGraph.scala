@@ -321,9 +321,11 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     *
     * Output mirrors the exact census's shape (`g13_neighborhood`):
     * one row per round h = 0..horizon with the estimated cumulative
-    * reachable pairs and the integer 90%-of-horizon marker
-    * (est·10 ≥ final·9; the smallest flagged h is the effective-
-    * diameter estimate).
+    * reachable pairs, the round's systolic frontier size `n_changed`
+    * (how many sketches changed in round h; |V| at h = 0 — the decay of
+    * this column IS the delta-propagation saving, measured not claimed),
+    * and the integer 90%-of-horizon marker (est·10 ≥ final·9; the
+    * smallest flagged h is the effective-diameter estimate).
     *
     * CONVERGENCE CONTRACT: `maxRounds` is a safety valve, not a result
     * parameter. A run that hits it while sketches are still changing has
@@ -360,7 +362,13 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     def censusOf(b: DataFrame): Long =
       b.agg(coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
         .cast("long")).head().getLong(0)
-    val rows = scala.collection.mutable.ArrayBuffer(0 -> censusOf(balls))
+    // Row payload (h, est_pairs, n_changed): n_changed is the number of
+    // sketches that changed IN round h — the systolic frontier size,
+    // emitted so the delta-propagation tail decay is MEASURABLE from the
+    // output (the 25x adjudication reads it) instead of inferred from
+    // wall-clock. Round 0 "changed" every ball it created: |V|.
+    val rows = scala.collection.mutable.ArrayBuffer(
+      (0, censusOf(balls), balls.count()))
     var h = 1
     var nChanged = 1L
     while (h <= maxRounds && nChanged > 0) {
@@ -381,7 +389,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       nChanged = stat.getLong(1)
       // A no-change round's census equals the previous round's — the
       // fixpoint confirmation is not a new census row.
-      if (nChanged > 0) rows += h -> stat.getLong(0)
+      if (nChanged > 0) rows += ((h, stat.getLong(0), nChanged))
       balls = agg.select(col("id") +: laneCols.map(col): _*)
       changed = agg.filter(col("chg") === 1)
         .select(col("id") +: laneCols.map(col): _*)
@@ -398,7 +406,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     val s = edges.sparkSession
     import s.implicits._
     val finalPairs = rows.last._2
-    rows.toSeq.toDF("h", "est_pairs")
+    rows.toSeq.toDF("h", "est_pairs", "n_changed")
       .withColumn("at_eff_horizon",
         (col("est_pairs") * 10 >= lit(finalPairs) * 9).cast("int"))
       .withColumn("converged", lit(if (converged) 1 else 0))

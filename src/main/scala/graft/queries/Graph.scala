@@ -705,6 +705,12 @@ object Graph extends QueryPack {
       require(rows.forall(_.getInt(3) == 1),
         "g16: census truncated at maxRounds (converged = 0) — the " +
           "effective-diameter marker is not trustworthy")
+      // Every emitted round h >= 1 changed at least one sketch (no-change
+      // rounds are the fixpoint confirmation and emit no row), and round
+      // 0 "changed" every node it initialized.
+      val chg = dia.select(col("h"), col("n_changed")).orderBy("h").collect()
+      require(chg.forall(_.getLong(1) > 0) || chg.length == 1,
+        "g16: a census row claims an empty frontier")
       val hs = rows.map(_.getInt(0)).toSeq
       require(hs == (0 until rows.length), s"g16: non-contiguous rounds $hs")
       val est = rows.map(_.getLong(1)).toSeq

@@ -258,7 +258,8 @@ class LinkGraphSpec extends AnyFunSuite {
     val g = new LinkGraph(sym)
     val dia = g.hyperBallDiameter(lgK = 8, maxRounds = 32)
       .orderBy("h").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+      .map(r => (r.getAs[Int]("h"), r.getAs[Long]("est_pairs"),
+        r.getAs[Int]("at_eff_horizon"))).toSeq
     // (1) Delta propagation must be semantically INVISIBLE: the sketches
     //     are bit-identical to full propagation, so the h ≤ 3 census
     //     values equal hyperBallCensus's EXACTLY (same estimator, same
