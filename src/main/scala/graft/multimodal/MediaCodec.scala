@@ -37,8 +37,9 @@ case class AviVideo(width: Int, height: Int, microSecPerFrame: Int,
   * production header sniffer does — verify magic, walk segments in the
   * format's endianness, extract stream parameters. Full payload decode
   * lives alongside: PNG here (zlib inflate + bpp-stride scanline filters
-  * across all five color types at depths 8/16), baseline grayscale JPEG
-  * in [[JpegCodec]] (Huffman + IDCT), 16-bit PCM in [[pcmStats]].
+  * across all five color types at every legal bit depth incl. the
+  * bit-packed 1/2/4), baseline grayscale JPEG in [[JpegCodec]]
+  * (Huffman + IDCT), 16-bit PCM in [[pcmStats]].
   */
 object MediaCodec {
 
@@ -62,14 +63,14 @@ object MediaCodec {
       .array()
   }
 
-  // ---- REAL PNG codec (all five color types, depths 8/16) -------------
+  // ---- REAL PNG codec (all five color types, ALL legal bit depths) ----
   // zlib lives in the JVM (java.util.zip), so PNG needs no external codec
   // library: a full encode/decode pair is signature + chunk framing +
   // DEFLATE + per-scanline filter arithmetic (ISO/IEC 15948 §9: None /
   // Sub / Up / Average / Paeth, at the color type's byte stride bpp).
-  // Implemented combinations per pngComboOk — gray / truecolor / palette
-  // (PLTE-expanded) / gray+alpha / RGBA at depths 8 and 16; the sub-byte
-  // depths (1/2/4) are the remaining documented extension and REJECT.
+  // Implemented combinations per pngComboOk — the COMPLETE §11.2.2 set:
+  // gray 1/2/4/8/16 and palette 1/2/4/8 (bit-packed scanlines),
+  // truecolor / gray+alpha / RGBA at 8/16. Spec-invalid combos REJECT.
 
   /** Decode-side allocation cap: (w·bpp+1)·h scanline bytes must stay
     * under this before anything is allocated (64 MB — far above any
@@ -145,21 +146,20 @@ object MediaCodec {
     case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
   }
 
-  /** (colorType, bitDepth) combinations this codec implements: every
-    * color type at depths 8 and 16 where the spec allows them (§11.2.2 —
-    * palette is 8 max). The remaining legal combos are the sub-byte
-    * depths (1/2/4 for gray and palette), which REJECT — bit-packed
-    * scanlines are the documented remaining extension, and rejecting
-    * beats mis-decoding.
+  /** (colorType, bitDepth) combinations this codec implements — the
+    * COMPLETE legal set of ISO/IEC 15948 §11.2.2: gray at 1/2/4/8/16,
+    * palette at 1/2/4/8 (bit-packed scanlines MSB-first, §7.2),
+    * truecolor / gray+alpha / RGBA at 8/16. Anything else is
+    * spec-invalid and REJECTS.
     */
   private def pngComboOk(colorType: Int, depth: Int): Boolean =
     (colorType, depth) match {
-      case (0, 8) | (0, 16) => true
-      case (2, 8) | (2, 16) => true
-      case (3, 8)           => true
-      case (4, 8) | (4, 16) => true
-      case (6, 8) | (6, 16) => true
-      case _                => false
+      case (0, 1) | (0, 2) | (0, 4) | (0, 8) | (0, 16) => true
+      case (2, 8) | (2, 16)                            => true
+      case (3, 1) | (3, 2) | (3, 4) | (3, 8)           => true
+      case (4, 8) | (4, 16)                            => true
+      case (6, 8) | (6, 16)                            => true
+      case _                                           => false
     }
 
   /** Encode an 8-bit grayscale image as a complete, spec-valid PNG.
@@ -192,32 +192,53 @@ object MediaCodec {
     require(samples.length == w * h * ch,
       s"expected ${w * h * ch} samples, got ${samples.length}")
     require(colorType != 3 || (palette.nonEmpty && palette.length <= 256))
-    val bps = bitDepth / 8
-    val bpp = ch * bps
-    // Channel-interleaved samples → the raw byte image (16-bit big-endian
-    // per §7.1), then filter — sequentially or per Adam7 pass.
-    def pixelBytes(px: Int): Array[Byte] = {
-      val out = new Array[Byte](bpp)
-      for (c <- 0 until ch) {
-        val v = samples(px * ch + c)
-        if (bps == 1) out(c) = (v & 0xff).toByte
-        else { out(2 * c) = ((v >> 8) & 0xff).toByte; out(2 * c + 1) = (v & 0xff).toByte }
+    val subByte = bitDepth < 8
+    val bps = if (subByte) 0 else bitDepth / 8
+    // Filter stride per §9: ceil(bitsPerPixel / 8) — 1 byte for every
+    // sub-byte depth (filters always operate on packed BYTES).
+    val bpp = if (subByte) 1 else ch * bps
+    def rowBytesOf(pw: Int): Int =
+      if (subByte) (pw * bitDepth + 7) / 8 else pw * bpp
+    // Pack one sub-image row of `pw` pixels (source pixel index from
+    // `pick`) into `dst` at `dstOff`: 16-bit samples big-endian (§7.1),
+    // sub-byte samples MSB-first within each byte (§7.2), trailing pad
+    // bits zero.
+    def packRow(dst: Array[Byte], dstOff: Int, pw: Int, pick: Int => Int): Unit = {
+      var xx = 0
+      while (xx < pw) {
+        val px = pick(xx)
+        if (subByte) {
+          val v = samples(px) & ((1 << bitDepth) - 1)
+          val bitPos = xx * bitDepth
+          val bo = dstOff + (bitPos >> 3)
+          dst(bo) = ((dst(bo) & 0xff) | (v << (8 - bitDepth - (bitPos & 7)))).toByte
+        } else {
+          var c = 0
+          while (c < ch) {
+            val v = samples(px * ch + c)
+            if (bps == 1) dst(dstOff + xx * bpp + c) = (v & 0xff).toByte
+            else {
+              dst(dstOff + xx * bpp + 2 * c) = ((v >> 8) & 0xff).toByte
+              dst(dstOff + xx * bpp + 2 * c + 1) = (v & 0xff).toByte
+            }
+            c += 1
+          }
+        }
+        xx += 1
       }
-      out
     }
     val raw: Array[Byte] =
       if (!interlaced) {
-        val rowBytes = w * bpp
+        val rowBytes = rowBytesOf(w)
         val img = new Array[Byte](rowBytes * h)
-        for (y <- 0 until h; x <- 0 until w)
-          System.arraycopy(pixelBytes(y * w + x), 0, img, y * rowBytes + x * bpp, bpp)
+        for (y <- 0 until h) packRow(img, y * rowBytes, w, xx => y * w + xx)
         val r = new Array[Byte]((rowBytes + 1) * h)
         filterInto(r, 0, rowBytes, h, img, bpp, filterFor)
         r
       } else {
         val sizes = (0 until 7).map { i =>
           val (pw, ph) = adam7Dims(w, h, i)
-          if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+          if (pw > 0 && ph > 0) (rowBytesOf(pw) + 1) * ph else 0
         }
         val r = new Array[Byte](sizes.sum)
         var off = 0
@@ -225,11 +246,11 @@ object MediaCodec {
           val (pw, ph) = adam7Dims(w, h, i)
           if (pw > 0 && ph > 0) {
             val (x0, y0, dx, dy) = Adam7(i)
-            val rowBytes = pw * bpp
+            val rowBytes = rowBytesOf(pw)
             val sub = new Array[Byte](rowBytes * ph)
-            for (yy <- 0 until ph; xx <- 0 until pw)
-              System.arraycopy(pixelBytes((y0 + yy * dy) * w + (x0 + xx * dx)), 0,
-                sub, yy * rowBytes + xx * bpp, bpp)
+            for (yy <- 0 until ph)
+              packRow(sub, yy * rowBytes, pw,
+                xx => (y0 + yy * dy) * w + (x0 + xx * dx))
             off = filterInto(r, off, rowBytes, ph, sub, bpp, filterFor)
           }
         }
@@ -258,11 +279,13 @@ object MediaCodec {
   case class PngPixels(width: Int, height: Int, pixels: Array[Byte])
 
   /** Decoded PNG of any implemented (colorType, bitDepth) — see
-    * [[pngComboOk]]: channel-interleaved samples row-major, each
-    * 0..2^bitDepth−1. Palette images (type 3) arrive EXPANDED through
-    * their PLTE to RGB (`channels` = 3, `bitDepth` = 8) — downstream
-    * consumers see pixels, not indices; `colorType` still records 3 so
-    * a gated query can prove WHICH path decoded the row.
+    * [[pngComboOk]]. `bitDepth` records the IHDR's declared depth;
+    * samples are channel-interleaved row-major. Palette images (type 3)
+    * arrive EXPANDED through their PLTE to 8-bit RGB (`channels` = 3
+    * regardless of the packed index depth) — downstream consumers see
+    * pixels, not indices; `colorType`/`bitDepth` still record the
+    * container's 3 / index depth so a gated query can prove WHICH path
+    * decoded the row.
     */
   case class PngImage(width: Int, height: Int, colorType: Int, bitDepth: Int,
       channels: Int, samples: Array[Int])
@@ -292,11 +315,17 @@ object MediaCodec {
     val n = img.width * img.height
     val out = new Array[Byte](n)
     val shift = if (img.bitDepth == 16) 8 else 0
+    // Sub-byte gray scales by bit replication to full 8-bit range
+    // (§12.5): v · 255/(2^d−1) — exactly 255/85/17 for d = 1/2/4. Only
+    // gray can be sub-byte here (palette arrives PLTE-expanded at 8).
+    val scale = img.bitDepth match {
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+    }
     var i = 0
     while (i < n) {
       val base = i * img.channels
       val l = img.channels match {
-        case 1 | 2 => img.samples(base) >> shift
+        case 1 | 2 => (img.samples(base) >> shift) * scale
         case _ =>
           val r = img.samples(base) >> shift
           val g = img.samples(base + 1) >> shift
@@ -355,8 +384,9 @@ object MediaCodec {
             b(p + 18) != 0 || b(p + 19) != 0 ||
             (b(p + 20) != 0 && b(p + 20) != 1)) return None
           interlace = b(p + 20)
-          val bpp = pngChannels(colorType) * (depth / 8)
-          if ((w.toLong * bpp + 1L) * h.toLong > MaxPngPixels) return None
+          val rb = if (depth < 8) (w.toLong * depth + 7) / 8
+                   else w.toLong * pngChannels(colorType) * (depth / 8)
+          if ((rb + 1L) * h.toLong > MaxPngPixels) return None
         case "PLTE" =>
           // §5.6: after IHDR, before IDAT, at most one; §11.2.3: length a
           // multiple of 3 with 1..256 entries, and FORBIDDEN for the
@@ -364,6 +394,9 @@ object MediaCodec {
           if (w == -1 || sawIdat || plte != null) return None
           if (colorType == 0 || colorType == 4) return None
           if (len == 0 || len % 3 != 0 || len / 3 > 256) return None
+          // §11.2.3: a palette image's entry count must fit its bit depth
+          // (≤ 2^d for the sub-byte depths).
+          if (colorType == 3 && depth < 8 && len / 3 > (1 << depth)) return None
           plte = Array.tabulate(len / 3)(i =>
             ((b(p + 8 + 3 * i) & 0xff) << 16) |
               ((b(p + 8 + 3 * i + 1) & 0xff) << 8) |
@@ -386,17 +419,22 @@ object MediaCodec {
     if (!ended || w < 0 || p != b.length) return None
     if (colorType == 3 && plte == null) return None
     val ch = pngChannels(colorType)
-    val bps = depth / 8
-    val bpp = ch * bps
+    val subByte = depth < 8
+    val bps = if (subByte) 0 else depth / 8
+    // Filter stride per §9: ceil(bitsPerPixel / 8) — 1 byte for every
+    // sub-byte depth (filters always operate on packed BYTES).
+    val bpp = if (subByte) 1 else ch * bps
+    def rowBytesOf(pw: Int): Int =
+      if (subByte) (pw * depth + 7) / 8 else pw * bpp
     // Interlace 1 (Adam7) stores each pass as an independent sub-image
     // with its own filter bytes; the zlib stream length is the exact sum
-    // of per-pass (pw·bpp+1)·ph (≤ (w·bpp+1)·h + 6·h extra filter bytes,
-    // still inside the MaxPngPixels bound checked above with slack).
+    // of per-pass (rowBytes+1)·ph (≤ (rowBytes(w)+1)·h + 6·h extra filter
+    // bytes, still inside the MaxPngPixels bound checked above with slack).
     val passSizes: Seq[Int] =
-      if (interlace == 0) Seq((w * bpp + 1) * h)
+      if (interlace == 0) Seq((rowBytesOf(w) + 1) * h)
       else (0 until 7).map { i =>
         val (pw, ph) = adam7Dims(w, h, i)
-        if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+        if (pw > 0 && ph > 0) (rowBytesOf(pw) + 1) * ph else 0
       }
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -457,19 +495,30 @@ object MediaCodec {
     }
     val outCh = if (colorType == 3) 3 else ch
     val samples = new Array[Int](w * h * outCh)
-    // Emit one pixel from reconstructed sub-image bytes at `so` into the
-    // samples array at pixel index `px`: 16-bit samples are big-endian
-    // (§7.1); palette indices expand through the PLTE, and an index past
-    // the palette is a structural violation (§11.2.3), not a clamp.
-    def emit(sub: Array[Byte], so: Int, px: Int): Boolean = {
+    // Emit the pixel at column `x` of the reconstructed sub-image row
+    // starting at byte offset `rowOff` into the samples array at pixel
+    // index `px`: 16-bit samples are big-endian (§7.1), sub-byte samples
+    // unpack MSB-first (§7.2); palette indices expand through the PLTE,
+    // and an index past the palette is a structural violation (§11.2.3),
+    // not a clamp.
+    def emit(sub: Array[Byte], rowOff: Int, x: Int, px: Int): Boolean = {
+      def rawSample: Int =
+        if (subByte) {
+          val bitPos = x * depth
+          ((sub(rowOff + (bitPos >> 3)) & 0xff) >> (8 - depth - (bitPos & 7))) &
+            ((1 << depth) - 1)
+        } else sub(rowOff + x * bpp) & 0xff
       if (colorType == 3) {
-        val idx = sub(so) & 0xff
+        val idx = rawSample
         if (idx >= plte.length) return false
         val e = plte(idx)
         samples(px * 3) = (e >> 16) & 0xff
         samples(px * 3 + 1) = (e >> 8) & 0xff
         samples(px * 3 + 2) = e & 0xff
+      } else if (subByte) {
+        samples(px) = rawSample
       } else {
+        val so = rowOff + x * bpp
         var c = 0
         while (c < ch) {
           samples(px * ch + c) =
@@ -480,14 +529,19 @@ object MediaCodec {
       }
       true
     }
-    val outDepth = if (colorType == 3) 8 else depth
+    // bitDepth records the CONTAINER's declared depth (a gated query
+    // proves the parse with it); palette samples are nonetheless emitted
+    // PLTE-expanded to 8-bit RGB, which pngToGray8's 3-channel branch
+    // consumes without depth scaling.
+    val outDepth = depth
     if (interlace == 0) {
-      reconstructSub(0, w * bpp, h) match {
+      val rowBytes = rowBytesOf(w)
+      reconstructSub(0, rowBytes, h) match {
         case None => None
         case Some(sub) =>
           var i = 0
           while (i < w * h) {
-            if (!emit(sub, (i / w) * w * bpp + (i % w) * bpp, i)) return None
+            if (!emit(sub, (i / w) * rowBytes, i % w, i)) return None
             i += 1
           }
           Some(PngImage(w, h, colorType, outDepth, outCh, samples))
@@ -498,14 +552,15 @@ object MediaCodec {
         val (pw, ph) = adam7Dims(w, h, i)
         if (pw > 0 && ph > 0) {
           val (x0, y0, dx, dy) = Adam7(i)
-          reconstructSub(off, pw * bpp, ph) match {
+          val rowBytes = rowBytesOf(pw)
+          reconstructSub(off, rowBytes, ph) match {
             case None => return None
             case Some(sub) =>
               for (yy <- 0 until ph; xx <- 0 until pw)
-                if (!emit(sub, yy * pw * bpp + xx * bpp,
+                if (!emit(sub, yy * rowBytes, xx,
                   (y0 + yy * dy) * w + (x0 + xx * dx))) return None
           }
-          off += (pw * bpp + 1) * ph
+          off += (rowBytes + 1) * ph
         }
       }
       Some(PngImage(w, h, colorType, outDepth, outCh, samples))
@@ -607,14 +662,15 @@ object MediaCodec {
   /** Canonical WAV prefix (44 bytes; 56 with `padChunk` — an extra
     * LIST/INFO chunk between `fmt ` and `data` so parsers must genuinely
     * WALK chunks rather than assume fixed offsets). `formatTag` 1 = PCM,
-    * 3 = IEEE float (bits must be 32). The sample data of `dataBytes`
+    * 3 = IEEE float (bits 32 or 64). The sample data of `dataBytes`
     * bytes is expected to follow immediately after.
     */
   def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
       dataBytes: Int, padChunk: Boolean = false,
       formatTag: Int = 1): Array[Byte] = {
     require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0 && dataBytes >= 0)
-    require(formatTag == 1 || (formatTag == 3 && bitsPerSample == 32))
+    require(formatTag == 1 ||
+      (formatTag == 3 && (bitsPerSample == 32 || bitsPerSample == 64)))
     val blockAlign = channels * bitsPerSample / 8
     val padLen = if (padChunk) 12 else 0
     val riffSize = 4 + 24 + padLen + 8 + dataBytes
@@ -661,15 +717,14 @@ object MediaCodec {
       if (id == "fmt ") {
         if (size < 16) return None
         // Format tag 1 = integer PCM (any byte-aligned width); 3 = IEEE
-        // float, which the spec defines at 32/64 bits — 32 is the lake
-        // reality and the implemented one; float64 and every other tag
-        // (ADPCM, a-law, extensible…) REJECT, never mis-decode.
+        // float at the spec's 32/64 bits; every other tag (ADPCM, a-law,
+        // extensible…) REJECTS, never mis-decodes.
         tag = le16(b, p + 8)
         if (tag != 1 && tag != 3) return None
         ch = le16(b, p + 10); rate = le32(b, p + 12); bits = le16(b, p + 22)
         val blockAlign = le16(b, p + 20)
         if (ch <= 0 || rate <= 0 || bits <= 0 || bits % 8 != 0) return None
-        if (tag == 3 && bits != 32) return None
+        if (tag == 3 && bits != 32 && bits != 64) return None
         if (blockAlign != ch * bits / 8) return None
         if (le32(b, p + 16) != rate * blockAlign) return None
       } else if (id == "data") {
@@ -730,12 +785,14 @@ object MediaCodec {
     * floor(sum/ch). A trailing PARTIAL frame (data bytes not a multiple
     * of block align — the truncated-chunk shape real lakes contain) is
     * ignored, never mis-read. Every other (tag, width) — PCM-32,
-    * float64, ADPCM… — returns None: reject, never mis-decode.
+    * ADPCM… — returns None: reject, never mis-decode. Float covers both
+    * spec widths (32 and 64, same quantization rule).
     */
   def pcmMonoMix(b: Array[Byte], h: WavHeader): Option[Array[Int]] = {
     val intPcm = h.formatTag == 1 &&
       (h.bitsPerSample == 8 || h.bitsPerSample == 16 || h.bitsPerSample == 24)
-    val floatPcm = h.formatTag == 3 && h.bitsPerSample == 32
+    val floatPcm = h.formatTag == 3 &&
+      (h.bitsPerSample == 32 || h.bitsPerSample == 64)
     if (!intPcm && !floatPcm) return None
     val bps = h.bitsPerSample / 8
     val block = bps * h.channels
@@ -750,10 +807,14 @@ object MediaCodec {
         val off = h.headerLen + i * block + c * bps
         val v =
           if (floatPcm) {
-            val f = java.lang.Float.intBitsToFloat(le32(b, off))
+            val f: Double =
+              if (h.bitsPerSample == 32)
+                java.lang.Float.intBitsToFloat(le32(b, off)).toDouble
+              else java.lang.Double.longBitsToDouble(
+                (le32(b, off) & 0xffffffffL) | (le32(b, off + 4).toLong << 32))
             // NaN/Inf are corrupt-sample values, not structure: clamp the
             // quantization (NaN → 0) rather than reject the whole row.
-            val q = math.floor(f.toDouble * 32768.0)
+            val q = math.floor(f * 32768.0)
             if (q.isNaN) 0
             else if (q < -32768.0) -32768
             else if (q > 32767.0) 32767

@@ -1035,18 +1035,22 @@ object Multimodal {
 
   /** REAL multi-color-type PNG table (mm23): every doc_id ≡ 0 (mod 6)
     * document becomes a complete PNG cycling the implemented
-    * (colorType, bitDepth) combinations by k = id/6 (k mod 6):
+    * (colorType, bitDepth) combinations by k = id/6 (k mod 9):
     * 0 → truecolor-8, 1 → palette-8 (256-entry PLTE), 2 → RGBA-8,
-    * 3 → gray-16, 4 → truecolor-16, 5 → gray+alpha-8 — real-web PNGs
-    * are overwhelmingly truecolor/palette/RGBA, the gap mm7's gray-8
-    * fixtures left. Odd k rows are Adam7-INTERLACED, and the filter
-    * cycles all five types per row, so one green hash gates the filter
-    * stride at every bpp (3/4/2/6 bytes), the big-endian 16-bit sample
-    * path, PLTE expansion, and both interlace layouts. Channel sample
-    * formulas (oracle-replayable): 8-bit channel c is
+    * 3 → gray-16, 4 → truecolor-16, 5 → gray+alpha-8, 6 → gray-4,
+    * 7 → palette-4 (16-entry PLTE), 8 → gray-1 — real-web PNGs are
+    * overwhelmingly truecolor/palette/RGBA, with palette-4 icons and
+    * 1-bit scans in the long tail; mm7's fixtures are gray-8 only.
+    * Odd k rows are Adam7-INTERLACED, and the filter cycles all five
+    * types per row, so one green hash gates the filter stride at every
+    * bpp (3/4/2/6 bytes and the sub-byte bpp = 1), the big-endian
+    * 16-bit sample path, MSB-first bit unpacking, PLTE expansion, and
+    * both interlace layouts. Channel sample formulas
+    * (oracle-replayable): 8-bit channel c is
     * (id + 7x + 13y + 31c) mod 256 (for palette: the INDEX is the c=0
-    * form and entry i maps to ((id+i) mod 256, (id+2i+5) mod 256,
-    * (id+3i+11) mod 256)); 16-bit channel c is
+    * form — mod 2^depth for the sub-byte variants, consistent since
+    * 2^d | 256 — and entry i maps to ((id+i) mod 256, (id+2i+5) mod
+    * 256, (id+3i+11) mod 256)); 16-bit channel c is
     * (257·id + 101x + 59y + 31c) mod 65536.
     */
   def realColorPngTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
@@ -1056,7 +1060,7 @@ object Multimodal {
       .mapPartitions { ids =>
         ids.map { id =>
           val k = id / 6
-          val v = (k % 6).toInt
+          val v = (k % 9).toInt
           val w = (16 + id % 16).toInt
           val h = (16 + (id * 3) % 16).toInt
           def s8(x: Int, y: Int, c: Int): Int =
@@ -1069,14 +1073,19 @@ object Multimodal {
             case 2 => (6, 8, 4)
             case 3 => (0, 16, 1)
             case 4 => (2, 16, 3)
-            case _ => (4, 8, 2)
+            case 5 => (4, 8, 2)
+            case 6 => (0, 4, 1)
+            case 7 => (3, 4, 1)
+            case _ => (0, 1, 1)
           }
           val samples = new Array[Int](w * h * ch)
           for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
             samples((y * w + x) * ch + c) =
-              if (depth == 16) s16(x, y, c) else s8(x, y, c)
+              if (depth == 16) s16(x, y, c)
+              else if (depth < 8) s8(x, y, c) % (1 << depth) // 2^d | 256
+              else s8(x, y, c)
           val palette =
-            if (ctype == 3) Array.tabulate(256)(i =>
+            if (ctype == 3) Array.tabulate(1 << depth)(i =>
               (((id + i) % 256).toInt << 16) |
                 (((id + 2L * i + 5) % 256).toInt << 8) |
                 ((id + 3L * i + 11) % 256).toInt)
@@ -1197,16 +1206,17 @@ object Multimodal {
 
   /** REAL multi-format WAV table (mm22): every audio document (doc_id ≡ 1
     * mod 3) becomes a complete RIFF/WAVE whose sample FORMAT and channel
-    * count cycle with k = id/3 — format by k%4 ∈ {8-bit PCM, 16-bit PCM,
-    * 24-bit PCM, 32-bit IEEE FLOAT (fmt tag 3)}, channels = 1 + k%3
-    * ∈ {1, 2, 3} — covering the twelve layout combinations real audio
-    * lakes mix, including the float speech-lake shape and a true
-    * MULTI-channel (3ch) downmix (mm5/mm6 decode 16-bit mono only).
-    * Samples follow closed-form formulas of (id, frame, channel) sized
-    * to each width (8-bit stored UNSIGNED per the WAV convention; float
-    * samples are m/32768 with |m| ≤ 20000 — exactly representable in
-    * float32 and exactly recovered by the documented floor quantization,
-    * see [[MediaCodec.pcmMonoMix]]); every 4th row (k ≡ 0 mod 4) carries
+    * count cycle with k = id/3 — format by k%5 ∈ {8-bit PCM, 16-bit PCM,
+    * 24-bit PCM, 32-bit IEEE FLOAT, 64-bit IEEE FLOAT (fmt tag 3)},
+    * channels = 1 + k%3 ∈ {1, 2, 3} — covering the fifteen layout
+    * combinations real audio lakes mix, including both float
+    * speech-lake shapes and a true MULTI-channel (3ch) downmix (mm5/mm6
+    * decode 16-bit mono only). Samples follow closed-form formulas of
+    * (id, frame, channel) sized to each width (8-bit stored UNSIGNED per
+    * the WAV convention; float samples are m/32768 with |m| ≤ 20000 —
+    * exactly representable at either float width and exactly recovered
+    * by the documented floor quantization, see
+    * [[MediaCodec.pcmMonoMix]]); every 4th row (k ≡ 0 mod 4) carries
     * the extra LIST chunk so fixed-offset parsing fails.
     */
   def realMultiWavTable(s: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
@@ -1216,12 +1226,13 @@ object Multimodal {
       .mapPartitions { ids =>
         ids.map { id =>
           val k = id / 3
-          val v = (k % 4).toInt
+          val v = (k % 5).toInt
           val (tag, bits) = v match {
             case 0 => (1, 8)
             case 1 => (1, 16)
             case 2 => (1, 24)
-            case _ => (3, 32)
+            case 3 => (3, 32)
+            case _ => (3, 64)
           }
           val ch = (1 + k % 3).toInt
           val nf = (40 + id % 50).toInt
@@ -1243,7 +1254,7 @@ object Multimodal {
               data(o + 1) = ((s24 >> 8) & 0xff).toByte
               data(o + 2) = ((s24 >> 16) & 0xff).toByte
               o += 3
-            case _ =>
+            case 3 =>
               val m = ((31L * id + 41L * i + 53L * c) % 40001 - 20000).toInt
               val f = java.lang.Float.floatToIntBits(m / 32768.0f)
               data(o) = (f & 0xff).toByte
@@ -1251,6 +1262,12 @@ object Multimodal {
               data(o + 2) = ((f >> 16) & 0xff).toByte
               data(o + 3) = ((f >> 24) & 0xff).toByte
               o += 4
+            case _ =>
+              val m = ((37L * id + 43L * i + 61L * c) % 40001 - 20000).toInt
+              val f = java.lang.Double.doubleToLongBits(m / 32768.0)
+              var j = 0
+              while (j < 8) { data(o + j) = ((f >> (8 * j)) & 0xff).toByte; j += 1 }
+              o += 8
           }
           MediaRow(id, "audio",
             MediaCodec.wavHeader(16000, ch, bits, data.length,

@@ -337,8 +337,8 @@ object Media extends QueryPack {
 
     // MM22: multi-format WAV decode + multi-channel downmix — real audio
     // lakes are not 16-bit mono (the only layout mm5/mm6 decode): the
-    // fixture cycles 8/16/24-bit integer PCM AND 32-bit IEEE-float (fmt
-    // tag 3, the speech-lake shape) × 1/2/3 channels, and the gated
+    // fixture cycles 8/16/24-bit integer PCM AND 32/64-bit IEEE-float
+    // (fmt tag 3, the speech-lake shapes) × 1/2/3 channels, and the gated
     // stats run over the channel-mean MONO mix (exact floor-division
     // semantics; floats quantize by the documented floor(f·32768) rule —
     // MediaCodec.pcmMonoMix — which recovers the fixture's m/32768
@@ -1026,8 +1026,8 @@ object Media extends QueryPack {
         |  SELECT doc_id, doc_id // 3 AS k FROM documents WHERE doc_id % 3 = 1
         |), fmtc AS (
         |  SELECT doc_id,
-        |    CAST(CASE k % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
-        |      ELSE 32 END AS INT) AS bits,
+        |    CAST(CASE k % 5 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+        |      WHEN 3 THEN 32 ELSE 64 END AS INT) AS bits,
         |    CAST(1 + k % 3 AS INT) AS ch,
         |    CAST(40 + doc_id % 50 AS INT) AS nf
         |  FROM audio
@@ -1036,7 +1036,8 @@ object Media extends QueryPack {
         |    CASE WHEN f.bits = 8 THEN (f.doc_id + 5 * u.i + 3 * cc.c) % 256 - 128
         |         WHEN f.bits = 16 THEN (7 * f.doc_id + 11 * u.i + 17 * cc.c) % 4001 - 2000
         |         WHEN f.bits = 24 THEN (13 * f.doc_id + 23 * u.i + 29 * cc.c) % 100001 - 50000
-        |         ELSE (31 * f.doc_id + 41 * u.i + 53 * cc.c) % 40001 - 20000 END AS v
+        |         WHEN f.bits = 32 THEN (31 * f.doc_id + 41 * u.i + 53 * cc.c) % 40001 - 20000
+        |         ELSE (37 * f.doc_id + 43 * u.i + 61 * cc.c) % 40001 - 20000 END AS v
         |  FROM fmtc f,
         |    LATERAL (SELECT UNNEST(range(f.nf)) AS i) u,
         |    LATERAL (SELECT UNNEST(range(f.ch)) AS c) cc
@@ -1072,7 +1073,7 @@ object Media extends QueryPack {
         |    CAST(16 + (doc_id * 3) % 16 AS INT) AS h
         |  FROM documents WHERE doc_id % 6 = 0
         |), meta AS (
-        |  SELECT doc_id, w, h, CAST(k % 6 AS INT) AS v FROM img
+        |  SELECT doc_id, w, h, CAST(k % 9 AS INT) AS v FROM img
         |), px AS (
         |  SELECT m.doc_id, m.v, m.w, m.h, xx.x, yy.y,
         |    CASE
@@ -1089,6 +1090,12 @@ object Media extends QueryPack {
         |        (299 * (((257*m.doc_id + 101*xx.x + 59*yy.y) % 65536) // 256)
         |       + 587 * (((257*m.doc_id + 101*xx.x + 59*yy.y + 31) % 65536) // 256)
         |       + 114 * (((257*m.doc_id + 101*xx.x + 59*yy.y + 62) % 65536) // 256)) // 1000
+        |      WHEN m.v = 6 THEN ((m.doc_id + 7*xx.x + 13*yy.y) % 16) * 17
+        |      WHEN m.v = 7 THEN
+        |        (299 * ((m.doc_id + (m.doc_id + 7*xx.x + 13*yy.y) % 16) % 256)
+        |       + 587 * ((m.doc_id + 2*((m.doc_id + 7*xx.x + 13*yy.y) % 16) + 5) % 256)
+        |       + 114 * ((m.doc_id + 3*((m.doc_id + 7*xx.x + 13*yy.y) % 16) + 11) % 256)) // 1000
+        |      WHEN m.v = 8 THEN ((m.doc_id + 7*xx.x + 13*yy.y) % 2) * 255
         |      ELSE (m.doc_id + 7*xx.x + 13*yy.y) % 256
         |    END AS L
         |  FROM meta m,
@@ -1107,8 +1114,10 @@ object Media extends QueryPack {
         |)
         |SELECT m.doc_id,
         |  CAST(CASE m.v WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 6
-        |    WHEN 3 THEN 0 WHEN 4 THEN 2 ELSE 4 END AS INT) AS color_type,
-        |  CAST(CASE WHEN m.v IN (3, 4) THEN 16 ELSE 8 END AS INT) AS bit_depth,
+        |    WHEN 3 THEN 0 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 0
+        |    WHEN 7 THEN 3 ELSE 0 END AS INT) AS color_type,
+        |  CAST(CASE WHEN m.v IN (3, 4) THEN 16 WHEN m.v IN (6, 7) THEN 4
+        |    WHEN m.v = 8 THEN 1 ELSE 8 END AS INT) AS bit_depth,
         |  m.w, m.h,
         |  CAST(f.np AS BIGINT) AS n_pixels,
         |  CAST(f.sl AS BIGINT) AS sum_lum,

@@ -326,10 +326,20 @@ class MultimodalSpec extends AnyFunSuite {
         MediaCodec.pcmMonoMix(cut, hh) // must not throw
       }
     }
-    // Float64 (tag 3, bits 64) and unknown tags reject at parse.
-    val w64 = MediaCodec.wavHeader(8000, 1, 32, 8, formatTag = 3) ++ s.take(8)
-    w64(34) = 64 // widen bits in place: fmt bits field at offset 34
-    assert(MediaCodec.parseWav(w64).isEmpty)
+    // Float64 (tag 3, bits 64): same quantization rule over 8-byte LE
+    // doubles — m/32768 recovers m; floor pins against truncation.
+    def f64Le(d: Double): Array[Byte] = {
+      val l = java.lang.Double.doubleToLongBits(d)
+      Array.tabulate[Byte](8)(j => ((l >> (8 * j)) & 0xff).toByte)
+    }
+    val s64 = Array(7.0 / 32768, -11.0 / 32768, -0.4).flatMap(f64Le)
+    val wav64 = MediaCodec.wavHeader(8000, 1, 64, s64.length, formatTag = 3) ++ s64
+    assert(MediaCodec.pcmMonoMix(wav64, MediaCodec.parseWav(wav64).get).get.toSeq
+      === Seq(7, -11, -13108))
+    // Unknown tags and float at non-spec widths reject at parse.
+    val f16 = MediaCodec.wavHeader(8000, 1, 32, 8, formatTag = 3) ++ s.take(8)
+    f16(34) = 16 // shrink bits in place: fmt bits field at offset 34
+    assert(MediaCodec.parseWav(f16).isEmpty)
     val adpcm = MediaCodec.wavHeader(8000, 1, 16, 4) ++ s.take(4)
     adpcm(20) = 2 // fmt tag field at offset 20
     assert(MediaCodec.parseWav(adpcm).isEmpty)
@@ -2148,22 +2158,24 @@ class MultimodalSpec extends AnyFunSuite {
     // filters cycling all five types — the decode must recover every
     // channel sample exactly (palette rows after PLTE expansion).
     val combos = Seq((0, 8, 1), (0, 16, 1), (2, 8, 3), (2, 16, 3),
-      (3, 8, 1), (4, 8, 2), (4, 16, 2), (6, 8, 4), (6, 16, 4))
+      (3, 8, 1), (4, 8, 2), (4, 16, 2), (6, 8, 4), (6, 16, 4),
+      (0, 1, 1), (0, 2, 1), (0, 4, 1), (3, 1, 1), (3, 2, 1), (3, 4, 1))
     val palette = Array.tabulate(256)(i => (i << 16) | (((i * 3 + 7) % 256) << 8) | ((i * 5 + 11) % 256))
     for ((ct, depth, ch) <- combos; interlaced <- Seq(false, true)) {
       val (w, h) = (21, 13) // odd dims exercise ragged Adam7 passes
       val mx = (1 << depth) - 1
       val samples = Array.tabulate(w * h * ch)(i => (i * 2654435761L % (mx + 1)).toInt)
+      val pal = if (depth < 8) palette.take(1 << depth) else palette
       val bytes = MediaCodec.pngEncodeImage(w, h, ct, depth, samples,
-        if (ct == 3) palette else Array.emptyIntArray,
+        if (ct == 3) pal else Array.emptyIntArray,
         filterFor = r => r % 5, interlaced = interlaced)
       val img = MediaCodec.pngDecodeImage(bytes)
         .getOrElse(fail(s"decode failed for ct=$ct depth=$depth interlaced=$interlaced"))
       assert(img.width === w && img.height === h)
-      assert(img.colorType === ct && img.bitDepth === (if (ct == 3) 8 else depth))
+      assert(img.colorType === ct && img.bitDepth === depth)
       val want: Array[Int] =
         if (ct == 3) samples.flatMap { idx =>
-          val e = palette(idx); Array((e >> 16) & 0xff, (e >> 8) & 0xff, e & 0xff)
+          val e = pal(idx); Array((e >> 16) & 0xff, (e >> 8) & 0xff, e & 0xff)
         } else samples
       assert(img.samples.toSeq === want.toSeq,
         s"samples diverged for ct=$ct depth=$depth interlaced=$interlaced")
@@ -2177,7 +2189,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("PNG color decode rejects palette violations and sub-byte depths") {
+  test("PNG color decode rejects palette violations and spec-invalid depth combos") {
     val px = Array.tabulate(16 * 16)(i => i % 256)
     val pal = Array.tabulate(256)(i => i * 0x010101)
     val good = MediaCodec.pngEncodeImage(16, 16, 3, 8, px, pal, r => r % 5)
@@ -2197,9 +2209,17 @@ class MultimodalSpec extends AnyFunSuite {
       b(31) = (v >> 8).toByte; b(32) = v.toByte
       b
     }
-    assert(MediaCodec.pngDecodeImage(withIhdr(4, 3)).isEmpty)
-    assert(MediaCodec.pngDecodeImage(withIhdr(1, 0)).isEmpty)
     assert(MediaCodec.pngDecodeImage(withIhdr(16, 3)).isEmpty) // palette-16 is spec-invalid
+    assert(MediaCodec.pngDecodeImage(withIhdr(4, 2)).isEmpty)  // truecolor-4 is spec-invalid
+    assert(MediaCodec.pngDecodeImage(withIhdr(4, 4)).isEmpty)  // gray+alpha-4 is spec-invalid
+    assert(MediaCodec.pngDecodeImage(withIhdr(4, 6)).isEmpty)  // RGBA-4 is spec-invalid
+    // Sub-byte palette with MORE PLTE entries than 2^depth fit: reject
+    // (§11.2.3) — a 4-bit image shipping a 256-entry palette is corrupt.
+    val idx4 = Array.tabulate(16 * 16)(i => i % 16)
+    assert(MediaCodec.pngDecodeImage(
+      MediaCodec.pngEncodeImage(16, 16, 3, 4, idx4, pal.take(16), r => r % 5)).isDefined)
+    assert(MediaCodec.pngDecodeImage(
+      MediaCodec.pngEncodeImage(16, 16, 3, 4, idx4, pal.take(17), r => r % 5)).isEmpty)
     // PLTE on a grayscale image is forbidden (§11.2.3).
     val gray = MediaCodec.pngEncode(16, 16, px.map(_.toByte), r => r % 5)
     val plteChunk = {
@@ -2218,11 +2238,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.nonEmpty)
     val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 0).toSet
     assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
-    // All six variants must actually appear in the fixture population.
+    // All nine variants must actually appear in the fixture population.
     assert(stats.map(s => (s.color_type, s.bit_depth)).toSet ===
-      Set((2, 8), (3, 8), (6, 8), (0, 16), (2, 16), (4, 8)))
+      Set((2, 8), (3, 8), (6, 8), (0, 16), (2, 16), (4, 8),
+        (0, 4), (3, 4), (0, 1)))
     stats.foreach { st =>
-      val id = st.doc_id; val v = (id / 6 % 6).toInt
+      val id = st.doc_id; val v = (id / 6 % 9).toInt
       val w = (16 + id % 16).toInt; val h = (16 + (id * 3) % 16).toInt
       def lum(x: Int, y: Int): Int = v match {
         case 0 | 2 =>
@@ -2237,6 +2258,13 @@ class MultimodalSpec extends AnyFunSuite {
         case 4 =>
           def c16(c: Int) = (((257L * id + 101L * x + 59L * y + 31L * c) % 65536) >> 8).toInt
           (299 * c16(0) + 587 * c16(1) + 114 * c16(2)) / 1000
+        case 6 => ((id + 7L * x + 13L * y) % 16).toInt * 17
+        case 7 =>
+          val i = ((id + 7L * x + 13L * y) % 16).toInt
+          val (r, g, b) = (((id + i) % 256).toInt,
+            ((id + 2L * i + 5) % 256).toInt, ((id + 3L * i + 11) % 256).toInt)
+          (299 * r + 587 * g + 114 * b) / 1000
+        case 8 => ((id + 7L * x + 13L * y) % 2).toInt * 255
         case _ => ((id + 7L * x + 13L * y) % 256).toInt
       }
       val ls = for (y <- 0 until h; x <- 0 until w) yield lum(x, y)
