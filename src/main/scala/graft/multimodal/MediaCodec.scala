@@ -186,8 +186,10 @@ object MediaCodec {
     */
   def pngEncodeImage(w: Int, h: Int, colorType: Int, bitDepth: Int,
       samples: Array[Int], palette: Array[Int],
-      filterFor: Int => Int = _ => 0, interlaced: Boolean = false): Array[Byte] = {
+      filterFor: Int => Int = _ => 0, interlaced: Boolean = false,
+      trns: Array[Int] = Array.emptyIntArray): Array[Byte] = {
     require(w > 0 && h > 0 && pngComboOk(colorType, bitDepth))
+    require(trns.isEmpty || (colorType == 3 && trns.length <= palette.length))
     val ch = pngChannels(colorType)
     require(samples.length == w * h * ch,
       s"expected ${w * h * ch} samples, got ${samples.length}")
@@ -271,7 +273,11 @@ object MediaCodec {
         chunk("PLTE", palette.flatMap(p => Array(((p >> 16) & 0xff).toByte,
           ((p >> 8) & 0xff).toByte, (p & 0xff).toByte)))
       else Array.emptyByteArray
-    PngSig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", out.toByteArray) ++
+    val trnsChunk =
+      if (trns.nonEmpty) chunk("tRNS", trns.map(a => (a & 0xff).toByte))
+      else Array.emptyByteArray
+    PngSig ++ chunk("IHDR", ihdr) ++ plte ++ trnsChunk ++
+      chunk("IDAT", out.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
   }
 
@@ -356,6 +362,7 @@ object MediaCodec {
     var depth = 0; var colorType = 0
     var interlace = 0
     var plte: Array[Int] = null
+    var trns: Array[Int] = null
     var sawIdat = false
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
@@ -401,6 +408,21 @@ object MediaCodec {
             ((b(p + 8 + 3 * i) & 0xff) << 16) |
               ((b(p + 8 + 3 * i + 1) & 0xff) << 8) |
               (b(p + 8 + 3 * i + 2) & 0xff))
+        case "tRNS" =>
+          // §11.3.2: palette alpha — one byte per palette entry, entries
+          // beyond the chunk default to 255 (opaque); must follow PLTE
+          // and precede IDAT (§5.6), never exceed the palette, and is
+          // PROHIBITED for the alpha-bearing color types 4/6. The
+          // gray/truecolor transparent-color-key forms (2/6 bytes) are
+          // recorded nowhere — they select a KEY, not per-pixel alpha,
+          // and this decoder's consumers read channel samples; skipping
+          // an ancillary chunk is spec-legal there.
+          if (w == -1 || sawIdat || trns != null) return None
+          if (colorType == 4 || colorType == 6) return None
+          if (colorType == 3) {
+            if (plte == null || len > plte.length) return None
+            trns = Array.tabulate(len)(i => b(p + 8 + i) & 0xff)
+          }
         case "IDAT" =>
           if (w == -1) return None // IDAT before IHDR: malformed ordering
           // For palette images the PLTE must already have appeared (§5.6).
@@ -493,7 +515,10 @@ object MediaCodec {
       }
       Some(sub)
     }
-    val outCh = if (colorType == 3) 3 else ch
+    // Palette expands to RGB, or RGBA when a tRNS chunk supplies
+    // per-entry alpha (entries past the chunk are opaque 255).
+    val hasTrns = colorType == 3 && trns != null
+    val outCh = if (colorType == 3) { if (hasTrns) 4 else 3 } else ch
     val samples = new Array[Int](w * h * outCh)
     // Emit the pixel at column `x` of the reconstructed sub-image row
     // starting at byte offset `rowOff` into the samples array at pixel
@@ -512,9 +537,11 @@ object MediaCodec {
         val idx = rawSample
         if (idx >= plte.length) return false
         val e = plte(idx)
-        samples(px * 3) = (e >> 16) & 0xff
-        samples(px * 3 + 1) = (e >> 8) & 0xff
-        samples(px * 3 + 2) = e & 0xff
+        samples(px * outCh) = (e >> 16) & 0xff
+        samples(px * outCh + 1) = (e >> 8) & 0xff
+        samples(px * outCh + 2) = e & 0xff
+        if (hasTrns)
+          samples(px * outCh + 3) = if (idx < trns.length) trns(idx) else 255
       } else if (subByte) {
         samples(px) = rawSample
       } else {

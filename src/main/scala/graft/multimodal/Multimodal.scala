@@ -1031,16 +1031,19 @@ object Multimodal {
 
   case class ColorPngStats(doc_id: Long, color_type: Int, bit_depth: Int,
     w: Int, h: Int, n_pixels: Long, sum_lum: Long, sum_sq: Long,
-    min_lum: Int, max_lum: Int, rs_w: Int, rs_h: Int, rs_sum_lum: Long)
+    min_lum: Int, max_lum: Int, rs_w: Int, rs_h: Int, rs_sum_lum: Long,
+    sum_alpha: Long)
 
   /** REAL multi-color-type PNG table (mm23): every doc_id ≡ 0 (mod 6)
     * document becomes a complete PNG cycling the implemented
-    * (colorType, bitDepth) combinations by k = id/6 (k mod 9):
+    * (colorType, bitDepth) combinations by k = id/6 (k mod 10):
     * 0 → truecolor-8, 1 → palette-8 (256-entry PLTE), 2 → RGBA-8,
     * 3 → gray-16, 4 → truecolor-16, 5 → gray+alpha-8, 6 → gray-4,
-    * 7 → palette-4 (16-entry PLTE), 8 → gray-1 — real-web PNGs are
-    * overwhelmingly truecolor/palette/RGBA, with palette-4 icons and
-    * 1-bit scans in the long tail; mm7's fixtures are gray-8 only.
+    * 7 → palette-4 (16-entry PLTE), 8 → gray-1, 9 → palette-8 WITH a
+    * tRNS per-entry alpha table (entry i → (id + 5i + 3) mod 256) —
+    * real-web PNGs are overwhelmingly truecolor/palette/RGBA (palette
+    * transparency rides tRNS), with palette-4 icons and 1-bit scans in
+    * the long tail; mm7's fixtures are gray-8 only.
     * Odd k rows are Adam7-INTERLACED, and the filter cycles all five
     * types per row, so one green hash gates the filter stride at every
     * bpp (3/4/2/6 bytes and the sub-byte bpp = 1), the big-endian
@@ -1060,7 +1063,7 @@ object Multimodal {
       .mapPartitions { ids =>
         ids.map { id =>
           val k = id / 6
-          val v = (k % 9).toInt
+          val v = (k % 10).toInt
           val w = (16 + id % 16).toInt
           val h = (16 + (id * 3) % 16).toInt
           def s8(x: Int, y: Int, c: Int): Int =
@@ -1076,7 +1079,8 @@ object Multimodal {
             case 5 => (4, 8, 2)
             case 6 => (0, 4, 1)
             case 7 => (3, 4, 1)
-            case _ => (0, 1, 1)
+            case 8 => (0, 1, 1)
+            case _ => (3, 8, 1) // + tRNS
           }
           val samples = new Array[Int](w * h * ch)
           for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
@@ -1090,9 +1094,13 @@ object Multimodal {
                 (((id + 2L * i + 5) % 256).toInt << 8) |
                 ((id + 3L * i + 11) % 256).toInt)
             else Array.emptyIntArray
+          val trns =
+            if (v == 9) Array.tabulate(256)(i => ((id + 5L * i + 3) % 256).toInt)
+            else Array.emptyIntArray
           MediaRow(id, "image",
             MediaCodec.pngEncodeImage(w, h, ctype, depth, samples, palette,
-              filterFor = r => ((id + r) % 5).toInt, interlaced = k % 2 == 1))
+              filterFor = r => ((id + r) % 5).toInt, interlaced = k % 2 == 1,
+              trns = trns))
         }
       }
   }
@@ -1119,9 +1127,25 @@ object Multimodal {
             var rsSum = 0L
             var i = 0
             while (i < rs.pixels.length) { rsSum += rs.pixels(i) & 0xff; i += 1 }
+            // Alpha mass: the coverage channel the luma ignores — RGBA's
+            // 4th channel, gray+alpha's 2nd, palette-with-tRNS's expanded
+            // 4th; opaque 255 where the format has no alpha. A decoder
+            // that drops or misreads alpha goes red on this column alone.
+            val shift = if (img.bitDepth == 16) 8 else 0
+            var sumA = 0L
+            var j = 0
+            val n = img.width * img.height
+            while (j < n) {
+              sumA += (img.channels match {
+                case 2 => img.samples(j * 2 + 1) >> shift
+                case 4 => img.samples(j * 4 + 3) >> shift
+                case _ => 255
+              })
+              j += 1
+            }
             ColorPngStats(m.doc_id, img.colorType, img.bitDepth,
               img.width, img.height, st.n_pixels, st.sum_lum, st.sum_sq,
-              st.min_lum, st.max_lum, rs.width, rs.height, rsSum)
+              st.min_lum, st.max_lum, rs.width, rs.height, rsSum, sumA)
           }
         }
       }

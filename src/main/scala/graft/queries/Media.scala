@@ -357,10 +357,12 @@ object Media extends QueryPack {
     // use; mm7/mm21 cover gray-8 only), half the rows Adam7-interlaced,
     // filters cycling all five types. Gated: decoded color_type/
     // bit_depth (proves the parse dispatched right), full-resolution
-    // Rec. 601 integer-luma stats (single-sample sensitivity), and the
+    // Rec. 601 integer-luma stats (single-sample sensitivity), the
     // 2× box-resize sum over the color-decoded luma (the resize-over-
-    // color path). The oracle replays every pixel from the channel
-    // formulas — the engine must arrive at the same numbers THROUGH
+    // color path), and the ALPHA MASS (RGBA's 4th channel, gray+alpha's
+    // 2nd, palette tRNS expansion — opaque 255 elsewhere), which the
+    // luma ignores by design. The oracle replays every pixel from the
+    // channel formulas — the engine must arrive at the same numbers THROUGH
     // inflate, the bpp-stride filters, PLTE expansion, big-endian
     // 16-bit samples, and de-interlacing.
     "mm23_color_png_stats" -> { (s, d) =>
@@ -1073,7 +1075,7 @@ object Media extends QueryPack {
         |    CAST(16 + (doc_id * 3) % 16 AS INT) AS h
         |  FROM documents WHERE doc_id % 6 = 0
         |), meta AS (
-        |  SELECT doc_id, w, h, CAST(k % 9 AS INT) AS v FROM img
+        |  SELECT doc_id, w, h, CAST(k % 10 AS INT) AS v FROM img
         |), px AS (
         |  SELECT m.doc_id, m.v, m.w, m.h, xx.x, yy.y,
         |    CASE
@@ -1096,8 +1098,18 @@ object Media extends QueryPack {
         |       + 587 * ((m.doc_id + 2*((m.doc_id + 7*xx.x + 13*yy.y) % 16) + 5) % 256)
         |       + 114 * ((m.doc_id + 3*((m.doc_id + 7*xx.x + 13*yy.y) % 16) + 11) % 256)) // 1000
         |      WHEN m.v = 8 THEN ((m.doc_id + 7*xx.x + 13*yy.y) % 2) * 255
+        |      WHEN m.v = 9 THEN
+        |        (299 * ((m.doc_id + (m.doc_id + 7*xx.x + 13*yy.y) % 256) % 256)
+        |       + 587 * ((m.doc_id + 2*((m.doc_id + 7*xx.x + 13*yy.y) % 256) + 5) % 256)
+        |       + 114 * ((m.doc_id + 3*((m.doc_id + 7*xx.x + 13*yy.y) % 256) + 11) % 256)) // 1000
         |      ELSE (m.doc_id + 7*xx.x + 13*yy.y) % 256
-        |    END AS L
+        |    END AS L,
+        |    CASE
+        |      WHEN m.v = 2 THEN (m.doc_id + 7*xx.x + 13*yy.y + 93) % 256
+        |      WHEN m.v = 5 THEN (m.doc_id + 7*xx.x + 13*yy.y + 31) % 256
+        |      WHEN m.v = 9 THEN (m.doc_id + 5*((m.doc_id + 7*xx.x + 13*yy.y) % 256) + 3) % 256
+        |      ELSE 255
+        |    END AS A
         |  FROM meta m,
         |    LATERAL (SELECT UNNEST(range(m.w)) AS x) xx,
         |    LATERAL (SELECT UNNEST(range(m.h)) AS y) yy
@@ -1109,13 +1121,13 @@ object Media extends QueryPack {
         |  SELECT doc_id, SUM(g) AS rs_sum FROM blk GROUP BY doc_id
         |), fullres AS (
         |  SELECT doc_id, COUNT(*) AS np, SUM(L) AS sl, SUM(L*L) AS sq,
-        |    MIN(L) AS mn, MAX(L) AS mx
+        |    MIN(L) AS mn, MAX(L) AS mx, SUM(A) AS sa
         |  FROM px GROUP BY doc_id
         |)
         |SELECT m.doc_id,
         |  CAST(CASE m.v WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 6
         |    WHEN 3 THEN 0 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 0
-        |    WHEN 7 THEN 3 ELSE 0 END AS INT) AS color_type,
+        |    WHEN 7 THEN 3 WHEN 9 THEN 3 ELSE 0 END AS INT) AS color_type,
         |  CAST(CASE WHEN m.v IN (3, 4) THEN 16 WHEN m.v IN (6, 7) THEN 4
         |    WHEN m.v = 8 THEN 1 ELSE 8 END AS INT) AS bit_depth,
         |  m.w, m.h,
@@ -1126,7 +1138,8 @@ object Media extends QueryPack {
         |  CAST(f.mx AS INT) AS max_lum,
         |  CAST(m.w // 2 AS INT) AS rs_w,
         |  CAST(m.h // 2 AS INT) AS rs_h,
-        |  CAST(r.rs_sum AS BIGINT) AS rs_sum_lum
+        |  CAST(r.rs_sum AS BIGINT) AS rs_sum_lum,
+        |  CAST(f.sa AS BIGINT) AS sum_alpha
         |FROM meta m
         |JOIN fullres f ON f.doc_id = m.doc_id
         |JOIN rs r ON r.doc_id = m.doc_id

@@ -2187,6 +2187,54 @@ class MultimodalSpec extends AnyFunSuite {
         assert(MediaCodec.pngDecodePixels(bytes).isEmpty,
           "pngDecodePixels must stay gray8-only")
     }
+    // Palette + tRNS expands to RGBA with per-entry alpha, entries past
+    // the chunk opaque; tRNS is prohibited for the alpha-bearing types
+    // and must follow PLTE.
+    val (w, h) = (21, 13)
+    val idx = Array.tabulate(w * h)(i => i % 256)
+    val trns = Array.tabulate(100)(i => (i * 7 + 3) % 256)
+    for (interlaced <- Seq(false, true)) {
+      val bytes = MediaCodec.pngEncodeImage(w, h, 3, 8, idx, palette,
+        r => r % 5, interlaced, trns)
+      val img = MediaCodec.pngDecodeImage(bytes).get
+      assert(img.channels === 4 && img.colorType === 3)
+      for (i <- 0 until w * h) {
+        val e = palette(idx(i))
+        assert(img.samples(4 * i) === ((e >> 16) & 0xff))
+        assert(img.samples(4 * i + 3) ===
+          (if (idx(i) < trns.length) trns(idx(i)) else 255),
+          s"alpha at $i interlaced=$interlaced")
+      }
+    }
+    intercept[IllegalArgumentException] { // encoder refuses tRNS off-palette
+      MediaCodec.pngEncodeImage(21, 13, 6, 8,
+        Array.fill(21 * 13 * 4)(0), Array.emptyIntArray, trns = trns)
+    }
+    // Decoder: tRNS on an RGBA container rejects (§11.3.2.1).
+    val rgba = MediaCodec.pngEncodeImage(8, 8, 6, 8, Array.fill(8 * 8 * 4)(1),
+      Array.emptyIntArray)
+    val trnsChunk = {
+      val data = "tRNS".getBytes("US-ASCII") ++ Array.fill[Byte](4)(9)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      java.nio.ByteBuffer.allocate(16).putInt(4).put(data).putInt(crc.getValue.toInt).array()
+    }
+    assert(MediaCodec.pngDecodeImage(
+      rgba.take(33) ++ trnsChunk ++ rgba.drop(33)).isEmpty)
+    // tRNS BEFORE the PLTE violates §5.6 ordering.
+    val pal8 = MediaCodec.pngEncodeImage(8, 8, 3, 8,
+      Array.tabulate(64)(_ % 16), palette.take(16), r => 0)
+    assert(MediaCodec.pngDecodeImage(
+      pal8.take(33) ++ trnsChunk ++ pal8.drop(33)).isEmpty)
+    // tRNS longer than the palette rejects.
+    val longTrns = {
+      val data = "tRNS".getBytes("US-ASCII") ++ Array.fill[Byte](17)(9)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      java.nio.ByteBuffer.allocate(29).putInt(17).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val plteEnd = 33 + 12 + 48 // IHDR end + PLTE chunk (16 entries)
+    assert(MediaCodec.pngDecodeImage(
+      pal8.take(plteEnd) ++ longTrns ++ pal8.drop(plteEnd)).isEmpty)
+    assert(MediaCodec.pngDecodeImage(pal8).isDefined, "baseline must stay green")
   }
 
   test("PNG color decode rejects palette violations and spec-invalid depth combos") {
@@ -2238,12 +2286,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.nonEmpty)
     val ids = docs.select($"doc_id").as[Long].collect().filter(_ % 6 == 0).toSet
     assert(stats.map(_.doc_id).toSet === ids, "every fixture row must decode")
-    // All nine variants must actually appear in the fixture population.
+    // All ten variants must actually appear in the fixture population
+    // (palette-8 occurs with AND without tRNS, same (type, depth) key).
     assert(stats.map(s => (s.color_type, s.bit_depth)).toSet ===
       Set((2, 8), (3, 8), (6, 8), (0, 16), (2, 16), (4, 8),
         (0, 4), (3, 4), (0, 1)))
+    assert(stats.exists(_.doc_id / 6 % 10 == 9), "tRNS variant present")
     stats.foreach { st =>
-      val id = st.doc_id; val v = (id / 6 % 9).toInt
+      val id = st.doc_id; val v = (id / 6 % 10).toInt
       val w = (16 + id % 16).toInt; val h = (16 + (id * 3) % 16).toInt
       def lum(x: Int, y: Int): Int = v match {
         case 0 | 2 =>
@@ -2265,7 +2315,18 @@ class MultimodalSpec extends AnyFunSuite {
             ((id + 2L * i + 5) % 256).toInt, ((id + 3L * i + 11) % 256).toInt)
           (299 * r + 587 * g + 114 * b) / 1000
         case 8 => ((id + 7L * x + 13L * y) % 2).toInt * 255
+        case 9 =>
+          val i = ((id + 7L * x + 13L * y) % 256).toInt
+          val (r, g, b) = (((id + i) % 256).toInt,
+            ((id + 2L * i + 5) % 256).toInt, ((id + 3L * i + 11) % 256).toInt)
+          (299 * r + 587 * g + 114 * b) / 1000
         case _ => ((id + 7L * x + 13L * y) % 256).toInt
+      }
+      def alpha(x: Int, y: Int): Long = v match {
+        case 2 => (id + 7L * x + 13L * y + 93) % 256
+        case 5 => (id + 7L * x + 13L * y + 31) % 256
+        case 9 => (id + 5L * ((id + 7L * x + 13L * y) % 256) + 3) % 256
+        case _ => 255L
       }
       val ls = for (y <- 0 until h; x <- 0 until w) yield lum(x, y)
       assert(st.w === w && st.h === h, s"id=$id")
@@ -2278,6 +2339,8 @@ class MultimodalSpec extends AnyFunSuite {
           lum(2 * bx, 2 * by + 1) + lum(2 * bx + 1, 2 * by + 1)) / 4).map(_.toLong).sum
       assert(st.rs_w === w / 2 && st.rs_h === h / 2 && st.rs_sum_lum === rsSum,
         s"id=$id v=$v resize")
+      val aSum = (for (y <- 0 until h; x <- 0 until w) yield alpha(x, y)).sum
+      assert(st.sum_alpha === aSum, s"id=$id v=$v alpha")
     }
   }
 
