@@ -179,6 +179,82 @@ object TextDedup extends QueryPack {
         sum(col("n_syms") * col("cnt")).as("n_symbols"))
   }
 
+  /** t39/t40's shared training loop: k = [[BpeTrainRounds]] rounds of
+    * count-top-pair → greedy merge → recount over the Zipf-collapsed
+    * DISTINCT vocabulary (doubled-delimiter symbol form — see the t39
+    * query comment). Returns (the learned merge table with its
+    * at-selection pair counts, the FINAL segmented vocab (word, n, seg)
+    * — i.e. the corpus tokenization under all k merges).
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("seg", regexp_replace(col("word"), "(.)", "|$1|"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeTrainRounds) {
+      val top = vocab
+        .select(col("n"),
+          expr("filter(split(seg, '[|]+'), x -> x != '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"))
+          .as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("n")).as("np"))
+        .orderBy(col("np").desc, col("s1").asc, col("s2").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpeTrain: vocabulary ran out of pairs at round $r — corpus too small for k=$BpeTrainRounds")
+      val (s1, s2, np) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      // Learned symbols are [a-z]+ by construction (the word filter);
+      // required before embedding them as expression literals.
+      require(s1.matches("[a-z]+") && s2.matches("[a-z]+"),
+        s"bpeTrain: bad symbol '$s1'/'$s2'")
+      merges += ((r, s1, s2, np))
+      vocab = vocab.withColumn("seg",
+        expr(s"replace(seg, '|$s1||$s2|', '|$s1$s2|')")).localCheckpoint()
+    }
+    (merges.result(), vocab)
+  }
+
+  /** t39/t40's shared ORACLE chain: DuckDB replay of [[bpeTrain]]'s k
+    * rounds CTE-by-CTE — pair census over the doubled-delimiter
+    * segmentation, deterministic top-1 (count DESC, s1, s2), replace()
+    * rewrite with the learned literal threaded through a 1-row cross
+    * join — ending in top1..top_k and the final vocab v_k.
+    */
+  private lazy val BpeTrainOracleChain: String = {
+    val rounds = (1 to BpeTrainRounds).map { i =>
+      s"""pc$i AS (
+         |  SELECT s.syms[u.i] AS s1, s.syms[u.i + 1] AS s2, SUM(v.n) AS np
+         |  FROM v${i - 1} v,
+         |    LATERAL (SELECT list_filter(string_split(v.seg, '|'), x -> x <> '') AS syms) s,
+         |    LATERAL (SELECT UNNEST(range(1, len(s.syms))) AS i) u
+         |  GROUP BY 1, 2
+         |), top$i AS (
+         |  SELECT s1, s2, np FROM pc$i ORDER BY np DESC, s1 ASC, s2 ASC LIMIT 1
+         |), v$i AS (
+         |  SELECT v.word, v.n,
+         |    replace(v.seg, '|' || t.s1 || '||' || t.s2 || '|',
+         |            '|' || t.s1 || t.s2 || '|') AS seg
+         |  FROM v${i - 1} v, top$i t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |), v0 AS (
+       |  SELECT word, COUNT(*) AS n,
+       |    regexp_replace(word, '(.)', '|\\1|', 'g') AS seg
+       |  FROM words WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word
+       |),
+       |$rounds""".stripMargin
+  }
+
   /** The t37/t38 oracle's shared CTE chain: DuckDB replay of
     * [[bpeDocSymbols]] — the identical greedy fold via list_reduce over
     * the distinct vocab, ending in a `docsyms` per-doc table.
@@ -1532,39 +1608,38 @@ object TextDedup extends QueryPack {
     // the lineage flat at any k. The oracle replays all k rounds
     // CTE-by-CTE — census, top-1, rewrite — with the same replace().
     "t39_bpe_train" -> { (s, d) =>
-      var vocab = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .withColumn("seg", regexp_replace(col("word"), "(.)", "|$1|"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to BpeTrainRounds) {
-        val top = vocab
-          .select(col("n"),
-            expr("filter(split(seg, '[|]+'), x -> x != '')").as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"))
-            .as("p"))
-          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-          .agg(sum(col("n")).as("np"))
-          .orderBy(col("np").desc, col("s1").asc, col("s2").asc)
-          .limit(1).collect()
-        require(top.nonEmpty,
-          s"t39: vocabulary ran out of pairs at round $r — corpus too small for k=$BpeTrainRounds")
-        val (s1, s2, np) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        // Learned symbols are [a-z]+ by construction (the word filter);
-        // required before embedding them as expression literals.
-        require(s1.matches("[a-z]+") && s2.matches("[a-z]+"), s"t39: bad symbol '$s1'/'$s2'")
-        merges += ((r, s1, s2, np))
-        vocab = vocab.withColumn("seg",
-          expr(s"replace(seg, '|$s1||$s2|', '|$s1$s2|')")).localCheckpoint()
-      }
       import s.implicits._
-      merges.result().toDF("merge_rank", "sym1", "sym2", "n_pairs")
+      bpeTrain(s, d)._1.toDF("merge_rank", "sym1", "sym2", "n_pairs")
         .orderBy("merge_rank")
+    },
+
+    // T40: TRAIN-THEN-APPLY — the composition a real tokenizer build
+    // runs: t39's learned table applied back to the corpus. No second
+    // apply pass exists or is needed: the training loop's FINAL vocab
+    // segmentation IS the corpus tokenized under all k learned merges
+    // (each round rewrote every vocab entry), so this query just counts
+    // symbols per vocab word and joins per-doc multiplicities back —
+    // t37's exact shape with the table learned instead of fixed. The
+    // oracle reuses t39's CTE chain verbatim and reads v_k the same way,
+    // so a divergence ANYWHERE in the k rounds shows up per-doc here
+    // even if the learned pairs happened to agree.
+    "t40_bpe_train_apply" -> { (s, d) =>
+      val segged = bpeTrain(s, d)._2
+        .withColumn("n_syms",
+          size(expr("filter(split(seg, '[|]+'), x -> x != '')")).cast("long"))
+        .select(col("word"), col("n_syms"))
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      wc.join(segged, Seq("word"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
+          sum(col("n_syms") * col("cnt")).as("n_symbols"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_symbols"), 6))
+        .orderBy("doc_id")
     },
 
     // T31: t11's contamination check with the BLOOM PRE-PASS t11's own
@@ -2638,35 +2713,32 @@ object TextDedup extends QueryPack {
     // learned table. The 1-row top{i} CTEs cross-join into the rewrite,
     // which is DuckDB's way of threading the learned literal through.
     "t39_bpe_train" -> {
-      val rounds = (1 to BpeTrainRounds).map { i =>
-        s"""pc$i AS (
-           |  SELECT s.syms[u.i] AS s1, s.syms[u.i + 1] AS s2, SUM(v.n) AS np
-           |  FROM v${i - 1} v,
-           |    LATERAL (SELECT list_filter(string_split(v.seg, '|'), x -> x <> '') AS syms) s,
-           |    LATERAL (SELECT UNNEST(range(1, len(s.syms))) AS i) u
-           |  GROUP BY 1, 2
-           |), top$i AS (
-           |  SELECT s1, s2, np FROM pc$i ORDER BY np DESC, s1 ASC, s2 ASC LIMIT 1
-           |), v$i AS (
-           |  SELECT v.word, v.n,
-           |    replace(v.seg, '|' || t.s1 || '||' || t.s2 || '|',
-           |            '|' || t.s1 || t.s2 || '|') AS seg
-           |  FROM v${i - 1} v, top$i t
-           |)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to BpeTrainRounds).map(i =>
         s"SELECT CAST($i AS INT) AS merge_rank, s1 AS sym1, s2 AS sym2, " +
           s"CAST(np AS BIGINT) AS n_pairs FROM top$i").mkString("\nUNION ALL\n")
-      s"""WITH words AS (
-         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
-         |), v0 AS (
-         |  SELECT word, COUNT(*) AS n,
-         |    regexp_replace(word, '(.)', '|\\1|', 'g') AS seg
-         |  FROM words WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word
-         |),
-         |$rounds
+      s"""$BpeTrainOracleChain
          |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
     },
+
+    // t40: the SAME training chain, then read the final vocab v_k as the
+    // applied tokenization (t37's docsyms shape with the LEARNED table).
+    "t40_bpe_train_apply" ->
+      s"""$BpeTrainOracleChain,
+         |segged AS (
+         |  SELECT word, len(list_filter(string_split(seg, '|'), x -> x <> '')) AS n_syms
+         |  FROM v$BpeTrainRounds
+         |), wc AS (
+         |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |  ) WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY doc_id, word
+         |)
+         |SELECT w.doc_id,
+         |  CAST(SUM(w.cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(length(w.word) * w.cnt) AS BIGINT) AS n_chars,
+         |  CAST(SUM(s.n_syms * w.cnt) AS BIGINT) AS n_symbols,
+         |  round(CAST(SUM(length(w.word) * w.cnt) AS DOUBLE) / SUM(s.n_syms * w.cnt), 6) AS compression
+         |FROM wc w JOIN segged s ON w.word = s.word
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
     // Identical to t11's oracle BY DESIGN: the bloom pre-pass is a pure
     // pruning optimization (false positives re-checked by the exact semi
