@@ -1765,7 +1765,8 @@ object TextDedup extends QueryPack {
     // one exact-integer numerator, ONE correctly-rounded IEEE division,
     // one floor: bit-identical on both engines. Per-doc aggregation then
     // sums INTEGERS (order-independent, unlike a double Σ), and the mean
-    // is a single rounded division at the end. Scale shape: bigram and
+    // is exact integer micro-units (floor division — engines' round()
+    // disagree at half-ulp boundaries; see the query body). Scale shape: bigram and
     // unigram LM tables are corpus aggregates joined back on the bigram
     // key — at 100 TB the LM table is Zipf-small relative to the corpus
     // (broadcast when it fits, shuffle join when not) and everything else
@@ -1796,9 +1797,16 @@ object TextDedup extends QueryPack {
             (lit(2L) * col("c12") + lit(1L)).cast("double")).cast("long"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"))
-        .withColumn("mean_surprisal", round(
-          col("sum_surprisal").cast("double") / col("n_bigrams").cast("double"), 6))
-        .orderBy(col("mean_surprisal").desc, col("doc_id").asc)
+        // Mean in exact integer MICRO-units: (Σs · 10⁶) DIV n. The prior
+        // round(double-division, 6) was bit-identical in the DIVISION but
+        // not in the ROUNDING — Spark (BigDecimal HALF_UP on the exact
+        // binary value) and DuckDB disagree by 1e-6 when the quotient
+        // lands on a half-ulp boundary, which sf0.001's data hits (latent
+        // until round 14). Integer floor has no boundary. No overflow:
+        // Σs per doc ≤ ~1e10 (doc-length-bounded), ×10⁶ ≪ 2⁶³.
+        .withColumn("mean_surprisal_micro",
+          expr("(sum_surprisal * 1000000L) DIV n_bigrams"))
+        .orderBy(col("mean_surprisal_micro").desc, col("doc_id").asc)
         .limit(25)
     },
 
@@ -2766,7 +2774,7 @@ object TextDedup extends QueryPack {
     // Log-free surprisal mirrored term-for-term (the t18 rule): exact
     // integer numerator, ONE correctly-rounded double division, floor —
     // bit-identical across engines; per-doc sums are INTEGER (order-
-    // independent), the mean is one rounded division at the end.
+    // independent), the mean is exact integer micro-units (floor).
     "t34_bigram_surprisal" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,
@@ -2796,9 +2804,9 @@ object TextDedup extends QueryPack {
         |)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(s) AS BIGINT) AS sum_surprisal,
-        |  round(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_surprisal
+        |  CAST((SUM(s) * 1000000) // COUNT(*) AS BIGINT) AS mean_surprisal_micro
         |FROM scored GROUP BY doc_id
-        |ORDER BY mean_surprisal DESC, doc_id ASC LIMIT 25""".stripMargin,
+        |ORDER BY mean_surprisal_micro DESC, doc_id ASC LIMIT 25""".stripMargin,
 
     // Exact-integer TVD numerator, one double division at the end —
     // mirrored term-for-term.
