@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs driver + all N executor task slots + the block manager
+  // (every loop query's localCheckpoint blocks) in ONE JVM. 8g forced
+  // constant GC + storage eviction across a 214-query bench run (measured
+  // r15: full bench 255.7 s at 8g vs 213.4 s at 32g, same code/host, with
+  // the iterative graph/etl queries 2-8x slower at 8g); 32g in the 128 GiB
+  // sandbox leaves execution+storage ~19 GB. On a real cluster this is
+  // ordinary executor sizing, not a local-only trick; override via
+  // SPARK_DRIVER_MEM as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -114,19 +114,24 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     var visited  = sources.select(col("id")).distinct().withColumn("dist", lit(0))
     var frontier = visited.select("id")
     for (i <- 1 to k) {
-      val next = edges.join(frontier, edges("src") === frontier("id"))
+      var next = edges.join(frontier, edges("src") === frontier("id"))
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id").withColumnRenamed("id", "vid"),
           col("id") === col("vid"), "left_anti")
         .withColumn("dist", lit(i))
+      if (i % checkpointEvery == 0 && i < k) {
+        // Checkpoint the ROUND DELTA once (round 15; formerly visited and
+        // frontier were checkpointed separately, which materialized `next`
+        // — the round's whole join+distinct+anti-join — TWICE per round):
+        // `visited` stays a union whose legs are all checkpointed deltas,
+        // so it needs no checkpoint of its own to stop BFS's quadratic
+        // recompute, and `frontier` is a projection of the materialized
+        // delta. One eager action per round instead of two, and the
+        // round's work runs once.
+        next = next.localCheckpoint()
+      }
       visited = visited.union(next)
       frontier = next.select("id")
-      if (i % checkpointEvery == 0 && i < k) {
-        // Eager checkpoint: truncates lineage so iteration i+1 does not
-        // re-execute iterations 1..i (BFS is quadratic without this).
-        visited = visited.localCheckpoint()
-        frontier = frontier.localCheckpoint()
-      }
     }
     visited.filter(col("dist") > 0)
   }
@@ -145,17 +150,18 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       .withColumn("dist", lit(0))
     var frontier = visited.select("tag", "id")
     for (i <- 1 to k) {
-      val next = edges.join(frontier, edges("src") === frontier("id"))
+      var next = edges.join(frontier, edges("src") === frontier("id"))
         .select(col("tag"), col("dst").as("id")).distinct()
         .join(visited.select(col("tag").as("vtag"), col("id").as("vid")),
           col("tag") === col("vtag") && col("id") === col("vid"), "left_anti")
         .withColumn("dist", lit(i))
+      if (i % checkpointEvery == 0 && i < k) {
+        // Single round-delta checkpoint — see [[kHop]] (round 15): halves
+        // the per-round actions and stops `next` being materialized twice.
+        next = next.localCheckpoint()
+      }
       visited = visited.union(next)
       frontier = next.select("tag", "id")
-      if (i % checkpointEvery == 0 && i < k) {
-        visited = visited.localCheckpoint()
-        frontier = frontier.localCheckpoint()
-      }
     }
     visited.filter(col("dist") > 0)
   }
@@ -352,13 +358,21 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     var changed = balls
     val laneArray = s"array(${laneCols.mkString(", ")})"
     val newAggs = laneCols.map(c => expr(s"graft_lanemax_agg($c)").as(c))
-    val oldAggs = laneCols.map(c =>
-      expr(s"max(IF(is_ball = 1, $c, CAST(NULL AS BIGINT)))").as(s"o_$c"))
+    // Changed-flag carrier (round 15): ONE aggregated long — the standing
+    // ball's register byte-sum — instead of the former second full set of
+    // 2^lgK/8 max(IF(is_ball...)) lane columns. EXACT, not a hash:
+    // registers are monotone non-decreasing under lane-max union, so the
+    // unioned sketch's byte-sum equals the standing ball's iff every
+    // register is unchanged. Halves the per-round groupBy's aggregation
+    // buffer (2·lanes+1 slots → lanes+1) and therefore the bytes every
+    // round's partial-agg shuffle carries, and shrinks the generated
+    // aggregate code — measured plan diff in plans/r15/ (64 agg
+    // expressions → 33).
+    val oldBs = expr("max(bs)").as("o_bs")
     // Null-safe: a group without a standing row cannot occur (round 0
     // covers every src and dst), but IS DISTINCT FROM keeps the flag
     // total rather than null-poisoned if that invariant ever moved.
-    val chgExpr = laneCols.map(c => s"$c IS DISTINCT FROM o_$c")
-      .mkString("(", ") OR (", ")")
+    val chgExpr = s"graft_lane_bytesum($laneArray) IS DISTINCT FROM o_bs"
     def censusOf(b: DataFrame): Long =
       b.agg(coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
         .cast("long")).head().getLong(0)
@@ -373,13 +387,21 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     var nChanged = 1L
     while (h <= maxRounds && nChanged > 0) {
       val contrib = e.join(changed, e("dst") === changed("id"))
-        .select(e("src").as("id") +: (laneCols.map(col) :+ lit(0).as("is_ball")): _*)
-      val agg = contrib
-        .union(balls.select(col("id") +: (laneCols.map(col) :+ lit(1).as("is_ball")): _*))
+        .select(e("src").as("id") +:
+          (laneCols.map(col) :+ lit(null).cast("long").as("bs")): _*)
+      val aggPlan = contrib
+        .union(balls.select(col("id") +:
+          (laneCols.map(col) :+ expr(s"graft_lane_bytesum($laneArray)").as("bs")): _*))
         .groupBy(col("id"))
-        .agg((newAggs ++ oldAggs).head, (newAggs ++ oldAggs).tail: _*)
-        .selectExpr((Seq("id") ++ laneCols :+ s"CAST($chgExpr AS INT) AS chg"): _*)
-        .localCheckpoint()
+        .agg((newAggs :+ oldBs).head, (newAggs :+ oldBs).tail: _*)
+        .selectExpr((Seq("id") ++ laneCols :+ s"CAST(($chgExpr) AS INT) AS chg"): _*)
+      // Plan-audit hook: the query-level explain of this loop query is just
+      // a LocalTableScan of the census rows, so the informative plan (the
+      // per-round union+agg) is dumpable on demand for plans/r15/.
+      if (h == 1 && sys.env.contains("GRAFT_EXPLAIN_HYPERBALL"))
+        println(aggPlan.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      val agg = aggPlan.localCheckpoint()
       // ONE eager action per round: census + changed count together (the
       // same control-plane idiom as hyperBallCensus's per-round census).
       val stat = agg.agg(

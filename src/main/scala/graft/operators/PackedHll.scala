@@ -55,6 +55,30 @@ object PackedHll {
     r
   }
 
+  /** Sum of all byte registers across packed lanes. Called from codegen.
+    * Registers are monotone non-decreasing under lane-max union, so for a
+    * sketch S' = laneMax(S, anything): byteSum(S') == byteSum(S) iff
+    * S' == S — an EXACT 8-byte change fingerprint for a 2^lgK-register
+    * sketch (no hash, no collision risk). Max value 57 * 2^14 fits int,
+    * long for safety.
+    */
+  def byteSum(lanes: ArrayData): Long = {
+    val nLanes = lanes.numElements()
+    var s = 0L
+    var j = 0
+    while (j < nLanes) {
+      var x = lanes.getLong(j)
+      var k = 0
+      while (k < 8) {
+        s += x & 0xFFL
+        x >>>= 8
+        k += 1
+      }
+      j += 1
+    }
+    s
+  }
+
   /** HLL estimate from packed register lanes (8 registers per long).
     * Called from codegen; `lanes` is the array<long> of packed registers.
     */
@@ -155,6 +179,34 @@ case class LaneMaxAgg(child: Expression) extends DeclarativeAggregate {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): LaneMaxAgg =
     copy(child = newChildren.head)
+}
+
+/** `graft_lane_bytesum(array<long>)` — sum of all byte registers of a
+  * packed sketch (see [[PackedHll.byteSum]]). Because registers only grow
+  * under lane-max union, equal byte sums ⟺ identical sketches — the
+  * change-detection fingerprint [[LinkGraph.hyperBallDiameter]] aggregates
+  * (ONE long through the per-round shuffle instead of a second full set of
+  * lane columns). Codegen'd static call.
+  */
+case class PackedLaneByteSum(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lane_bytesum"
+
+  override def nullSafeEval(a: Any): Any =
+    PackedHll.byteSum(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.PackedHll.byteSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackedLaneByteSum =
+    copy(child = newChild)
 }
 
 /** `graft_hll_estimate(array<long>)` — cardinality estimate from packed

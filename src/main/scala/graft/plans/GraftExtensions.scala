@@ -100,6 +100,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.operators.PackedHllEstimate(args(0))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_lane_bytesum"),
+      info("graft_lane_bytesum",
+        "graft_lane_bytesum(lanes) - sum of all byte registers of a packed sketch"),
+      (args: Seq[Expression]) => graft.operators.PackedLaneByteSum(args(0))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       info("graft_might_contain",
         "graft_might_contain(bloom, v) - membership probe; false => definitely absent"),

@@ -106,24 +106,58 @@ class PackedHllSpec extends AnyFunSuite {
     assert(once.except(twice).count() === 0 && twice.except(once).count() === 0)
   }
 
-  test("diameter-loop aggregate (lane-max + standing-row max) still plans as HashAggregate") {
+  test("diameter-loop aggregate (lane-max + standing-row byte-sum max) still plans as HashAggregate") {
     // hyperBallDiameter's per-round union carries the changed-flag
-    // bookkeeping IN the same aggregate: the lane-max per lane plus a
-    // declarative MAX over IF(is_ball=1, lane, NULL) that recovers the
-    // standing row's lanes. Both are declarative with primitive buffers —
-    // mixing them must not knock the plan off HashAggregate.
-    val aggs = (0 until 32).map(j => expr(s"graft_lanemax_agg(l$j)").as(s"l$j")) ++
-      (0 until 32).map(j =>
-        expr(s"max(IF(is_ball = 1, l$j, CAST(NULL AS BIGINT)))").as(s"o_l$j"))
+    // bookkeeping IN the same aggregate: the lane-max per lane plus ONE
+    // declarative MAX over the standing row's register byte-sum (round 15:
+    // replaces the former 32 max(IF(is_ball...)) lane columns — the
+    // aggregation buffer drops 65 → 34 slots, see OPTIMIZATION_r15.md).
+    // Both are declarative with primitive buffers — mixing them must not
+    // knock the plan off HashAggregate.
+    val lanes = (0 until 32).map(j => s"l$j")
+    val aggs = lanes.map(c => expr(s"graft_lanemax_agg($c)").as(c)) :+
+      expr("max(bs)").as("o_bs")
     val df = (1 to 1000).map(i => (i % 97).toLong)
       .toDF("id")
-      .selectExpr(("id" +: "CAST(id % 2 AS INT) AS is_ball" +:
-        (0 until 32).map(j => s"xxhash64(id, $j) AS l$j")): _*)
+      .selectExpr(("id" +: (0 until 32).map(j => s"xxhash64(id, $j) AS l$j")): _*)
+      .selectExpr("*",
+        s"IF(id % 2 = 0, graft_lane_bytesum(array(${lanes.mkString(", ")})), " +
+          "CAST(NULL AS BIGINT)) AS bs")
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
     assert(!plan.contains("ObjectHashAggregate"), s"ObjectHashAggregate leaked into:\n$plan")
     assert(!plan.contains("SortAggregate"), s"SortAggregate leaked into:\n$plan")
+  }
+
+  test("byteSum is an exact change fingerprint under lane-max union") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Long*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    // Plain sum of byte registers.
+    assert(PackedHll.byteSum(arr(0L)) === 0L)
+    assert(PackedHll.byteSum(arr(0x0102030405060708L)) === 36L)
+    assert(PackedHll.byteSum(arr(-1L)) === 8 * 255L) // unsigned bytes
+    assert(PackedHll.byteSum(arr(0x0101010101010101L, 0x0200000000000000L)) === 10L)
+    // The fingerprint property hyperBallDiameter's chg flag relies on:
+    // registers are monotone non-decreasing under laneMax, so for any
+    // sketches S, T: byteSum(laneMax(S,T)) == byteSum(S) ⟺ laneMax(S,T)
+    // == S — equality of the 8-byte sum certifies equality of all 2^lgK
+    // registers EXACTLY (no hash collision possible). Property-check on
+    // random lanes.
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val s = rnd.nextLong()
+      val t = rnd.nextLong()
+      val u = PackedHll.laneMax(s, t)
+      val same = PackedHll.byteSum(arr(u)) == PackedHll.byteSum(arr(s))
+      assert(same === (u == s),
+        f"byteSum fingerprint disagreed for s=$s%016x t=$t%016x u=$u%016x")
+    }
+    // SQL surface matches the static.
+    val viaSql = spark.range(1)
+      .selectExpr("graft_lane_bytesum(array(CAST(72623859790382856 AS BIGINT))) AS s")
+      .as[Long].head()
+    assert(viaSql === 36L)
   }
 }
