@@ -52,7 +52,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cores * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("GRAFT_ABJT", (64L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

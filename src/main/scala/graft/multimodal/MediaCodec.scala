@@ -349,9 +349,10 @@ object MediaCodec {
     * terminal IEND), concatenate IDAT streams, INFLATE, reverse the
     * per-scanline filter (all five types, at the color type's byte
     * stride `bpp`), and de-interlace Adam7 passes. Implemented
-    * (colorType, bitDepth) combinations per [[pngComboOk]] — gray /
-    * truecolor / palette / gray+alpha / RGBA at depths 8 and 16 (where
-    * the spec allows); sub-byte depths REJECT. Returns None on any
+    * (colorType, bitDepth) combinations per [[pngComboOk]] — the COMPLETE
+    * legal ISO/IEC 15948 §11.2.2 set: gray at 1/2/4/8/16, palette at
+    * 1/2/4/8 (sub-byte depths implemented as MSB-first bit-packed rows),
+    * truecolor / gray+alpha / RGBA at 8/16. Returns None on any
     * structural, CRC, filter, palette, or length violation — malformed
     * bytes must never crash an executor task.
     */

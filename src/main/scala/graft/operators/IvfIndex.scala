@@ -122,7 +122,7 @@ object IvfIndex {
 
     var cents = seeds
     for (_ <- 1 to iters)
-      cents = means(assign(cents)).localCheckpoint()
+      cents = means(assign(cents)).localCheckpoint(false)
     Model(assignTo(c, cents), cents)
   }
 

@@ -33,12 +33,24 @@ import org.apache.spark.sql.functions._
   */
 class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
 
-  /** Materialize the edge table once (eager local checkpoint) so iterative
+  /** Materialize the edge table once (local checkpoint) so iterative
     * algorithms and multi-use plans don't recompute the edge derivation
     * (scan + symmetrize + distinct) on every reuse. On a cluster this is the
     * role of a cached/bucketed edge table.
+    *
+    * LAZY CHECKPOINTS (round 15, repo-wide): every localCheckpoint in the
+    * engine's loops is `eager = false`. The LOGICAL plan is truncated at
+    * Dataset-creation time either way (the recompute guard the loops need),
+    * but the eager form ran one dedicated materialize-all-partitions job
+    * per checkpoint; lazily the partitions are computed and cached by the
+    * FIRST consuming action (block-level locks make concurrent first
+    * consumers compute each partition once), folding the former extra job
+    * — its dispatch, its result-stage pass, its AQE replan — into work the
+    * round does anyway. Measured on g6_components_converged (8-round loop,
+    * sf0.1, min-of-8 same-JVM reps): 2.86 s → 2.33 s wall and 1.09 s →
+    * 0.91 s executor-CPU.
     */
-  def materialized: LinkGraph = new LinkGraph(edges.localCheckpoint(), checkpointEvery)
+  def materialized: LinkGraph = new LinkGraph(edges.localCheckpoint(false), checkpointEvery)
 
   /** Undirected view: every edge plus its reverse, deduplicated. */
   lazy val symmetrized: LinkGraph = {
@@ -128,7 +140,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         // recompute, and `frontier` is a projection of the materialized
         // delta. One eager action per round instead of two, and the
         // round's work runs once.
-        next = next.localCheckpoint()
+        next = next.localCheckpoint(false)
       }
       visited = visited.union(next)
       frontier = next.select("id")
@@ -158,7 +170,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       if (i % checkpointEvery == 0 && i < k) {
         // Single round-delta checkpoint — see [[kHop]] (round 15): halves
         // the per-round actions and stops `next` being materialized twice.
-        next = next.localCheckpoint()
+        next = next.localCheckpoint(false)
       }
       visited = visited.union(next)
       frontier = next.select("tag", "id")
@@ -218,7 +230,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // probes balls (already hash(id)-partitioned by its groupBy) against
     // edges on dst — materializing the dst layout here removes a per-round
     // edge shuffle (localCheckpoint preserves outputPartitioning).
-    val e = edges.repartition(col("dst")).localCheckpoint()
+    val e = edges.repartition(col("dst")).localCheckpoint(false)
     // Each round shuffles ≈ |E| · 2^lgK sketch bytes, and those shuffle
     // files are reclaimed only after a driver GC notices the dereferenced
     // dependencies — a large driver heap may never GC inside the loop, so
@@ -255,7 +267,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       balls = contrib.union(balls.select(outCols: _*))
         .groupBy(col("id"))
         .agg(laneAggs.head, laneAggs.tail: _*)
-        .localCheckpoint()
+        .localCheckpoint(false)
       rows += h -> census(balls)
       if (gcPerRound) System.gc() // see the gate's derivation above
     }
@@ -290,7 +302,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         s"CASE WHEN w = 0 THEN ${64 - lgK + 1} " +
           "ELSE bit_count((w & -w) - 1) + 1 END AS rho"): _*)
       .selectExpr(("id" +: laneInit): _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
   }
 
   /** HyperBall run to CONVERGENCE with the paper's systolic optimization
@@ -351,7 +363,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val m = 1 << lgK
     val laneCols = (0 until (m / 8)).map(j => s"l$j")
-    val e = edges.repartition(col("dst")).localCheckpoint()
+    val e = edges.repartition(col("dst")).localCheckpoint(false)
     val gcPerRound = e.count() >= (1L << (34 - lgK)) // see hyperBallCensus
     var balls = packedInitBalls(e, lgK)
     // Round 0: every ball was just created, so every node contributes.
@@ -401,8 +413,9 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       if (h == 1 && sys.env.contains("GRAFT_EXPLAIN_HYPERBALL"))
         println(aggPlan.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-      val agg = aggPlan.localCheckpoint()
-      // ONE eager action per round: census + changed count together (the
+      val agg = aggPlan.localCheckpoint(false)
+      // ONE action per round: census + changed count together, which also
+      // materializes the lazily-checkpointed round aggregate (the
       // same control-plane idiom as hyperBallCensus's per-round census).
       val stat = agg.agg(
         coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
@@ -443,11 +456,11 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // Loop-invariant inputs materialize ONCE: the degree-annotated edge
     // list and the node table are reused every iteration — without this
     // each iteration re-runs the distinct/groupBy that derives them.
-    val nodes = nodeIds.localCheckpoint()
+    val nodes = nodeIds.localCheckpoint(false)
     val e = edges
       .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
       .select(col("src"), col("dst"), col("out_deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var ranks = nodes.withColumn("rank", lit(scale))
     // `contribs` references ranks TWICE (join + zero-row union): with
     // un-truncated lineage each reference doubles the recompute between
@@ -457,7 +470,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // a no-op at the default checkpointEvery=1.
     var ranksFresh = true // round-1 ranks is one projection over checkpointed nodes
     for (i <- 1 to iters) {
-      if (!ranksFresh) ranks = ranks.localCheckpoint()
+      if (!ranksFresh) ranks = ranks.localCheckpoint(false)
       // One shuffle per iteration: neighbor contributions unioned with a
       // zero row per node (ranks holds every node id, so the zero row both
       // guarantees presence and removes the join-back onto the node table —
@@ -471,7 +484,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .groupBy(col("nid").as("id"))
         .agg(expr(s"(15 * ${scale}L + 85 * sum(c)) DIV 100").as("rank"))
       ranksFresh = i % checkpointEvery == 0 && i < iters
-      if (ranksFresh) ranks = ranks.localCheckpoint()
+      if (ranksFresh) ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -487,22 +500,22 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     */
   def personalizedPageRankFixed(sources: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val nodes = nodeIds.localCheckpoint()
+    val nodes = nodeIds.localCheckpoint(false)
     val e = edges
       .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
       .select(col("src"), col("dst"), col("out_deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Teleport indicator per node (1 on a seed, 0 elsewhere), materialized
     // once: it is both the r0 mass and every round's restart term.
     val tele = nodes
       .join(sources.select(col("id")).distinct().withColumn("__s", lit(1L)),
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("__s"), lit(0L)).as("t"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var ranks = tele.select(col("id"), (col("t") * scale).as("rank"))
     var ranksFresh = true
     for (i <- 1 to iters) {
-      if (!ranksFresh) ranks = ranks.localCheckpoint()
+      if (!ranksFresh) ranks = ranks.localCheckpoint(false)
       val contribs = e
         .join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("nid"), expr("rank DIV out_deg").as("c"), lit(0L).as("t"))
@@ -511,7 +524,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .groupBy(col("nid").as("id"))
         .agg(expr(s"(15 * ${scale}L * max(t) + 85 * sum(c)) DIV 100").as("rank"))
       ranksFresh = i % checkpointEvery == 0 && i < iters
-      if (ranksFresh) ranks = ranks.localCheckpoint()
+      if (ranksFresh) ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -538,10 +551,10 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // methods) — otherwise a derived edge plan re-executes every round.
     // Nodes derive from the CHECKPOINTED edges, not the raw plan, so the
     // edge derivation truly runs once.
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val lblType = nodes.schema("id").dataType
     var labels  = nodes.withColumn("lbl", col("id"))
     var changed = 1L
@@ -556,7 +569,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       val next = contribs
         .groupBy(col("nid").as("id"))
         .agg(min(col("lbl")).as("lbl"), max(col("self_lbl")).as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select(col("id"), col("lbl"))
       rounds += 1
@@ -617,9 +630,9 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // Loop-invariant edge input materializes ONCE; both the node table and
     // the first small-star pass read the checkpointed plan, not the raw
     // derivation (which would otherwise re-execute scan+distinct+symmetrize).
-    val e0 = edges.localCheckpoint()
+    val e0 = edges.localCheckpoint(false)
     val nodes = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint(false)
     // Fingerprint = (edge count, order-independent hash-sum): unchanged
     // across a full round ⇒ the star set is the fixpoint. The sum runs in
     // DECIMAL(38,0) — a long sum of 64-bit hashes overflows under ANSI. A
@@ -632,12 +645,12 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
 
-    var cur = smallStar(e0).localCheckpoint()
+    var cur = smallStar(e0).localCheckpoint(false)
     var fp = fingerprint(cur)
     var rounds = 1
     var stable = false
     while (!stable && rounds < maxIters) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nfp = fingerprint(next)
       stable = nfp == fp
       cur = next; fp = nfp
@@ -673,11 +686,11 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       scale: Long = 1000000000000L,
       onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) = {
     require(tol > 0 && maxIters > 0)
-    val nodes = nodeIds.localCheckpoint()
+    val nodes = nodeIds.localCheckpoint(false)
     val e = edges
       .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
       .select(col("src"), col("dst"), col("out_deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tolFixed = math.max((tol * scale).toLong, 1L)
     var ranks = nodes.withColumn("rank", lit(scale))
     var delta = Long.MaxValue
@@ -695,7 +708,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .groupBy(col("nid").as("id"))
         .agg(expr(s"(15 * ${scale}L + 85 * sum(c)) DIV 100").as("new_rank"),
           max(col("prev_in")).as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // max over an empty frame is NULL (empty graph) — converged trivially.
       val deltaRow = next.agg(max(abs(col("new_rank") - col("prev")))).head()
       delta = if (deltaRow.isNullAt(0)) 0L else deltaRow.getLong(0)
@@ -713,14 +726,14 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * deterministic partial labeling (oracle-comparable).
     */
   def labelPropagation(iters: Int): DataFrame = {
-    val nodes = nodeIds.localCheckpoint()
+    val nodes = nodeIds.localCheckpoint(false)
     var labels = nodes.withColumn("lbl", col("id"))
     // Same dual-reference guard as [[pageRankFixed]]: contribs references
     // labels twice, so materialize before the references whenever the
     // previous round didn't checkpoint (no-op at checkpointEvery=1).
     var labelsFresh = true
     for (i <- 1 to iters) {
-      if (!labelsFresh) labels = labels.localCheckpoint()
+      if (!labelsFresh) labels = labels.localCheckpoint(false)
       // One shuffle per round: neighbor labels (edge join, broadcastable
       // labels side) unioned with self labels, then a single min-agg —
       // no separate join-back onto the node table.
@@ -731,7 +744,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       labels = contribs.groupBy(col("nid").as("id")).agg(min(col("lbl")).as("lbl"))
         .select(col("id"), col("lbl"))
       labelsFresh = i % checkpointEvery == 0 && i < iters
-      if (labelsFresh) labels = labels.localCheckpoint()
+      if (labelsFresh) labels = labels.localCheckpoint(false)
     }
     labels
   }
@@ -756,7 +769,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * confirming no-op round, matching the components convention.
     */
   def kCore(k: Int, maxIters: Int = 50): (DataFrame, Int) = {
-    var e = edges.localCheckpoint()
+    var e = edges.localCheckpoint(false)
     var n = e.count()
     var rounds = 0
     var converged = false
@@ -765,12 +778,12 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       // count it implies is tiny (one row per surviving node).
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val next = e
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val m = next.count()
       converged = m == n
       n = m

@@ -85,6 +85,12 @@ object PackedHll {
   def estimate(lanes: ArrayData): Double = {
     val nLanes = lanes.numElements()
     val m = nLanes * 8
+    // Guard the estimator ITSELF, not just the LinkGraph callers' lgK >= 4
+    // floor: m = 8 has no published alpha constant (ADVICE r14) — a direct
+    // graft_hll_estimate call over one lane would silently get alpha_16.
+    require(m >= 16,
+      s"graft_hll_estimate: $m registers ($nLanes lanes) is below m = 16, " +
+        "the smallest register count with a published HLL alpha constant")
     var hsum = 0.0
     var zeros = 0
     var j = 0

@@ -32,15 +32,15 @@ object ShortestPaths {
     */
   def fixedRounds(wedges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     val e = wedges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint() // loop-invariant: materialize once, not per round
+      .localCheckpoint(false) // loop-invariant: materialize once, not per round
     var dist = sources.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val relaxed = e.join(dist, e("src") === dist("id"))
         .select(e("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     dist
   }

@@ -309,7 +309,7 @@ object Embeddings extends QueryPack {
       // Materialized once: the capped corpus feeds both self-join sides.
       val capped = graft.plans.TopKPerKey(
         c.select("vec_id", "emb", "nrm", "bucket"),
-        Seq("bucket"), Seq("vec_id" -> true), k = 64).localCheckpoint()
+        Seq("bucket"), Seq("vec_id" -> true), k = 64).localCheckpoint(false)
       val a = capped.select(col("vec_id").as("qid"), col("emb").as("qe"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))
       a.join(capped, col("bucket") === col("qbucket") && col("qid") < col("vec_id"))
@@ -670,7 +670,7 @@ object Embeddings extends QueryPack {
           x => x.getField("cv")).as("csub"))
         .select(col("m"), col("cid"), col("csub"),
           dotNative(col("csub"), col("csub")).as("cn"))
-        .localCheckpoint() // codes + reconstruction both read it
+        .localCheckpoint(false) // codes + reconstruction both read it
       val codes = pqAssign(refined)
       // Reconstruction: codewords concatenated in subspace order (the
       // v11 stats-pack idiom keeps the fold order engine-identical).
@@ -821,7 +821,23 @@ object Embeddings extends QueryPack {
       require(rows.nonEmpty, "v4_centroid_agg: empty dump")
       rows.foreach { r =>
         val label = r.get(0).toString
-        val got = r.getString(1).split(",").map(_.toDouble)
+        // format_number inserts grouping commas for |v| >= 1000
+        // ("1,234.5678"), so a bare split(",") would mis-split such a
+        // component and falsely retract a correct dump (ADVICE r14).
+        // Exact reassembly: every component ends in ".dddd" (4 forced
+        // decimals), so split tokens WITHOUT a dot are grouping fragments
+        // belonging to the component that follows — concatenate until a
+        // dot-bearing token closes the component.
+        val toks = r.getString(1).split(",")
+        val comps = scala.collection.mutable.ArrayBuffer[String]()
+        val cur = new StringBuilder
+        toks.foreach { t =>
+          cur.append(t)
+          if (t.contains('.')) { comps += cur.toString; cur.clear() }
+        }
+        require(cur.isEmpty,
+          s"v4_centroid_agg: $label has malformed centroid_sig trailing '${cur.toString}'")
+        val got = comps.map(_.toDouble).toArray
         val want = exact.getOrElse(label,
           throw new IllegalStateException(s"v4_centroid_agg: unknown label $label"))
         require(got.length == want.size,

@@ -385,8 +385,8 @@ object Etl extends QueryPack {
         empty(pagesSchema), empty(linksSchema), raw(seed, lit(e5T0).cast("timestamp")))
       e5Rounds.foreach { case (ts, lim) =>
         val tR = lit(ts).cast("timestamp")
-        val p0 = pages.localCheckpoint()
-        val l0 = links.localCheckpoint()
+        val p0 = pages.localCheckpoint(false)
+        val l0 = links.localCheckpoint(false)
         // S6 queue scan: most-overdue first (never-crawled = epoch), code
         // as the unique tiebreak, bounded by the round's quota.
         val due = p0
@@ -394,7 +394,7 @@ object Etl extends QueryPack {
           .orderBy(coalesce(col("next_update"), epoch).asc, col("code").asc)
           .limit(lim)
           .select(col("code"), expr("CAST(substring(code, 8) AS BIGINT)").as("i"))
-          .localCheckpoint() // one queue snapshot feeds both fetch branches
+          .localCheckpoint(false) // one queue snapshot feeds both fetch branches
         val ok = due.filter(col("i") % 10 =!= 7)
         val fails = due.filter(col("i") % 10 === 7)
           .select(col("code"), tR.as("failed_at"))

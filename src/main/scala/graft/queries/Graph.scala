@@ -170,7 +170,7 @@ object Graph extends QueryPack {
     * the neighborhood query can never disagree about hub selection.
     */
   private def hubNeighborhood(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val e = edges(s, d).localCheckpoint()
+    val e = edges(s, d).localCheckpoint(false)
     val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("o").asc)
       .limit(1)
@@ -257,7 +257,7 @@ object Graph extends QueryPack {
         .coSourcePairs(HubCap)
         .filter(col("n_common") >= 2)
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       proj.as("e1")
         .join(proj.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
@@ -279,7 +279,7 @@ object Graph extends QueryPack {
     // so the cut line is deterministic.
     "g8_link_predict" -> { (s, d) =>
       val lg = new LinkGraph(edges(s, d).select(col("o").as("src"), col("p").as("dst")))
-      val adj = lg.cappedAdjacency(HubCap).localCheckpoint()
+      val adj = lg.cappedAdjacency(HubCap).localCheckpoint(false)
       val pairs = LinkGraph.pairsFromAdjacency(adj).filter(col("n_common") >= 2)
       val deg = LinkGraph.edgesFromAdjacency(adj)
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -622,7 +622,7 @@ object Graph extends QueryPack {
         .coSourcePairs(HubCap)
         .filter(col("n_common") >= 2)
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val tri = proj.as("e1")
         .join(proj.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))

@@ -193,7 +193,7 @@ object TextDedup extends QueryPack {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("seg", regexp_replace(col("word"), "(.)", "|$1|"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to BpeTrainRounds) {
       val top = vocab
@@ -217,7 +217,7 @@ object TextDedup extends QueryPack {
         s"bpeTrain: bad symbol '$s1'/'$s2'")
       merges += ((r, s1, s2, np))
       vocab = vocab.withColumn("seg",
-        expr(s"replace(seg, '|$s1||$s2|', '|$s1$s2|')")).localCheckpoint()
+        expr(s"replace(seg, '|$s1||$s2|', '|$s1$s2|')")).localCheckpoint(false)
     }
     (merges.result(), vocab)
   }
@@ -332,7 +332,7 @@ object TextDedup extends QueryPack {
         .select(col("doc_id"), col("lang"), col("keep"),
           md5(col("text")).as("fp"),
           size(split(col("text"), " ")).as("n_tok"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
   }
 
@@ -342,13 +342,13 @@ object TextDedup extends QueryPack {
       s.conf.get("spark.sql.shuffle.partitions") + "|" + d +
       s"|n=$n|h=$nHashes"
     lshCache.getOrBuild(key) {
-      val sh = shingles(Tables.documents(s, d), n).localCheckpoint()
+      val sh = shingles(Tables.documents(s, d), n).localCheckpoint(false)
       val bands = capBuckets(bandKeys(sh, nHashes, bandSize = 2), BucketCap)
-        .localCheckpoint()
+        .localCheckpoint(false)
       // The per-doc hash-set arrays the set-array jaccard verify joins
       // to — built once per session alongside sh/capped so the verify's
       // warm path reads a checkpoint instead of re-aggregating shingles.
-      val sets = docSets(sh).localCheckpoint()
+      val sets = docSets(sh).localCheckpoint(false)
       (sh, bands, sets)
     }
   }
@@ -519,7 +519,7 @@ object TextDedup extends QueryPack {
     val incoming = col("doc_id") % 5 === 0
     val (exFp, exBands, exSh) = standingCorpus(s, d)
     // Batch shingles feed both banding and the Jaccard verify — one scan.
-    val inSh = shingles(batch, 3).localCheckpoint()
+    val inSh = shingles(batch, 3).localCheckpoint(false)
     val inBands = capIncomingAgainst(
       bandKeys(inSh, nHashes = 8, bandSize = 2), exBands, BucketCap, incoming)
     val exactDups = batch
@@ -781,7 +781,7 @@ object TextDedup extends QueryPack {
       // (same rule as the shingle/band materializations above).
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val dfTab = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
       terms.join(dfTab, "term")
         .groupBy(col("doc_id"))
@@ -873,11 +873,11 @@ object TextDedup extends QueryPack {
         .withColumn("fp", TextFunctions.fingerprint(col("text")))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val dedup = all.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
+      val dedup = all.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint(false)
       // Tier 1: LSH → Jaccard ≥ 0.5 → star components over the survivors.
-      val sh = shingles(dedup, 3).localCheckpoint()
+      val sh = shingles(dedup, 3).localCheckpoint(false)
       val capped = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
-        .localCheckpoint()
+        .localCheckpoint(false)
       val pairs = jaccard(candidatePairs(capped), sh, 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()

@@ -28,19 +28,38 @@ object TimeMany {
           "md5(s) AS m")
         .groupBy("k").count().collect()
     } catch { case _: Throwable => () }
+    // Aggregate executor CPU time per run via a stage listener: wall time
+    // on this host swings 3-10x between back-to-back identical runs, so
+    // CPU-seconds (work actually done) is the stable optimization metric.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val runNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+          runNs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime * 1000000L)
+        }
+      })
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => re.findFirstIn(n).isDefined)
     var total = 0.0
+    var totalCpu = 0.0
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to reps).map { _ =>
+        val c0 = cpuNs.get()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(100) // let stage-completed events drain
+        (wall, (cpuNs.get() - c0) / 1e9)
       }
-      total += runs.min
-      println(f"[timemany] $name%-35s min=${runs.min}%7.3f  runs=${runs.map(t => f"$t%.3f").mkString(",")}")
+      total += runs.map(_._1).min
+      totalCpu += runs.map(_._2).min
+      println(f"[timemany] $name%-35s min=${runs.map(_._1).min}%7.3f  minCpu=${runs.map(_._2).min}%7.3f  " +
+        f"runs=${runs.map(t => f"${t._1}%.3f/${t._2}%.3f").mkString(",")}")
     }
-    println(f"[timemany] TOTAL(min-sum) ${total}%.3f s over ${names.size} queries")
+    println(f"[timemany] TOTAL(min-sum) ${total}%.3f s wall, ${totalCpu}%.3f s cpu over ${names.size} queries")
     spark.stop()
   }
 }
