@@ -38,17 +38,25 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * (scan + symmetrize + distinct) on every reuse. On a cluster this is the
     * role of a cached/bucketed edge table.
     *
-    * LAZY CHECKPOINTS (round 15, repo-wide): every localCheckpoint in the
-    * engine's loops is `eager = false`. The LOGICAL plan is truncated at
-    * Dataset-creation time either way (the recompute guard the loops need),
-    * but the eager form ran one dedicated materialize-all-partitions job
-    * per checkpoint; lazily the partitions are computed and cached by the
-    * FIRST consuming action (block-level locks make concurrent first
-    * consumers compute each partition once), folding the former extra job
-    * — its dispatch, its result-stage pass, its AQE replan — into work the
-    * round does anyway. Measured on g6_components_converged (8-round loop,
-    * sf0.1, min-of-8 same-JVM reps): 2.86 s → 2.33 s wall and 1.09 s →
-    * 0.91 s executor-CPU.
+    * CHECKPOINT EAGERNESS POLICY (round 15): localCheckpoint sites are
+    * LAZY (`eager = false`) when the checkpointed frame's materialization
+    * is forced by an immediately-following action anyway — the per-round
+    * stat reads in connectedComponents / kCore / pageRankConverged /
+    * hyperBall* / componentsStar, and loop-invariant inputs whose first
+    * round consumes them. The logical plan is truncated at Dataset
+    * creation either way (the recompute guard), but lazily the partitions
+    * are computed and cached inside the first consuming action instead of
+    * a dedicated materialize-all-partitions job — one job dispatch +
+    * result-stage pass + AQE replan less per checkpoint. Measured on
+    * g6_components_converged (8-round loop, sf0.1, min-of-8 same-JVM
+    * reps): 2.86 s → 2.33 s wall and 1.09 s → 0.91 s executor-CPU.
+    * Sites stay EAGER where the frame is referenced TWICE with no action
+    * in between (the pageRank/labelProp/SSSP state frames, kHop's round
+    * delta, kCore's survivor set): on one executor block locks merely
+    * serialize the dual reference, but on a real cluster the two consuming
+    * stages can land on different executors and each compute the frame —
+    * the eager job guarantees exactly-once materialization before the
+    * fan-out, which is the operator's original design contract.
     */
   def materialized: LinkGraph = new LinkGraph(edges.localCheckpoint(false), checkpointEvery)
 
@@ -140,7 +148,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         // recompute, and `frontier` is a projection of the materialized
         // delta. One eager action per round instead of two, and the
         // round's work runs once.
-        next = next.localCheckpoint(false)
+        next = next.localCheckpoint()
       }
       visited = visited.union(next)
       frontier = next.select("id")
@@ -170,7 +178,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       if (i % checkpointEvery == 0 && i < k) {
         // Single round-delta checkpoint — see [[kHop]] (round 15): halves
         // the per-round actions and stops `next` being materialized twice.
-        next = next.localCheckpoint(false)
+        next = next.localCheckpoint()
       }
       visited = visited.union(next)
       frontier = next.select("tag", "id")
@@ -456,7 +464,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // Loop-invariant inputs materialize ONCE: the degree-annotated edge
     // list and the node table are reused every iteration — without this
     // each iteration re-runs the distinct/groupBy that derives them.
-    val nodes = nodeIds.localCheckpoint(false)
+    val nodes = nodeIds.localCheckpoint()
     val e = edges
       .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
       .select(col("src"), col("dst"), col("out_deg"))
@@ -470,7 +478,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // a no-op at the default checkpointEvery=1.
     var ranksFresh = true // round-1 ranks is one projection over checkpointed nodes
     for (i <- 1 to iters) {
-      if (!ranksFresh) ranks = ranks.localCheckpoint(false)
+      if (!ranksFresh) ranks = ranks.localCheckpoint()
       // One shuffle per iteration: neighbor contributions unioned with a
       // zero row per node (ranks holds every node id, so the zero row both
       // guarantees presence and removes the join-back onto the node table —
@@ -484,7 +492,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .groupBy(col("nid").as("id"))
         .agg(expr(s"(15 * ${scale}L + 85 * sum(c)) DIV 100").as("rank"))
       ranksFresh = i % checkpointEvery == 0 && i < iters
-      if (ranksFresh) ranks = ranks.localCheckpoint(false)
+      if (ranksFresh) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -505,17 +513,19 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
       .select(col("src"), col("dst"), col("out_deg"))
       .localCheckpoint(false)
+    // EAGER tele (round 15): see pageRankFixed — ranks r0 projects tele and
+    // round 1 dual-references ranks, plus every round's union reads tele.
     // Teleport indicator per node (1 on a seed, 0 elsewhere), materialized
     // once: it is both the r0 mass and every round's restart term.
     val tele = nodes
       .join(sources.select(col("id")).distinct().withColumn("__s", lit(1L)),
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("__s"), lit(0L)).as("t"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     var ranks = tele.select(col("id"), (col("t") * scale).as("rank"))
     var ranksFresh = true
     for (i <- 1 to iters) {
-      if (!ranksFresh) ranks = ranks.localCheckpoint(false)
+      if (!ranksFresh) ranks = ranks.localCheckpoint()
       val contribs = e
         .join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("nid"), expr("rank DIV out_deg").as("c"), lit(0L).as("t"))
@@ -524,7 +534,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .groupBy(col("nid").as("id"))
         .agg(expr(s"(15 * ${scale}L * max(t) + 85 * sum(c)) DIV 100").as("rank"))
       ranksFresh = i % checkpointEvery == 0 && i < iters
-      if (ranksFresh) ranks = ranks.localCheckpoint(false)
+      if (ranksFresh) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -554,7 +564,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     val e = edges.localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint()
     val lblType = nodes.schema("id").dataType
     var labels  = nodes.withColumn("lbl", col("id"))
     var changed = 1L
@@ -686,7 +696,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       scale: Long = 1000000000000L,
       onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) = {
     require(tol > 0 && maxIters > 0)
-    val nodes = nodeIds.localCheckpoint(false)
+    val nodes = nodeIds.localCheckpoint()
     val e = edges
       .join(outDegrees.withColumnRenamed("id", "__did"), col("src") === col("__did"))
       .select(col("src"), col("dst"), col("out_deg"))
@@ -726,14 +736,14 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     * deterministic partial labeling (oracle-comparable).
     */
   def labelPropagation(iters: Int): DataFrame = {
-    val nodes = nodeIds.localCheckpoint(false)
+    val nodes = nodeIds.localCheckpoint()
     var labels = nodes.withColumn("lbl", col("id"))
     // Same dual-reference guard as [[pageRankFixed]]: contribs references
     // labels twice, so materialize before the references whenever the
     // previous round didn't checkpoint (no-op at checkpointEvery=1).
     var labelsFresh = true
     for (i <- 1 to iters) {
-      if (!labelsFresh) labels = labels.localCheckpoint(false)
+      if (!labelsFresh) labels = labels.localCheckpoint()
       // One shuffle per round: neighbor labels (edge join, broadcastable
       // labels side) unioned with self labels, then a single min-agg —
       // no separate join-back onto the node table.
@@ -744,7 +754,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       labels = contribs.groupBy(col("nid").as("id")).agg(min(col("lbl")).as("lbl"))
         .select(col("id"), col("lbl"))
       labelsFresh = i % checkpointEvery == 0 && i < iters
-      if (labelsFresh) labels = labels.localCheckpoint(false)
+      if (labelsFresh) labels = labels.localCheckpoint()
     }
     labels
   }
@@ -778,7 +788,7 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
       // count it implies is tiny (one row per surviving node).
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("id"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val next = e
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")

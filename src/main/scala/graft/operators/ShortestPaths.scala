@@ -34,13 +34,13 @@ object ShortestPaths {
     val e = wedges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(false) // loop-invariant: materialize once, not per round
     var dist = sources.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(false)
+      .withColumn("dist", lit(0L)).localCheckpoint()
     for (_ <- 1 to rounds) {
       val relaxed = e.join(dist, e("src") === dist("id"))
         .select(e("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
     dist
   }

@@ -1223,9 +1223,15 @@ object TextDedup extends QueryPack {
     // (optionally preceded by a bloom-filter pre-pass) is the correct
     // fallback, and this plan degrades to exactly that.
     "t11_contamination" -> { (s, d) =>
+      // Materialized once (round 15): bench, sizes, and the semi-join all
+      // read the hashed-shingle frame, and without the cut each consumer
+      // re-ran the shingle explode + per-4-gram md5 over the corpus — the
+      // query's dominant CPU. Narrow (doc_id, h) rows; at 100 TB one pass
+      // over the n-gram stream instead of three.
       val sh = shingles(Tables.documents(s, d), 4)
         .select(col("doc_id"),
           conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        .localCheckpoint(false)
       val bench  = sh.filter(col("doc_id") % 7 === 0).select(col("h").as("bh")).distinct()
       val corpus = sh.filter(col("doc_id") % 7 =!= 0)
       val sizes  = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
@@ -1653,9 +1659,12 @@ object TextDedup extends QueryPack {
     // 100 TB that is the difference between shuffling the corpus and
     // shuffling ~the contamination.
     "t31_bloom_contamination" -> { (s, d) =>
+      // Materialized once (round 15, the t11 cut): FOUR consumers here —
+      // bloom build, prefilter, exact semi-join bench side, per-doc sizes.
       val sh = shingles(Tables.documents(s, d), 4)
         .select(col("doc_id"),
           conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        .localCheckpoint(false)
       val bench  = sh.filter(col("doc_id") % 7 === 0).select(col("h").as("bh")).distinct()
       val corpus = sh.filter(col("doc_id") % 7 =!= 0)
       val bloom  = bench.agg(
