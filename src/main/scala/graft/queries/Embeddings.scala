@@ -624,8 +624,12 @@ object Embeddings extends QueryPack {
       val c = corpus(s, d)
       def subSlices(v: Column) =
         array((0 until mSub).map(j => slice(v, j * subD + 1, subD)): _*)
+      // Materialized once (round 15): four consumers (seed derivation, both
+      // pqAssign passes, the Lloyd's update join) otherwise each re-run the
+      // corpus scan + per-vector subspace slicing.
       val subs = c.select(col("vec_id"),
         posexplode(subSlices(col("emb")))).toDF("vec_id", "m", "sub")
+        .localCheckpoint(false)
       // Per-subspace codebook: distinct subvectors seeded by min owner id.
       // A vec_id owns exactly one subvector per subspace, so the min-owner
       // is unique within a subspace and the ROW_NUMBER order is total.

@@ -287,8 +287,12 @@ object Etl extends QueryPack {
     // order), insert a new edge set (anti-filter + union, the Parquet
     // overwrite-partition shape). Single-row audit output.
     "s5_edge_replace" -> { (s, d) =>
+      // Materialized once (round 15): kept, n_before, and (via kept) the
+      // result/xParts branches otherwise each re-run the full edge
+      // scan+distinct — 4 passes in the before-plan.
       val e = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(false)
       val xDf = Tables.lineitem(s, d).agg(min(col("l_orderkey")).as("x"))
       val kept = e.crossJoin(broadcast(xDf)).filter(col("o") =!= col("x")).select("o", "p")
       val newE = Tables.part(s, d).filter(col("p_partkey") <= 5)
