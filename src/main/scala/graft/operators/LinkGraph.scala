@@ -234,11 +234,14 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     val m = 1 << lgK
     val nLanes = m / 8
     val laneCols = (0 until nLanes).map(j => s"l$j")
-    // Edges pre-partitioned on dst ONCE: every round's contribution join
-    // probes balls (already hash(id)-partitioned by its groupBy) against
-    // edges on dst — materializing the dst layout here removes a per-round
-    // edge shuffle (localCheckpoint preserves outputPartitioning).
-    val e = edges.repartition(col("dst")).localCheckpoint(false)
+    // Materialize the edge table once for the loop. NO repartition(dst)
+    // first (round 15): the checkpointed LogicalRDD reports
+    // UnknownPartitioning (verified in plans/r15/g16_*_roundagg plans), so
+    // the dst layout the former repartition paid one full edge shuffle for
+    // never reached the per-round join planner anyway — the join plans
+    // identically (broadcast under the threshold, fresh exchanges above
+    // it) with or without it. Pure saved work.
+    val e = edges.localCheckpoint(false)
     // Each round shuffles ≈ |E| · 2^lgK sketch bytes, and those shuffle
     // files are reclaimed only after a driver GC notices the dereferenced
     // dependencies — a large driver heap may never GC inside the loop, so
@@ -371,7 +374,9 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val m = 1 << lgK
     val laneCols = (0 until (m / 8)).map(j => s"l$j")
-    val e = edges.repartition(col("dst")).localCheckpoint(false)
+    // No repartition(dst) — see hyperBallCensus (round 15): the layout
+    // does not survive the checkpoint, so it was one wasted edge shuffle.
+    val e = edges.localCheckpoint(false)
     val gcPerRound = e.count() >= (1L << (34 - lgK)) // see hyperBallCensus
     var balls = packedInitBalls(e, lgK)
     // Round 0: every ball was just created, so every node contributes.
@@ -393,16 +398,20 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     // covers every src and dst), but IS DISTINCT FROM keeps the flag
     // total rather than null-poisoned if that invariant ever moved.
     val chgExpr = s"graft_lane_bytesum($laneArray) IS DISTINCT FROM o_bs"
-    def censusOf(b: DataFrame): Long =
-      b.agg(coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
-        .cast("long")).head().getLong(0)
     // Row payload (h, est_pairs, n_changed): n_changed is the number of
     // sketches that changed IN round h — the systolic frontier size,
     // emitted so the delta-propagation tail decay is MEASURABLE from the
     // output (the 25x adjudication reads it) instead of inferred from
-    // wall-clock. Round 0 "changed" every ball it created: |V|.
-    val rows = scala.collection.mutable.ArrayBuffer(
-      (0, censusOf(balls), balls.count()))
+    // wall-clock. Round 0 "changed" every ball it created: |V| — counted
+    // in the SAME action as the round-0 census (round 15; formerly a
+    // separate balls.count() job).
+    val rows = {
+      val r0 = balls.agg(
+        coalesce(round(sum(expr(s"graft_hll_estimate($laneArray)")), 0), lit(0))
+          .cast("long"),
+        count(lit(1))).head()
+      scala.collection.mutable.ArrayBuffer((0, r0.getLong(0), r0.getLong(1)))
+    }
     var h = 1
     var nChanged = 1L
     while (h <= maxRounds && nChanged > 0) {
