@@ -34,5 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sandbox leaves execution+storage ~19 GB. On a real cluster this is
   // ordinary executor sizing, not a local-only trick; override via
   // SPARK_DRIVER_MEM as before.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 31g, not 32g (round 16): -Xmx32g sits exactly at the CompressedOops
+  // cutoff — the JVM silently turns compressed 4-byte object pointers OFF
+  // for heaps >= 32 GiB, inflating every reference to 8 bytes on
+  // pointer-heavy paths (driver planning, codegen, decode object graphs)
+  // and shrinking the effective heap. 31g keeps the GC-relief win AND the
+  // compressed oops. Full-bench A/B on this host (plans/r16/ab/heap_*):
+  // 31g vs 32g indistinguishable beyond run noise, 8g/16g no better on the
+  // per-query-min basis — the principled setting wins.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}",
 )

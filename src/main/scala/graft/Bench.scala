@@ -67,13 +67,25 @@ object Bench {
     // carry an explicit "kind" discriminator so a consumer selecting by
     // metric name can't pick the wrong record or double-count (ADVICE r10):
     // "full" has the per-query breakdown, "compact" is the summary-only twin.
-    println(s"""{"metric":"total","kind":"full","value":${ms(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","kind":"full","value":${ms(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
     // The per-query line above is ~3 KB at 188 queries and the driver's
     // tail capture truncates its FRONT, leaving no parseable record
     // (BENCH_r08/r09 both recorded "parsed": null). Emit a compact (<200 B)
     // summary LAST so any tail window ends with one complete JSON object;
     // the long line stays for local audits and per-query diffing.
     println(s"""{"metric":"total","kind":"compact","value":${ms(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // The stdout mitigation above was not enough: the driver's tail window
+    // has stayed too small for the full line since r13 (PERF per_query
+    // empty, "parsed": null in BENCH_r13..r15 — sbt appends [success] after
+    // the JSON and the ~5 KB full record outgrows the capture). Persist the
+    // SAME full record to a stable file so per-query diffs never depend on
+    // stdout capture. Purely additive: both stdout lines are byte-identical
+    // to the existing contract, queries/methodology unchanged.
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_last_full.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // a read-only cwd must not fail the bench
     spark.stop()
   }
 }

@@ -28,7 +28,7 @@ object NetworkApi {
   def neighborhoodPayload(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint() // eager (r16): 3 consumers, no action between (policy)
     val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("o").asc).limit(1)
       .select(col("o").as("hub_o"), col("n").as("hub_deg"))

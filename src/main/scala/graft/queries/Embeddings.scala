@@ -309,7 +309,7 @@ object Embeddings extends QueryPack {
       // Materialized once: the capped corpus feeds both self-join sides.
       val capped = graft.plans.TopKPerKey(
         c.select("vec_id", "emb", "nrm", "bucket"),
-        Seq("bucket"), Seq("vec_id" -> true), k = 64).localCheckpoint(false)
+        Seq("bucket"), Seq("vec_id" -> true), k = 64).localCheckpoint() // eager: self-join (policy)
       val a = capped.select(col("vec_id").as("qid"), col("emb").as("qe"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))
       a.join(capped, col("bucket") === col("qbucket") && col("qid") < col("vec_id"))
@@ -629,7 +629,7 @@ object Embeddings extends QueryPack {
       // corpus scan + per-vector subspace slicing.
       val subs = c.select(col("vec_id"),
         posexplode(subSlices(col("emb")))).toDF("vec_id", "m", "sub")
-        .localCheckpoint(false)
+        .localCheckpoint() // eager (r16): 4 consumers, no action between (policy)
       // Per-subspace codebook: distinct subvectors seeded by min owner id.
       // A vec_id owns exactly one subvector per subspace, so the min-owner
       // is unique within a subspace and the ROW_NUMBER order is total.
@@ -674,7 +674,7 @@ object Embeddings extends QueryPack {
           x => x.getField("cv")).as("csub"))
         .select(col("m"), col("cid"), col("csub"),
           dotNative(col("csub"), col("csub")).as("cn"))
-        .localCheckpoint(false) // codes + reconstruction both read it
+        .localCheckpoint() // eager (r16): codes + reconstruction both read it (policy)
       val codes = pqAssign(refined)
       // Reconstruction: codewords concatenated in subspace order (the
       // v11 stats-pack idiom keeps the fold order engine-identical).

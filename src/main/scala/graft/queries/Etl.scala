@@ -292,7 +292,7 @@ object Etl extends QueryPack {
       // scan+distinct — 4 passes in the before-plan.
       val e = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint(false)
+        .localCheckpoint() // eager (r16): 3 consumers, no action between (policy)
       val xDf = Tables.lineitem(s, d).agg(min(col("l_orderkey")).as("x"))
       val kept = e.crossJoin(broadcast(xDf)).filter(col("o") =!= col("x")).select("o", "p")
       val newE = Tables.part(s, d).filter(col("p_partkey") <= 5)
@@ -389,8 +389,11 @@ object Etl extends QueryPack {
         empty(pagesSchema), empty(linksSchema), raw(seed, lit(e5T0).cast("timestamp")))
       e5Rounds.foreach { case (ts, lim) =>
         val tR = lit(ts).cast("timestamp")
-        val p0 = pages.localCheckpoint(false)
-        val l0 = links.localCheckpoint(false)
+        // Eager (r16): p0 feeds the queue scan AND the ingest upsert, l0
+        // feeds replaceEdges twice (anti-join + union base) — all before the
+        // round's first action (policy: exactly-once before the fan-out).
+        val p0 = pages.localCheckpoint()
+        val l0 = links.localCheckpoint()
         // S6 queue scan: most-overdue first (never-crawled = epoch), code
         // as the unique tiebreak, bounded by the round's quota.
         val due = p0
@@ -398,7 +401,7 @@ object Etl extends QueryPack {
           .orderBy(coalesce(col("next_update"), epoch).asc, col("code").asc)
           .limit(lim)
           .select(col("code"), expr("CAST(substring(code, 8) AS BIGINT)").as("i"))
-          .localCheckpoint(false) // one queue snapshot feeds both fetch branches
+          .localCheckpoint() // eager: one queue snapshot feeds both fetch branches
         val ok = due.filter(col("i") % 10 =!= 7)
         val fails = due.filter(col("i") % 10 === 7)
           .select(col("code"), tR.as("failed_at"))

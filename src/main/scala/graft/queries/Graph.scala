@@ -170,7 +170,9 @@ object Graph extends QueryPack {
     * the neighborhood query can never disagree about hub selection.
     */
   private def hubNeighborhood(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val e = edges(s, d).localCheckpoint(false)
+    // Eager (r16): hub, indeg, and the neighbor join all read e with no
+    // action in between (policy: exactly-once before the fan-out).
+    val e = edges(s, d).localCheckpoint()
     val hub = e.groupBy(col("o")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("o").asc)
       .limit(1)
@@ -257,7 +259,7 @@ object Graph extends QueryPack {
         .coSourcePairs(HubCap)
         .filter(col("n_common") >= 2)
         .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .localCheckpoint() // eager (r16): 3 join legs, no action between (policy)
       proj.as("e1")
         .join(proj.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
@@ -279,7 +281,7 @@ object Graph extends QueryPack {
     // so the cut line is deterministic.
     "g8_link_predict" -> { (s, d) =>
       val lg = new LinkGraph(edges(s, d).select(col("o").as("src"), col("p").as("dst")))
-      val adj = lg.cappedAdjacency(HubCap).localCheckpoint(false)
+      val adj = lg.cappedAdjacency(HubCap).localCheckpoint() // eager: dual-consumed (policy)
       val pairs = LinkGraph.pairsFromAdjacency(adj).filter(col("n_common") >= 2)
       val deg = LinkGraph.edgesFromAdjacency(adj)
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -349,8 +351,14 @@ object Graph extends QueryPack {
       // floor() on BOTH engines: a bare long cast truncates in Spark but
       // ROUNDS in DuckDB's CAST AS BIGINT, so fractional quantities would
       // silently diverge; floor pins one semantics.
+      // Eager checkpoint (r16): the symmetrizing union below references w
+      // TWICE, and Spark does not share common subplans across union legs —
+      // without the cut the scan + (a,b) min-aggregate ran twice inside
+      // ShortestPaths' loop-invariant edge materialization (guide §1.2:
+      // don't compute things twice). Output unchanged: same edge set.
       val w = li.groupBy((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
         .agg(floor(min(col("l_quantity"))).cast("long").as("w"))
+        .localCheckpoint()
       val wedges = w.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
       val src = li.agg(min(col("l_orderkey")).as("k")).select((col("k") * 2).as("id"))
@@ -622,7 +630,7 @@ object Graph extends QueryPack {
         .coSourcePairs(HubCap)
         .filter(col("n_common") >= 2)
         .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .localCheckpoint() // eager (r16): 4 consumers, no action between (policy)
       val tri = proj.as("e1")
         .join(proj.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))

@@ -332,7 +332,9 @@ object TextDedup extends QueryPack {
         .select(col("doc_id"), col("lang"), col("keep"),
           md5(col("text")).as("fp"),
           size(split(col("text"), " ")).as("n_tok"))
-        .localCheckpoint(false)
+        // Eager (r16): e6/e7 each read this 3+ times (keeper derivation,
+        // counts, fate join) before their single action (policy).
+        .localCheckpoint()
     }
   }
 
@@ -342,13 +344,22 @@ object TextDedup extends QueryPack {
       s.conf.get("spark.sql.shuffle.partitions") + "|" + d +
       s"|n=$n|h=$nHashes"
     lshCache.getOrBuild(key) {
-      val sh = shingles(Tables.documents(s, d), n).localCheckpoint(false)
+      // EAGER checkpoints (round 16, the LinkGraph eagerness policy): every
+      // frame here is consumed by MULTIPLE branches of one downstream
+      // action with no action in between — sh by banding AND docSets,
+      // capped by both legs of the candidate self-join, sets by both sides
+      // of the jaccard join. Lazily, concurrent consuming stages on a real
+      // cluster can each compute the frame before any block is published;
+      // the eager job guarantees exactly-once materialization before the
+      // fan-out (ADVICE r15). Driver-bench evidence for the lazy risk:
+      // t21's same-shaped lazy frames measured 2.2x in BENCH_r15.
+      val sh = shingles(Tables.documents(s, d), n).localCheckpoint()
       val bands = capBuckets(bandKeys(sh, nHashes, bandSize = 2), BucketCap)
-        .localCheckpoint(false)
+        .localCheckpoint()
       // The per-doc hash-set arrays the set-array jaccard verify joins
       // to — built once per session alongside sh/capped so the verify's
       // warm path reads a checkpoint instead of re-aggregating shingles.
-      val sets = docSets(sh).localCheckpoint(false)
+      val sets = docSets(sh).localCheckpoint()
       (sh, bands, sets)
     }
   }
@@ -519,7 +530,8 @@ object TextDedup extends QueryPack {
     val incoming = col("doc_id") % 5 === 0
     val (exFp, exBands, exSh) = standingCorpus(s, d)
     // Batch shingles feed both banding and the Jaccard verify — one scan.
-    val inSh = shingles(batch, 3).localCheckpoint(false)
+    // Eager (round 16): dual-consumed with no action between (policy).
+    val inSh = shingles(batch, 3).localCheckpoint()
     val inBands = capIncomingAgainst(
       bandKeys(inSh, nHashes = 8, bandSize = 2), exBands, BucketCap, incoming)
     val exactDups = batch
@@ -781,7 +793,7 @@ object TextDedup extends QueryPack {
       // (same rule as the shingle/band materializations above).
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
-        .localCheckpoint(false)
+        .localCheckpoint() // eager: dual-consumed, no action between (policy)
       val dfTab = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
       terms.join(dfTab, "term")
         .groupBy(col("doc_id"))
@@ -873,11 +885,19 @@ object TextDedup extends QueryPack {
         .withColumn("fp", TextFunctions.fingerprint(col("text")))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val dedup = all.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint(false)
+      // EAGER checkpoints (round 16): dedup is consumed 3x (shingles + both
+      // tier-2 text joins), sh 2x (banding + docSets), capped 2x (candidate
+      // self-join legs) — all before the first action (componentsStar's
+      // fingerprint), which under lazy checkpoints evaluated ALL of them at
+      // once and on a cluster can compute each frame once per consuming
+      // stage. This was VERDICT r15's #2 finding: t21 doubled in the driver
+      // bench (4.34 -> 9.55 s) after the lazy flip; eager restores the
+      // round-15 policy's own exactly-once contract.
+      val dedup = all.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
       // Tier 1: LSH → Jaccard ≥ 0.5 → star components over the survivors.
-      val sh = shingles(dedup, 3).localCheckpoint(false)
+      val sh = shingles(dedup, 3).localCheckpoint()
       val capped = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
-        .localCheckpoint(false)
+        .localCheckpoint()
       val pairs = jaccard(candidatePairs(capped), sh, 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, _) = new graft.operators.LinkGraph(pairs).connectedComponentsStar()
@@ -1231,7 +1251,7 @@ object TextDedup extends QueryPack {
       val sh = shingles(Tables.documents(s, d), 4)
         .select(col("doc_id"),
           conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-        .localCheckpoint(false)
+        .localCheckpoint() // eager (r16): 3 consumers, no action between (policy)
       val bench  = sh.filter(col("doc_id") % 7 === 0).select(col("h").as("bh")).distinct()
       val corpus = sh.filter(col("doc_id") % 7 =!= 0)
       val sizes  = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
@@ -1664,7 +1684,7 @@ object TextDedup extends QueryPack {
       val sh = shingles(Tables.documents(s, d), 4)
         .select(col("doc_id"),
           conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-        .localCheckpoint(false)
+        .localCheckpoint() // eager (r16): 4 consumers, no action between (policy)
       val bench  = sh.filter(col("doc_id") % 7 === 0).select(col("h").as("bh")).distinct()
       val corpus = sh.filter(col("doc_id") % 7 =!= 0)
       val bloom  = bench.agg(

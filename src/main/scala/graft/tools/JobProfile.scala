@@ -25,8 +25,11 @@ object JobProfile {
     val ends = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties.getProperty("spark.job.description"))
-          .orElse(Option(js.properties.getProperty("callSite.short"))).getOrElse("?")
+        // properties can be null (ADVICE r15) — an NPE in a listener would
+        // silently drop the job row from the profile.
+        val props = Option(js.properties)
+        val site = props.flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(props.flatMap(p => Option(p.getProperty("callSite.short")))).getOrElse("?")
         jobs.put(js.jobId, (js.time, site, js.stageInfos.map(_.numTasks).sum))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -48,15 +48,19 @@ object TimeMany {
       val fn = SparkEntry.queries(name)
       val runs = (1 to reps).map { _ =>
         val c0 = cpuNs.get()
+        val r0 = runNs.get()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(100) // let stage-completed events drain
-        (wall, (cpuNs.get() - c0) / 1e9)
+        (wall, (cpuNs.get() - c0) / 1e9, (runNs.get() - r0) / 1e9)
       }
       total += runs.map(_._1).min
       totalCpu += runs.map(_._2).min
+      // minRun = executor run-time (CPU + I/O + fetch wait) — reported
+      // alongside minCpu so the accumulator isn't dead code (ADVICE r15).
       println(f"[timemany] $name%-35s min=${runs.map(_._1).min}%7.3f  minCpu=${runs.map(_._2).min}%7.3f  " +
+        f"minRun=${runs.map(_._3).min}%7.3f  " +
         f"runs=${runs.map(t => f"${t._1}%.3f/${t._2}%.3f").mkString(",")}")
     }
     println(f"[timemany] TOTAL(min-sum) ${total}%.3f s wall, ${totalCpu}%.3f s cpu over ${names.size} queries")
