@@ -415,7 +415,20 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
     var h = 1
     var nChanged = 1L
     while (h <= maxRounds && nChanged > 0) {
-      val contrib = e.join(changed, e("dst") === changed("id"))
+      // SHUFFLE_HASH on the changed frontier (round 16, guide §3.1): under
+      // the 64 MB broadcast threshold AQE picked a broadcast of the
+      // loop-invariant edge table and REBUILT its HashedRelation every
+      // round (driver-side, off the job timeline — JobProfile showed
+      // 0.4-0.5 s gaps per round). Hinting the shrinking frontier as the
+      // hash build side takes the shuffled-hash path every round instead:
+      // measured min-of-4 same-JVM 12.5 -> 7.3 s wall (and the 17-51 s
+      // broadcast-build outlier runs disappear), executor CPU 97 -> 76 s.
+      // This is also the plan shape 100 TB forces anyway (the edge side is
+      // far over any broadcast threshold), so local and at-scale behavior
+      // now match. The fixed-round census keeps the AQE default: at 3
+      // rounds with a non-shrinking balls side the broadcast wins locally
+      // (4.1 vs 6.9 s) and the threshold demotes it at scale on its own.
+      val contrib = e.join(changed.hint("shuffle_hash"), e("dst") === changed("id"))
         .select(e("src").as("id") +:
           (laneCols.map(col) :+ lit(null).cast("long").as("bs")): _*)
       val aggPlan = contrib
@@ -426,10 +439,16 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
         .selectExpr((Seq("id") ++ laneCols :+ s"CAST(($chgExpr) AS INT) AS chg"): _*)
       // Plan-audit hook: the query-level explain of this loop query is just
       // a LocalTableScan of the census rows, so the informative plan (the
-      // per-round union+agg) is dumpable on demand for plans/r15/.
-      if (h == 1 && sys.env.contains("GRAFT_EXPLAIN_HYPERBALL"))
-        println(aggPlan.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+      // per-round union+agg) is dumpable on demand for plans/r15|16/. The
+      // system-property form lets LinkGraphSpec pin the round-join strategy
+      // (an ignored/renamed hint would be silently dropped by the planner).
+      if (h == 1 && (sys.env.contains("GRAFT_EXPLAIN_HYPERBALL") ||
+          sys.props.contains("graft.explain.hyperball"))) {
+        val planStr = aggPlan.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        LinkGraph.lastHyperBallRoundPlan = Some(planStr)
+        if (sys.env.contains("GRAFT_EXPLAIN_HYPERBALL")) println(planStr)
+      }
       val agg = aggPlan.localCheckpoint(false)
       // ONE action per round: census + changed count together, which also
       // materializes the lazily-checkpointed round aggregate (the
@@ -814,6 +833,12 @@ class LinkGraph(val edges: DataFrame, checkpointEvery: Int = 1) {
 }
 
 object LinkGraph {
+
+  /** Round-1 aggregate plan of the last [[LinkGraph.hyperBallDiameter]] run,
+    * captured when the `graft.explain.hyperball` system property (or the
+    * `GRAFT_EXPLAIN_HYPERBALL` env hook) is set — test-only plan pin.
+    */
+  @volatile private[graft] var lastHyperBallRoundPlan: Option[String] = None
 
   /** `(a, b, n_common)` pairs (a < b) from a `(dst, ss)` adjacency table —
     * the pair-emission half of [[LinkGraph.coSourcePairs]], split out so a

@@ -291,6 +291,30 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(dia.last._3 === 1)
   }
 
+  test("hyperBallDiameter round join is shuffled-hash with the frontier as build side") {
+    import spark.implicits._
+    // Round 16: the round join hints SHUFFLE_HASH on the shrinking changed
+    // frontier — under a local broadcast threshold AQE otherwise broadcasts
+    // the loop-invariant edge table and rebuilds its HashedRelation every
+    // round (measured 0.4-0.5 s/round of driver-side gap; min-of-4 wall
+    // 12.5 -> 7.3 s on g16 at sf0.1). An invalid or renamed hint would be
+    // SILENTLY dropped by the planner, so pin the captured round-1 plan.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (1L, 7L), (7L, 8L), (8L, 9L), (4L, 10L), (10L, 11L), (11L, 12L))
+    val g = new LinkGraph((base ++ base.map(_.swap)).toDF("src", "dst"))
+    sys.props("graft.explain.hyperball") = "1"
+    try {
+      LinkGraph.lastHyperBallRoundPlan = None
+      g.hyperBallDiameter(lgK = 8, maxRounds = 32).collect()
+      val plan = LinkGraph.lastHyperBallRoundPlan
+        .getOrElse(fail("round-1 plan was not captured"))
+      assert(plan.contains("ShuffledHashJoin"),
+        s"round join is not shuffled-hash:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "round join regressed to a per-round broadcast rebuild")
+    } finally sys.props.remove("graft.explain.hyperball")
+  }
+
   test("hyperBallDiameter: maxRounds below the horizon fails loudly, never silently truncates") {
     import spark.implicits._
     // Same 12-node graph (diameter 9, sketch horizon ~6-9): maxRounds = 2
