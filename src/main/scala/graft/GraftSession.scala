@@ -52,6 +52,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cores * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Scan-parallelism FLOOR (guide §6.1), derived from the session's
+      // core count — never a constant: the fixture parquet files are
+      // hundreds of KB, so without a floor a text/media query's scan is 1-2
+      // splits and its CPU-dense per-row work (tokenize/shingle/md5/decode)
+      // runs on 1-2 of local[32]'s cores (JobProfile on t21: the three
+      // dominant jobs had 2 tasks each). At 100 TB a scan has thousands of
+      // splits and the floor never binds; this only stops a SMALL input
+      // from idling a large cluster.
+      .config("spark.sql.files.minPartitionNum", (cores * 2).toString)
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("GRAFT_ABJT", (64L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")

@@ -893,7 +893,19 @@ object TextDedup extends QueryPack {
       // stage. This was VERDICT r15's #2 finding: t21 doubled in the driver
       // bench (4.34 -> 9.55 s) after the lazy flip; eager restores the
       // round-15 policy's own exactly-once contract.
-      val dedup = all.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
+      val dedup0 = all.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
+      // Tier-1's shingle explode + per-gram md5 is the query's CPU: AQE
+      // coalesces the tiny post-shuffle survivor frame to 1-2 partitions
+      // (bytes-based), idling the rest of the cluster for a per-ROW-
+      // expensive map (JobProfile: 2-task jobs dominating the wall). Widen
+      // it to the session's parallelism ONLY when it arrived narrower —
+      // at scale the survivor frame already has ≫ defaultParallelism
+      // partitions and this branch is a no-op (guide §2.6 idle capacity).
+      val par = s.sparkContext.defaultParallelism
+      val dedup =
+        if (dedup0.rdd.getNumPartitions < par)
+          dedup0.repartition(par).localCheckpoint()
+        else dedup0
       // Tier 1: LSH → Jaccard ≥ 0.5 → star components over the survivors.
       val sh = shingles(dedup, 3).localCheckpoint()
       val capped = capBuckets(bandKeys(sh, nHashes = 8, bandSize = 2), BucketCap)
